@@ -1,0 +1,104 @@
+"""Canonical schemas: the CDC change-event envelope and fixture tables.
+
+The envelope mirrors the reference's ``EventType`` payloads
+(reference ``pg2any-lib/src/producer.rs:139-343``) with the Kafka op
+codes ``c/u/d/t`` the reference itself emits
+(``destinations/kafka.rs:573,625,671,700``). Values inside
+``before``/``after`` are **text-rendered** strings (booleans ``t``/``f``,
+bytea as hex), matching the reference's three-variant ``ColumnValue``
+wire model (SURVEY §1.2): PostgreSQL logical replication ships column
+values as text, and type semantics apply lazily at the destination.
+Keeping the payload as MAP<STRING,STRING> means schema drift never
+breaks the pipeline — the same property the reference has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Op codes, identical to the reference's Kafka envelope.
+OP_INSERT = "c"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+OP_TRUNCATE = "t"
+
+#: Replica identity modes (reference ``sql_renderer.rs:331-375``).
+IDENTITY_DEFAULT = "default"
+IDENTITY_INDEX = "index"
+IDENTITY_FULL = "full"
+IDENTITY_NOTHING = "nothing"
+
+#: The CDC change-event envelope (SURVEY §1.2 / FIXTURES.md §2).
+CHANGE_EVENT_SCHEMA = StructType(
+    [
+        StructField("op", StringType(), False),  # 'c','u','d','t'
+        StructField("schema", StringType(), False),  # e.g. 'public'
+        StructField("table", StringType(), False),
+        StructField("txid", LongType(), False),
+        StructField("lsn", LongType(), False),  # total order / replay key
+        StructField("commit_ts", TimestampType(), False),
+        StructField("before", MapType(StringType(), StringType()), True),
+        StructField("after", MapType(StringType(), StringType()), True),
+        StructField("key_columns", ArrayType(StringType()), True),
+        StructField("replica_identity", StringType(), True),
+    ]
+)
+
+#: The reference's universal test table ``t1``
+#: (``examples/scripts/init_postgres.sql:1-28``).
+T1_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("val", IntegerType(), False),
+        StructField("col1", StringType(), False),  # uuid as 36-char string
+        StructField("col2", StringType(), False),
+    ]
+)
+
+#: Multimodal asset table: opaque binary payload + typed metadata
+#: (beyond-reference surface; decode is a stub, plumbing is real).
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+#: Driver fixture tables at /root/testdata/sf*/ (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("label", IntegerType(), True),
+    ]
+)

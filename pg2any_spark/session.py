@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target the driver environment (local[N] with many cores) but
+every knob is what we would set on a real multi-executor cluster:
+AQE on (runtime re-plan + skew-join splitting), adaptive shuffle
+partition coalescing, Arrow for any pandas interchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "pg2any_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster, drop ``master`` and submit with spark-submit;
+    the session-level confs below are cluster-appropriate as-is.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Arrow for pandas UDFs / toPandas — vectorized interchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in fixtures are naive; keep session TZ stable for parity
+        # with the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dimension tables (region/nation/supplier/part)
+        # stay broadcast even at large SF; 64m is safe with 4g+ executors.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

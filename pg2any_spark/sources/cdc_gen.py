@@ -1,0 +1,112 @@
+"""Deterministic CDC change-event synthesis from fixture tables.
+
+The driver fixtures have no CDC envelope table, so correctness checks
+for the apply operator derive an event stream *deterministically* from
+a base table. Because the derivation is pure SQL over the fixtures,
+the post-apply table state is expressible as a DuckDB oracle query —
+which is exactly what the driver's t2 gate needs.
+
+Workload shape mirrors the reference's chaos scenarios
+(``tests/chaos/scenarios/input/*.sql``): a wave of inserts, a wave of
+updates over a predicate, a wave of deletes over a predicate — all
+text-rendered values per the wire model (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg2any_spark.sources.fixtures import load_table
+
+# LSN bands: inserts < updates < deletes, all strictly increasing.
+_UPDATE_BASE = 10_000_000
+_DELETE_BASE = 20_000_000
+
+#: Update predicate: every third customer gets acctbal bumped by 1000.
+UPDATE_MOD = 3
+#: Delete predicate: every seventh customer is deleted (after updates).
+DELETE_MOD = 7
+
+
+def _text(col):
+    """Text-render a column the way logical replication would."""
+    return F.col(col).cast("string")
+
+
+def synth_customer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-all → update (custkey%3==0: acctbal+=1000) → delete (custkey%7==0).
+
+    Returns a DataFrame in the CHANGE_EVENT_SCHEMA envelope. Final
+    state oracle (ANSI SQL)::
+
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    after_full = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cust.columns]),
+        F.array(*[_text(c) for c in cust.columns]),
+    )
+    common = {
+        "schema": F.lit("public"),
+        "table": F.lit("customer"),
+        "commit_ts": F.to_timestamp(F.lit("2026-01-01 00:00:00")),
+        "key_columns": F.array(F.lit("c_custkey")),
+        "replica_identity": F.lit("default"),
+    }
+
+    inserts = cust.select(
+        F.lit("c").alias("op"),
+        common["schema"].alias("schema"),
+        common["table"].alias("table"),
+        (F.col("c_custkey") % 1000).cast("long").alias("txid"),
+        F.col("c_custkey").cast("long").alias("lsn"),
+        common["commit_ts"].alias("commit_ts"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        after_full.alias("after"),
+        common["key_columns"].alias("key_columns"),
+        common["replica_identity"].alias("replica_identity"),
+    )
+
+    upd = cust.filter(F.col("c_custkey") % UPDATE_MOD == 0).withColumn(
+        "new_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    upd_after = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cust.columns]),
+        F.array(
+            *[
+                F.col("new_acctbal").cast("string") if c == "c_acctbal" else _text(c)
+                for c in cust.columns
+            ]
+        ),
+    )
+    updates = upd.select(
+        F.lit("u").alias("op"),
+        common["schema"].alias("schema"),
+        common["table"].alias("table"),
+        F.lit(2000).cast("long").alias("txid"),
+        (F.col("c_custkey") + _UPDATE_BASE).cast("long").alias("lsn"),
+        common["commit_ts"].alias("commit_ts"),
+        # Default replica identity: before carries key columns only.
+        F.create_map(F.lit("c_custkey"), _text("c_custkey")).alias("before"),
+        upd_after.alias("after"),
+        common["key_columns"].alias("key_columns"),
+        common["replica_identity"].alias("replica_identity"),
+    )
+
+    deletes = cust.filter(F.col("c_custkey") % DELETE_MOD == 0).select(
+        F.lit("d").alias("op"),
+        common["schema"].alias("schema"),
+        common["table"].alias("table"),
+        F.lit(3000).cast("long").alias("txid"),
+        (F.col("c_custkey") + _DELETE_BASE).cast("long").alias("lsn"),
+        common["commit_ts"].alias("commit_ts"),
+        F.create_map(F.lit("c_custkey"), _text("c_custkey")).alias("before"),
+        F.lit(None).cast("map<string,string>").alias("after"),
+        common["key_columns"].alias("key_columns"),
+        common["replica_identity"].alias("replica_identity"),
+    )
+
+    return inserts.unionByName(updates).unionByName(deletes)

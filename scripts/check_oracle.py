@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+column names, and an order-insensitive value hash (columns sorted by
+name, floats canonicalized).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from pg2any_spark.schemas import FIXTURE_TABLES  # noqa: E402
+from pg2any_spark.session import get_spark  # noqa: E402
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: immune to fp noise, strict enough to
+        # catch real value bugs.
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x1f".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        elapsed = time.time() - t0
+        if name not in oracles:
+            print(f"  ~ {name}: rows={len(srows)} (rows-only, no oracle) [{elapsed:.1f}s]")
+            if len(srows) == 0:
+                failures.append((name, "0 rows"))
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"  ✗ {name}: {'; '.join(problems)} [{elapsed:.1f}s]")
+        else:
+            print(f"  ✓ {name}: rows={len(srows)} hash ok [{elapsed:.1f}s]")
+
+    print()
+    if failures:
+        print(f"FAIL: {len(failures)} of {len(queries)} queries mismatch")
+        for name, why in failures:
+            print(f"  - {name}: {why}")
+        sys.exit(1)
+    print(f"OK: all {len(queries) if not only else len(only)} checked queries match")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""CDC apply operator semantics, mirroring the reference's scenario
+matrix (FIXTURES.md §3; reference chaos scenarios + replica-identity
+tests)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pg2any_spark.operators.apply import (
+    ReplicaIdentityError,
+    apply_changes,
+    split_key_changing_updates,
+)
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, T1_SCHEMA
+from pg2any_spark.sources.cdc_gen import synth_customer_events
+from pg2any_spark.sources.fixtures import load_table
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def ev(op, lsn, after=None, before=None, table="t1", identity="default", txid=1):
+    return Row(
+        op=op,
+        schema="public",
+        table=table,
+        txid=txid,
+        lsn=lsn,
+        commit_ts=TS,
+        before=before,
+        after=after,
+        key_columns=["id"],
+        replica_identity=identity,
+    )
+
+
+def t1_after(id_, val, col1="u1", col2="u2"):
+    return {"id": str(id_), "val": str(val), "col1": col1, "col2": col2}
+
+
+def make_events(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+def state(df):
+    return {r["id"]: (r["val"], r["col1"], r["col2"]) for r in df.collect()}
+
+
+class TestInsertUpdateDelete:
+    def test_insert_only(self, spark):
+        events = make_events(spark, [ev("c", i, t1_after(i, i * 10)) for i in range(1, 101)])
+        out = apply_changes(events, T1_SCHEMA, ["id"])
+        assert out.count() == 100
+        st = state(out)
+        assert st[7] == (70, "u1", "u2")
+
+    def test_update_last_writer_wins(self, spark):
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5)),
+                ev("u", 2, t1_after(1, 6), before={"id": "1"}),
+                ev("u", 3, t1_after(1, 7), before={"id": "1"}),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"])
+        assert state(out)[1][0] == 7
+
+    def test_delete_removes_row(self, spark):
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5)),
+                ev("c", 2, t1_after(2, 6)),
+                ev("d", 3, before={"id": "1"}),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"])
+        assert set(state(out)) == {2}
+
+    def test_reinsert_after_delete(self, spark):
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5)),
+                ev("d", 2, before={"id": "1"}),
+                ev("c", 3, t1_after(1, 99)),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"])
+        assert state(out)[1][0] == 99
+
+    def test_apply_over_base_table(self, spark):
+        base = spark.createDataFrame(
+            [Row(id=1, val=1, col1="a", col2="b"), Row(id=2, val=2, col1="c", col2="d")],
+            T1_SCHEMA,
+        )
+        events = make_events(
+            spark,
+            [
+                ev("u", 10, t1_after(1, 100, "a", "b"), before={"id": "1"}),
+                ev("c", 11, t1_after(3, 3, "e", "f")),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], base=base)
+        st = state(out)
+        assert st == {1: (100, "a", "b"), 2: (2, "c", "d"), 3: (3, "e", "f")}
+
+    def test_idempotent_redelivery(self, spark):
+        rows = [
+            ev("c", 1, t1_after(1, 5)),
+            ev("u", 2, t1_after(1, 6), before={"id": "1"}),
+        ]
+        events = make_events(spark, rows + rows)  # duplicate delivery
+        out = apply_changes(events, T1_SCHEMA, ["id"])
+        assert out.count() == 1
+        assert state(out)[1][0] == 6
+
+
+class TestTruncate:
+    def test_truncate_clears_base_and_prior_events(self, spark):
+        base = spark.createDataFrame([Row(id=9, val=9, col1="x", col2="y")], T1_SCHEMA)
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 1)),
+                ev("t", 5),
+                ev("c", 6, t1_after(2, 2)),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], base=base)
+        assert set(state(out)) == {2}
+
+
+class TestReplicaIdentity:
+    def test_nothing_identity_raises(self, spark):
+        events = make_events(
+            spark,
+            [ev("d", 1, before={"id": "1"}, identity="nothing")],
+        )
+        with pytest.raises(ReplicaIdentityError):
+            apply_changes(events, T1_SCHEMA, ["id"], check_replica_identity=True)
+
+    def test_full_identity_delete(self, spark):
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5)),
+                ev(
+                    "d",
+                    2,
+                    before={"id": "1", "val": "5", "col1": "u1", "col2": "u2"},
+                    identity="full",
+                ),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"])
+        assert out.count() == 0
+
+
+class TestKeyChangingUpdate:
+    def test_key_change_moves_row(self, spark):
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5)),
+                ev("u", 2, t1_after(2, 5), before={"id": "1"}),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], split_key_updates=True)
+        assert set(state(out)) == {2}
+
+    def test_split_preserves_order(self, spark):
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5)),
+                ev("u", 2, t1_after(2, 7), before={"id": "1"}),
+                ev("u", 3, t1_after(2, 8), before={"id": "2"}),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], split_key_updates=True)
+        assert state(out) == {2: (8, "u1", "u2")}
+
+
+class TestSynthCustomerScenario:
+    def test_matches_sql_oracle(self, spark, sf_dir):
+        events = synth_customer_events(spark, sf_dir)
+        cust = load_table(spark, "customer", sf_dir)
+        out = apply_changes(events, cust.schema, ["c_custkey"])
+        expected = cust.filter(F.col("c_custkey") % 7 != 0).withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 1000).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        assert out.count() == expected.count()
+        diff = out.exceptAll(expected.select(*[f.name for f in cust.schema.fields]))
+        assert diff.count() == 0
