@@ -104,6 +104,486 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_truncate",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def cdc_apply_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE as a barrier: insert-all, truncate, re-insert every 5th
+    (reference P4, ``sql_renderer.rs:300-320``)."""
+    from pg2any_spark.sources.cdc_gen import synth_truncate_events
+
+    events = synth_truncate_events(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(events, cust.schema, ["c_custkey"], table="customer")
+
+
+@query(
+    "cdc_apply_orders_full_identity",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 4 <> 1
+    """,
+)
+def cdc_apply_orders_full_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL replica identity deletes over the orders table
+    (reference ``sql_renderer.rs:353-369``)."""
+    from pg2any_spark.sources.cdc_gen import synth_orders_events
+
+    events = synth_orders_events(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return apply_changes(events, orders.schema, ["o_orderkey"], table="orders")
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; nation/region/supplier broadcast."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    region = F.broadcast(
+        load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rank_in_cust
+        FROM orders
+    )
+    WHERE rank_in_cust <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer (deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window per customer."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_events",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 6) AS delta_value
+    FROM events
+    """,
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window over the event stream (per-user value deltas)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_value"),
+    )
+
+
+@query(
+    "rollup_sales_by_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_sales_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    cust = load_table(spark, "customer", sf_dir)
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    region = F.broadcast(load_table(spark, "region", sf_dir))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status × priority."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "setop_active_both_years",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def setop_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1996 and 1997."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def year(y):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1996).intersect(year(1997))
+
+
+@query(
+    "setop_lapsed_customers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def setop_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered before 2000 but never after."""
+    orders = load_table(spark, "orders", sf_dir)
+    before = orders.filter(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    after = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return before.subtract(after)
+
+
+@query(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 urgent order."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_unsold_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+    )
+    """,
+)
+def anti_join_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts with no shipment in 1995 H1."""
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@query(
+    "events_daily_by_type",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(DISTINCT user_id) AS uniq_users
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily aggregation over the event stream (batch form of
+    the streaming windowed agg; see streaming.pipeline for readStream)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload (reference P9 serde —
+    ``to_json``/``from_json`` surface)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "distinct_supplier_part_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def distinct_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("approx_distinct_parts")  # no oracle: HLL sketch is engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the scale path for distinct counts.
+    Rows-only check — sketch estimates are engine-specific."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@query(
+    "topk_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 25
+    """,
+)
+def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after join+agg; Spark plans TakeOrderedAndProject (no full
+    sort shuffle)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(25)
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue

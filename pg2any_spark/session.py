@@ -43,6 +43,9 @@ def get_spark(
         # Timestamps in fixtures are naive; keep session TZ stable for parity
         # with the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp, so read as long and normalize in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast threshold: dimension tables (region/nation/supplier/part)
         # stay broadcast even at large SF; 64m is safe with 4g+ executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -110,3 +110,84 @@ def synth_customer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return inserts.unionByName(updates).unionByName(deletes)
+
+
+def synth_truncate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-all → TRUNCATE → re-insert custkey%5==0.
+
+    Exercises the truncate barrier (reference ``sql_renderer.rs:300-320``;
+    multi-table truncate semantics collapse to per-table events here).
+    Final-state oracle: ``SELECT … FROM customer WHERE c_custkey % 5 = 0``.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    after_full = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cust.columns]),
+        F.array(*[_text(c) for c in cust.columns]),
+    )
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+
+    def base_cols(op, lsn_col, before, after, txid):
+        return [
+            F.lit(op).alias("op"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.lit(txid).cast("long").alias("txid"),
+            lsn_col.cast("long").alias("lsn"),
+            ts.alias("commit_ts"),
+            before.alias("before"),
+            after.alias("after"),
+            F.array(F.lit("c_custkey")).alias("key_columns"),
+            F.lit("default").alias("replica_identity"),
+        ]
+
+    null_map = F.lit(None).cast("map<string,string>")
+    inserts = cust.select(*base_cols("c", F.col("c_custkey"), null_map, after_full, 1))
+    trunc = cust.limit(1).select(
+        *base_cols("t", F.lit(_UPDATE_BASE), null_map, null_map, 2)
+    )
+    reinserts = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        *base_cols("c", F.col("c_custkey") + _DELETE_BASE, null_map, after_full, 3)
+    )
+    return inserts.unionByName(trunc).unionByName(reinserts)
+
+
+def synth_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-all orders → FULL-identity deletes of orderkey%4==1.
+
+    FULL replica identity: the delete's ``before`` carries the complete
+    old row (reference ``sql_renderer.rs:353-369`` builds the WHERE from
+    every old column, with IS NULL handling).
+    Oracle: ``SELECT … FROM orders WHERE o_orderkey % 4 <> 1``.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    full_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in orders.columns]),
+        F.array(*[_text(c) for c in orders.columns]),
+    )
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    null_map = F.lit(None).cast("map<string,string>")
+    inserts = orders.select(
+        F.lit("c").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.lit(10).cast("long").alias("txid"),
+        F.col("o_orderkey").cast("long").alias("lsn"),
+        ts.alias("commit_ts"),
+        null_map.alias("before"),
+        full_map.alias("after"),
+        F.array(F.lit("o_orderkey")).alias("key_columns"),
+        F.lit("full").alias("replica_identity"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.lit("d").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.lit(11).cast("long").alias("txid"),
+        (F.col("o_orderkey") + _DELETE_BASE).cast("long").alias("lsn"),
+        ts.alias("commit_ts"),
+        full_map.alias("before"),
+        null_map.alias("after"),
+        F.array(F.lit("o_orderkey")).alias("key_columns"),
+        F.lit("full").alias("replica_identity"),
+    )
+    return inserts.unionByName(deletes)

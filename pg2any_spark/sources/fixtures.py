@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg2any_spark.schemas import FIXTURE_TABLES
 
@@ -18,8 +18,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one fixture table from ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
+    """Read one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); Spark's timestamp is
+    microseconds, so the session reads nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
+    micros here — the same ns→us truncation DuckDB applies, keeping
+    oracle parity. Integer ``div`` (not ``/``) avoids double-precision
+    loss at 1e18-scale nanos.
+    """
+    df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,28 @@
+"""Query registry sanity at sf0.001 (full Spark-vs-DuckDB parity runs
+via scripts/check_oracle.py at sf0.01 — the driver's t2 replica)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg2any_spark.plans.queries import ORACLES, QUERIES
+
+
+def test_oracles_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_nonempty():
+    assert len(QUERIES) >= 20
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    # every query must produce a stable, named schema
+    assert all(not c.startswith("_") for c in df.columns)
+    # queries other than highly-selective filters should return data at
+    # the smoke SF; allow empty only for the known-selective ones
+    if name not in {"setop_lapsed_customers", "anti_join_unsold_parts"}:
+        assert len(rows) > 0, f"{name} returned no rows at sf0.001"
