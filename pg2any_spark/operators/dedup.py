@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline surface (BASELINE.json north star). Scale
+design (100 TB):
+
+- **exact**: fingerprint = md5(normalized text); groupBy fingerprint
+  keeping the min id is a map-side-combinable aggregate — the shuffle
+  carries one row per distinct fingerprint.
+- **MinHash+LSH**: shingle → k independent min-hashes in ONE
+  aggregation pass (k ``min`` aggs, all partial-aggregated before the
+  shuffle) → band keys → self-join per band. No O(n²) pair
+  enumeration; the only join is on band buckets, exactly the
+  shingle→minhash→band→bucket-join factoring LSH exists for.
+- **SimHash**: exploded token votes reduce with 32 map-side-combinable
+  ``sum`` aggs; fingerprint assembled post-agg.
+- **n-gram Jaccard**: for *candidate pairs only* (from LSH) — the
+  exact verify stage; set sizes via distinct-shingle joins.
+
+Cross-engine determinism: all hashing is md5 (string min over hex is a
+valid min-wise hash ordering); integer hashes via base-16 parse of the
+md5 prefix — both reproducible in DuckDB for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pg2any_spark.operators.text import normalize_text
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per exact (normalized) content fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; texts shorter than n words yield one
+    whole-text shingle. Element-at indexing (1-based) keeps the DuckDB
+    oracle expression identical in shape."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per document with columns mh0..mh{k-1}.
+
+    Each mh_i = MIN(md5('<i>|' || shingle)) — k min-wise hashes from
+    one pass over the exploded shingles, all map-side combinable.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_key) — band key = md5 of its signature rows."""
+    rows_per_band = num_hashes // bands
+    entries = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
+
+    The join is per (band_idx, band_key) bucket — never all-pairs.
+    Skewed buckets (very common shingle sets) are handled by AQE's
+    skew-join splitting at scale.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands_df = lsh_band_keys(sigs, id_col, num_hashes, bands)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _token_hash(tok: Column) -> Column:
+    """32-bit integer hash from the md5 hex prefix (cross-engine)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document SimHash fingerprint over the token multiset.
+
+    Exploded tokens → per-bit ±1 votes → ``bits`` map-side-combinable
+    sums → fingerprint assembled from vote signs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", _token_hash(F.col("tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return votes.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    fps: DataFrame, id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on 4 rotated 8-bit prefixes (any pair within
+    distance ≤3 of a 32-bit hash agrees exactly on at least one of 4
+    disjoint 8-bit blocks — pigeonhole), then verify distance inside
+    blocks. Avoids the all-pairs comparison.
+    """
+    blocks = []
+    for blk in range(4):
+        key = F.shiftright(F.col("simhash"), blk * 8).bitwiseAND(0xFF)
+        blocks.append(
+            fps.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(blk).alias("block_idx"),
+                key.alias("block_key"),
+            )
+        )
+    blocked = blocks[0]
+    for bdf in blocks[1:]:
+        blocked = blocked.unionByName(bdf)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard similarity of distinct shingle sets for each
+    (id_a, id_b) pair. Joins shingle sets only for candidate pairs —
+    the verify stage after LSH, not an all-pairs scan."""
+    sh = exploded_shingles(corpus, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("size_a") + F.col("size_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

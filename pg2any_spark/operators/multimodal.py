@@ -1,0 +1,159 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video bytes are carried as ``binary`` columns with typed
+metadata alongside (MEDIA_SCHEMA). The Spark-side plumbing — schema,
+partition sizing, Arrow batch shape, ``mapInPandas`` UDF signatures —
+is real and tested; the actual codec work is STUBBED: this container
+has no image/audio libraries, so ``decode_image``/``decode_audio``
+raise ``NotImplementedError`` unless a deterministic fake is requested
+(`fake=True`), which derives pseudo-features from the payload bytes.
+
+Scale notes: media payloads dominate row size, so batch sizing is the
+knob that matters — ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds Arrow batch memory, and payload columns must be pruned out of
+any query that only needs metadata (Parquet column pruning gives this
+for free if metadata and payload live in separate columns, which is
+why MEDIA_SCHEMA keeps them flat rather than in a struct).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg2any_spark.sources.fixtures import load_table
+
+#: Arrow schema produced by extract_image_features / mapInPandas.
+IMAGE_FEATURE_SCHEMA = (
+    "asset_id long, n_bytes int, fake_width int, fake_height int, "
+    "brightness double, payload_md5 string"
+)
+
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx int, frame_md5 string"
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the documents fixture:
+    payload = UTF-8 bytes of the text (a stand-in blob), typed metadata
+    derived from doc_id. Real pipelines replace this with a Parquet/
+    Iceberg table of actual media bytes — the schema is the contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        media_type.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("n_chars") * 10.0).alias("duration_ms"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "flac")
+        .otherwise("h264")
+        .alias("codec"),
+    )
+
+
+def _fake_image_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic pseudo-decode: dimensions + brightness derived
+    from the md5 digest. Stands in for a real decoder so the
+    distributed plumbing is testable without codec libraries."""
+    digest = hashlib.md5(payload).digest()
+    width = 16 + digest[0] * 4
+    height = 16 + digest[1] * 4
+    brightness = round(sum(digest) / (len(digest) * 255.0), 6)
+    return width, height, brightness
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Decode an image payload → (width, height, brightness).
+
+    STUB: real decoding needs PIL/opencv, which this environment does
+    not ship. ``fake=True`` uses the deterministic pseudo-decoder.
+    """
+    if fake:
+        return _fake_image_features(payload)
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; install one and replace "
+        "_fake_image_features with a real decoder"
+    )
+
+
+def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over image assets.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame;
+    per-batch vectorized work, constant memory per batch. The payload
+    column is pruned at the scan for any downstream query that drops
+    it.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(lambda p: decode_image(bytes(p), fake=fake))
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "fake_width": feats.map(lambda t: t[0]).astype("int32"),
+                    "fake_height": feats.map(lambda t: t[1]).astype("int32"),
+                    "brightness": feats.map(lambda t: t[2]),
+                    "payload_md5": pdf["payload"].map(
+                        lambda p: hashlib.md5(bytes(p)).hexdigest()
+                    ),
+                }
+            )
+            yield out
+
+    return media.filter(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling stub for video assets: emits one 'frame' per
+    ``every_n_bytes`` slice of the payload (a real implementation
+    decodes keyframes; the fan-out shape — one input row → many frame
+    rows — is what matters for partition sizing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), every_n_bytes):
+                    ids.append(aid)
+                    idxs.append(i // every_n_bytes)
+                    hashes.append(hashlib.md5(data[i : i + every_n_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata projection (no payload decode): byte size +
+    content hash per asset. Payload-column pruning applies upstream."""
+    return media.select(
+        "asset_id",
+        "media_type",
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "width",
+        "height",
+        F.round(F.col("duration_ms"), 2).alias("duration_ms"),
+        "codec",
+    )

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the ANN playbook:
+
+- **brute force** (baseline / verify): query-set × corpus join with an
+  exact cosine; correct at any recall, O(|Q|·|C|) — only for small
+  query sets or final re-ranking.
+- **LSH-bucketed** (scale path): sign-random-projection buckets
+  (hyperplanes derived deterministically from md5, so the DuckDB
+  oracle can reproduce them); candidates share a bucket, exact cosine
+  re-rank inside the bucket. The join is bucket-keyed, never all-pairs.
+
+All vector math is JVM-side (``zip_with``/``aggregate`` fold — one
+deterministic left-to-right summation order, which keeps fp results
+reproducible across runs and engines at ROUND(…, 6) granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+NUM_PLANES = 16
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Ranking uses the
+    rounded similarity with id tiebreak — fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# LSH: sign random projections with md5-derived hyperplanes
+# ---------------------------------------------------------------------------
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane component — derived from md5 so the
+    oracle SQL can regenerate the identical planes."""
+    import hashlib
+
+    digit = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[0]
+    return 1 if int(digit, 16) >= 8 else -1
+
+
+def plane_matrix(num_planes: int, dim: int) -> list[list[int]]:
+    return [[_plane_sign(p, d) for d in range(dim)] for p in range(num_planes)]
+
+
+def srp_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-random-projection bucket id: bit p = (v · plane_p) > 0."""
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for p, signs in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def with_srp_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    return df.withColumn(
+        "bucket", srp_bucket(F.col(vec_col), plane_matrix(num_planes, dim))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k: candidates from the query's SRP bucket, exact cosine
+    re-rank inside the bucket. Recall < 1.0 by design; the bucket join
+    replaces the O(|Q|·|C|) cross join."""
+    planes = plane_matrix(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: SRP-bucket blocking + exact
+    cosine threshold inside buckets (id_a < id_b)."""
+    planes = plane_matrix(num_planes, dim)
+    tagged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

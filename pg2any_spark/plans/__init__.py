@@ -1,1 +1,2 @@
 from pg2any_spark.plans import queries  # noqa: F401
+from pg2any_spark.plans import queries_ml  # noqa: F401  (fills the registry)

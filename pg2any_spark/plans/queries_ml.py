@@ -1,0 +1,475 @@
+"""Training-data-pipeline queries: dedup, similarity, text analysis,
+multimodal — registered into the same driver-facing registry.
+
+Oracle-parity rules (learned the hard way, see scripts/check_oracle.py):
+- every hash is md5; integer hashes parse the md5 hex prefix base-16
+  (Spark ``conv(...,16,10)`` ≡ DuckDB ``CAST('0x'||… AS BIGINT)``);
+- DuckDB DECIMAL literals infect arithmetic — force DOUBLE operands;
+- DuckDB ``regexp_replace`` needs ``'g'`` for replace-all; anchored
+  patterns (^…) are single-match in both engines;
+- mutations use anchored regex (not list slicing — DuckDB's
+  out-of-range slice returns NULL, Spark's returns []).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg2any_spark.operators import dedup as D
+from pg2any_spark.operators import multimodal as M
+from pg2any_spark.operators import similarity as S
+from pg2any_spark.operators import text as T
+from pg2any_spark.plans.queries import query
+from pg2any_spark.sources.fixtures import load_table
+
+# shared SQL fragments ------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_DROP2 = r"regexp_replace(text, '^\s*\S+\s+\S+\s+', '')"  # drop first 2 words
+
+_SHINGLE_SQL = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN list_transform(generate_series(1, len({_TOKS}) - 2),
+                             i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_RECRAWL_CORPUS = """
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS id, text FROM documents
+"""
+
+_MUTATED_CORPUS = f"""
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS id, {_DROP2} AS text FROM documents
+"""
+
+
+def _recrawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return docs.selectExpr("doc_id AS id", "text").unionByName(
+        docs.selectExpr("doc_id + 100000 AS id", "text")
+    )
+
+
+def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus plus near-duplicate copies (first two words dropped)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.regexp_replace("text", r"^\s*\S+\s+\S+\s+", "").alias("text"),
+    )
+    return docs.selectExpr("doc_id AS id", "text").unionByName(mutated)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+           ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(len(list_filter({_TOKS},
+                     t -> list_contains(['the','a','is','and','of'], t)))
+                 / greatest(len({_TOKS}), 1), 6) AS stopword_ratio_en,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + BPE-ish), punctuation/stopword
+    ratios, content fingerprint — all JVM-side projections."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t, T.LANG_MARKERS["en"]), 6).alias("stopword_ratio_en"),
+        T.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains([{markers}], t)))"
+
+
+@query(
+    "lang_id_documents",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql("de")} AS s_de,
+               {_lang_score_sql("en")} AS s_en,
+               {_lang_score_sql("es")} AS s_es,
+               {_lang_score_sql("fr")} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax, alphabetical tiebreak)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_recrawl",
+    oracle=f"""
+    WITH corpus AS ({_RECRAWL_CORPUS})
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(id) AS id
+    FROM corpus GROUP BY fingerprint
+    """,
+)
+def dedup_exact_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a 2× re-crawled corpus — survivors are the
+    original min ids; the aggregate shuffles one row per fingerprint."""
+    corpus = _recrawl_corpus(spark, sf_dir)
+    return D.exact_dedup(corpus, "id", "text").select("fingerprint", "id")
+
+
+def _minhash_sig_sql(k: int) -> str:
+    return ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
+    )
+
+
+def _band_sql(bands: int, rows: int) -> str:
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
+        parts.append(
+            f"SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_key FROM sig"
+        )
+    return "\n    UNION ALL ".join(parts)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_MUTATED_CORPUS}),
+    sh AS (
+        SELECT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    sig AS (
+        SELECT id, {_minhash_sig_sql(12)}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        {_band_sql(4, 3)}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over corpus ∪ near-dup mutations
+    (12 hashes, 4 bands × 3 rows): shingle → minhash → band →
+    bucket-join — never an all-pairs comparison."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    return D.lsh_candidate_pairs(corpus, "id", "text", num_hashes=12, bands=4)
+
+
+def _simhash_votes_sql(bits: int) -> str:
+    return ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+
+
+def _simhash_fp_sql(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {_simhash_votes_sql(32)}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_simhash_fp_sql(32)} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (token votes via 32 map-side
+    combinable sums)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash(docs, "doc_id", "text", bits=32)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_MUTATED_CORPUS}),
+    sh AS (
+        SELECT DISTINCT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+    pairs AS (
+        SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+    ),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN sh a ON a.id = p.id_a
+        JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(COALESCE(i.n_inter, 0) /
+                 (sa.set_size + sb.set_size - COALESCE(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes sa ON sa.id = p.id_a
+    JOIN sizes sb ON sb.id = p.id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for (original, mutated-copy) pairs — the
+    verify stage that would follow LSH candidate generation."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    return D.ngram_jaccard(corpus, pairs, "id", "text", n=3)
+
+
+@query("dedup_simhash_near_pairs")  # rows-only: blocked Hamming join
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on corpus ∪ mutations via pigeonhole
+    blocking (4 × 8-bit blocks), Hamming ≤ 3 verify inside blocks."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, "id", "text", bits=32)
+    return D.simhash_hamming_pairs(fps, "id", max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_cosine_topk_bruteforce", oracle=_COS_ORACLE)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for every 50th vector — the correctness
+    baseline ANN re-rankers are measured against."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+def _srp_planes_sql(num_planes: int) -> str:
+    """Plane table: md5-derived ±1 signs, identical to
+    operators.similarity.plane_matrix."""
+    return f"""
+        SELECT p.p, d.d,
+               CASE WHEN CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 1)) AS INT) >= 8
+                    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sign
+        FROM (SELECT unnest(generate_series(0, {num_planes - 1})) AS p) p,
+             (SELECT unnest(generate_series(0, 63)) AS d) d
+    """
+
+
+_LSH_BUCKET_SQL = f"""
+    planes AS ({_srp_planes_sql(8)}),
+    buckets AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN pr.proj > 0 THEN CAST(pow(2, pr.p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM embeddings e
+        JOIN (
+            SELECT e2.vec_id, pl.p,
+                   SUM((e2.embedding::DOUBLE[])[pl.d + 1] * pl.sign) AS proj
+            FROM embeddings e2, planes pl
+            GROUP BY e2.vec_id, pl.p
+        ) pr ON pr.vec_id = e.vec_id
+        GROUP BY e.vec_id
+    )
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_LSH_BUCKET_SQL},
+    q AS (
+        SELECT b.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
+        FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+        WHERE b.vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT b.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, b.bucket
+        FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+    ),
+    sims AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
+        FROM q JOIN c ON q.bucket = c.bucket
+        WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via sign-random-projection buckets (8 md5-derived
+    hyperplanes) + exact re-rank inside the bucket — the scale path
+    (bucket join replaces the cross join)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk(emb, queries, num_planes=8, k=5).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding::DOUBLE[], x -> x * 0.5)
+        FROM embeddings
+    ),
+    planes AS ({_srp_planes_sql(8)}),
+    buckets AS (
+        SELECT pr.vec_id,
+               SUM(CASE WHEN pr.proj > 0 THEN CAST(pow(2, pr.p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM (
+            SELECT b2.vec_id, pl.p, SUM(b2.v[pl.d + 1] * pl.sign) AS proj
+            FROM base b2, planes pl
+            GROUP BY b2.vec_id, pl.p
+        ) pr
+        GROUP BY pr.vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(ba.v, bb.v), 6) AS cos_sim
+    FROM buckets a
+    JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN base ba ON ba.vec_id = a.vec_id
+    JOIN base bb ON bb.vec_id = b.vec_id
+    WHERE ROUND(list_cosine_similarity(ba.v, bb.v), 6) >= 0.95
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (corpus ∪ scaled copies:
+    cosine-invariant, so every copy pair is a guaranteed near-dup) via
+    SRP-bucket blocking + exact threshold."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), dbl.alias("embedding")).unionByName(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(dbl, lambda x: x * 0.5).alias("embedding"),
+        )
+    )
+    return S.cosine_near_dup_pairs(base, num_planes=8, threshold=0.95).select(
+        "id_a", "id_b", "cos_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+           ROUND(CAST(n_chars AS DOUBLE) * 10.0, 2) AS duration_ms,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'flac'
+                ELSE 'h264' END AS codec
+    FROM documents
+    """,
+)
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata, no decode: byte length +
+    content hash stay JVM-side; payload pruned when unused."""
+    return M.media_metadata(M.synth_media(spark, sf_dir))
+
+
+@query("media_image_features")  # rows-only: pandas-UDF (Arrow) path
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over image
+    payloads (deterministic fake decoder — real codecs are stubbed)."""
+    return M.extract_image_features(M.synth_media(spark, sf_dir), fake=True)
+
+
+@query("media_frame_samples")  # rows-only: fan-out mapInPandas path
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 video row → N frame rows) through
+    mapInPandas."""
+    return M.sample_frames(M.synth_media(spark, sf_dir), every_n_bytes=64)

@@ -26,8 +26,12 @@ from pg2any_spark.session import get_spark  # noqa: E402
 
 
 def canon_cell(v):
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from pg2any_spark.operators import dedup as D
+
+
+def docs(spark, rows):
+    return spark.createDataFrame([Row(id=i, text=t) for i, t in rows])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = docs(spark, [(1, "hello world"), (5, "Hello   WORLD"), (2, "other doc")])
+    out = {r["id"] for r in D.exact_dedup(df, "id").collect()}
+    assert out == {1, 2}
+
+
+def test_minhash_identical_signatures(spark):
+    df = docs(spark, [(1, "a b c d e f g"), (2, "a b c d e f g")])
+    sigs = D.minhash_signatures(df, "id", num_hashes=4).collect()
+    by_id = {r["id"]: tuple(r[f"mh{i}"] for i in range(4)) for r in sigs}
+    assert by_id[1] == by_id[2]
+
+
+def test_lsh_finds_exact_duplicate(spark):
+    df = docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark engines here"),
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(df, "id").collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_ngram_jaccard_extremes(spark):
+    corpus = docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "x y z w v"),
+        ],
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=1, id_b=3)])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard(corpus, pairs, "id").collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+def test_simhash_deterministic_and_close(spark):
+    df = docs(
+        spark,
+        [
+            (1, "spark engine batch window join hash"),
+            (2, "spark engine batch window join hash"),
+        ],
+    )
+    fps = {r["id"]: r["simhash"] for r in D.simhash(df, "id").collect()}
+    assert fps[1] == fps[2]
+    assert 0 <= fps[1] < (1 << 32)
+
+
+def test_simhash_hamming_pairs(spark):
+    df = docs(
+        spark,
+        [
+            (1, "spark engine batch window join hash merge sort"),
+            (2, "spark engine batch window join hash merge sorted"),
+            (3, "qqq www eee rrr ttt yyy uuu iii"),
+        ],
+    )
+    fps = D.simhash(df, "id")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_hamming_pairs(fps, "id", max_distance=8).collect()}
+    assert (1, 2) in pairs

@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import pytest
+
+from pg2any_spark.operators import multimodal as M
+
+
+def test_synth_media_schema(spark, sf_dir):
+    media = M.synth_media(spark, sf_dir)
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert media.count() > 0
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"bytes", fake=False)
+
+
+def test_fake_decoder_deterministic():
+    a = M._fake_image_features(b"payload")
+    b = M._fake_image_features(b"payload")
+    assert a == b
+
+
+def test_extract_image_features(spark, sf_dir):
+    media = M.synth_media(spark, sf_dir)
+    feats = M.extract_image_features(media, fake=True)
+    rows = feats.collect()
+    n_images = media.filter("media_type = 'image'").count()
+    assert len(rows) == n_images
+    assert all(r["n_bytes"] > 0 and 0 <= r["brightness"] <= 1 for r in rows)
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    media = M.synth_media(spark, sf_dir)
+    frames = M.sample_frames(media, every_n_bytes=64)
+    per_asset = frames.groupBy("asset_id").count().collect()
+    n_videos = media.filter("media_type = 'video'").count()
+    assert len(per_asset) == n_videos
+    assert all(r["count"] >= 1 for r in per_asset)

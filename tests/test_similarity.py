@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from pg2any_spark.operators import similarity as S
+
+
+def vecs(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+
+
+def test_bruteforce_identical_vector_ranks_first(spark):
+    df = vecs(
+        spark,
+        [
+            (1, [1, 0, 0, 0]),
+            (2, [1, 0, 0, 0]),
+            (3, [0, 1, 0, 0]),
+            (4, [0.9, 0.1, 0, 0]),
+        ],
+    )
+    q = df.filter("vec_id = 1")
+    out = S.brute_force_topk(df, q, k=2).collect()
+    ranked = {r["rank"]: (r["neighbor_id"], r["cos_sim"]) for r in out}
+    assert ranked[1] == (2, 1.0)
+    assert ranked[2][0] == 4
+
+
+def test_cosine_scale_invariant(spark):
+    df = vecs(spark, [(1, [1, 2, 3, 4]), (2, [0.5, 1, 1.5, 2])])
+    q = df.filter("vec_id = 1")
+    out = S.brute_force_topk(df, q, k=1).collect()
+    assert out[0]["neighbor_id"] == 2
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_srp_bucket_scale_invariant(spark):
+    df = vecs(spark, [(1, [1.0] * 8 + [0.0] * 56), (2, [0.5] * 8 + [0.0] * 56)])
+    out = S.with_srp_bucket(df, dim=64, num_planes=8).collect()
+    buckets = {r["vec_id"]: r["bucket"] for r in out}
+    assert buckets[1] == buckets[2]
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    df = vecs(
+        spark,
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(64)]) for i in range(20)],
+    )
+    q = df.filter("vec_id = 0")
+    out = S.lsh_topk(df, q, dim=64, num_planes=4, k=5).collect()
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+    assert len(out) <= 5
