@@ -433,6 +433,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC output projections
+# ---------------------------------------------------------------------------
+
+
+@query("cdc_debezium_envelope")  # rows-only: JSON text formatting is engine-specific
+def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style Kafka envelope projection over the synthesized
+    customer event stream (reference ``kafka.rs:215-292``) — the
+    entire Kafka sink payload path as one JVM-side projection."""
+    from pg2any_spark.functions.envelope import to_debezium
+    from pg2any_spark.sources.cdc_gen import synth_customer_events
+
+    return to_debezium(synth_customer_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 

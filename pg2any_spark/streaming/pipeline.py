@@ -1,0 +1,120 @@
+"""Structured Streaming CDC pipeline.
+
+This is the streaming face of the engine: the reference's entire
+producer/consumer/recovery machinery (SURVEY §2.4 O2–O11 — durable
+transaction files, LSN dedup, resumable replay, graceful drain,
+startup recovery) collapses into ``readStream → foreachBatch(apply) →
+checkpointLocation``:
+
+- **exactly-once** (reference O2, ``transaction_manager.rs:1586-1604``):
+  checkpoint offsets make each input file/batch processed once; within
+  a batch, re-delivered events reduce idempotently (max-LSN wins).
+- **restart recovery** (reference O4/O10): restart with the same
+  checkpoint resumes after the last committed batch — verified by the
+  kill-and-restart test in tests/test_streaming.py.
+- **ordering** (reference O1): per-key order enforced inside each
+  batch by the max-LSN reduction; batch boundaries follow source
+  offset order, which is monotone in LSN for an ordered event feed.
+
+The batch apply here targets a Parquet replica via full-state rewrite
+(correct at fixture scale, and the swap is atomic via directory
+rename). On a real deployment the same ``apply_fn`` body issues
+``MERGE INTO`` against Delta/Iceberg — the event → winner-per-key
+reduction is identical, only the final write changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from pg2any_spark.operators.apply import apply_changes
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based change-event stream (parquet). A Kafka/Debezium feed
+    swaps in ``spark.readStream.format("kafka")`` + ``from_json`` with
+    the same envelope schema; everything downstream is unchanged."""
+    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def _atomic_replace(staging: str, target: str) -> None:
+    old = target + f".old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(staging, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def apply_batch_to_parquet(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    target_path: str,
+    schema: StructType,
+    key_cols: list[str],
+    table: str | None = None,
+) -> None:
+    """One micro-batch: current replica ⊕ batch events → new replica."""
+    base = None
+    if os.path.exists(target_path):
+        base = spark.read.parquet(target_path)
+    final = apply_changes(
+        batch_df, schema, key_cols, base=base, table=table
+    )
+    staging = target_path + f".staging-{uuid.uuid4().hex[:8]}"
+    final.write.mode("overwrite").parquet(staging)
+    _atomic_replace(staging, target_path)
+
+
+def start_cdc_apply(
+    events: DataFrame,
+    target_path: str,
+    schema: StructType,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    table: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the CDC apply stream onto a Parquet replica."""
+    spark = events.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch_to_parquet(spark, batch_df, target_path, schema, key_cols, table)
+
+    writer = events.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_daily_counts(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream
+    (the §2.5 surface the reference lacks): late data beyond the
+    watermark is dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("day"), "event_type", "n_events", "total_value"
+        )
+    )

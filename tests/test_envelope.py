@@ -1,0 +1,63 @@
+"""Debezium envelope projection parity (reference ``kafka.rs:215-344``)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import Row
+
+from pg2any_spark.functions.envelope import to_debezium
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def make_event(spark, op="c", before=None, after=None):
+    return spark.createDataFrame(
+        [
+            Row(
+                op=op,
+                schema="public",
+                table="t1",
+                txid=42,
+                lsn=1234,
+                commit_ts=TS,
+                before=before,
+                after=after,
+                key_columns=["id"],
+                replica_identity="default",
+            )
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+
+
+def test_insert_envelope(spark):
+    df = make_event(spark, "c", after={"id": "1", "val": "9"})
+    row = to_debezium(df, topic_prefix="cdc", source_db="testdb").collect()[0]
+    assert row["topic"] == "cdc.public.t1"
+    key = json.loads(row["key"])
+    assert key == {"id": "1"}
+    value = json.loads(row["value"])
+    payload = value["payload"]
+    assert payload["op"] == "c"
+    assert payload["before"] is None
+    assert payload["after"] == {"id": "1", "val": "9"}
+    src = payload["source"]
+    assert src["connector"] == "pg2any"
+    assert src["db"] == "testdb"
+    assert src["txId"] == 42 and src["lsn"] == 1234
+    assert payload["ts_ms"] == int(TS.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    assert value["schema"]["name"] == "cdc.public.t1.Envelope"
+    fields = value["schema"]["fields"][0]["fields"]
+    assert {f["field"] for f in fields} == {"id", "val"}
+
+
+def test_delete_envelope_uses_before(spark):
+    df = make_event(spark, "d", before={"id": "3"})
+    row = to_debezium(df).collect()[0]
+    value = json.loads(row["value"])
+    assert value["payload"]["after"] is None
+    assert value["payload"]["before"] == {"id": "3"}
+    assert json.loads(row["key"]) == {"id": "3"}

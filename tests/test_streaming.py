@@ -1,0 +1,151 @@
+"""Structured Streaming CDC pipeline: end-to-end apply, exactly-once
+across restarts (the chaos-suite property from SURVEY §5 re-created as
+checkpoint kill-and-restart), watermarked windows."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, T1_SCHEMA
+from pg2any_spark.sources.fixtures import load_table
+from pg2any_spark.streaming.pipeline import (
+    read_event_stream,
+    start_cdc_apply,
+    streaming_daily_counts,
+)
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def ev(op, lsn, after=None, before=None):
+    return Row(
+        op=op,
+        schema="public",
+        table="t1",
+        txid=1,
+        lsn=lsn,
+        commit_ts=TS,
+        before=before,
+        after=after,
+        key_columns=["id"],
+        replica_identity="default",
+    )
+
+
+def t1a(id_, val):
+    return {"id": str(id_), "val": str(val), "col1": "u", "col2": "u"}
+
+
+def write_events(spark, path, rows, filename):
+    spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def read_state(spark, target):
+    return {r["id"]: r["val"] for r in spark.read.parquet(target).collect()}
+
+
+class TestStreamingApply:
+    def test_end_to_end_apply(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "replica")
+        ckpt = str(tmp_path / "ckpt")
+        write_events(
+            spark,
+            src,
+            [ev("c", 1, t1a(1, 10)), ev("c", 2, t1a(2, 20)), ev("u", 3, t1a(1, 11), {"id": "1"})],
+            "b1",
+        )
+        q = start_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt
+        )
+        q.awaitTermination(120)
+        assert read_state(spark, target) == {1: 11, 2: 20}
+
+    def test_restart_no_loss_no_dup(self, spark, tmp_path):
+        """Kill-and-restart: second run with the same checkpoint must
+        process only new files (no duplicates), and must pick up files
+        added while stopped (no loss)."""
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "replica")
+        ckpt = str(tmp_path / "ckpt")
+        write_events(spark, src, [ev("c", i, t1a(i, i)) for i in range(1, 51)], "b1")
+        q = start_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt
+        )
+        q.awaitTermination(120)
+        assert len(read_state(spark, target)) == 50
+
+        # while "down": more inserts and some deletes arrive
+        write_events(
+            spark,
+            src,
+            [ev("c", 100 + i, t1a(50 + i, i)) for i in range(1, 11)]
+            + [ev("d", 200 + i, before={"id": str(i)}) for i in range(1, 6)],
+            "b2",
+        )
+        q2 = start_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt
+        )
+        q2.awaitTermination(120)
+        state = read_state(spark, target)
+        # 50 original + 10 new - 5 deleted; replays would resurrect deleted ids
+        assert len(state) == 55
+        assert all(i not in state for i in range(1, 6))
+        assert state[51] == 1
+
+    def test_truncate_in_stream(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "replica")
+        ckpt = str(tmp_path / "ckpt")
+        write_events(
+            spark,
+            src,
+            [ev("c", 1, t1a(1, 1)), ev("t", 5), ev("c", 6, t1a(9, 9))],
+            "b1",
+        )
+        q = start_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt
+        )
+        q.awaitTermination(120)
+        assert read_state(spark, target) == {9: 9}
+
+
+class TestStreamingWindows:
+    def test_daily_counts_match_batch(self, spark, sf_dir, tmp_path):
+        """Streaming windowed agg over the events fixture == batch
+        groupBy (replay-the-log equivalence)."""
+        events = load_table(spark, "events", sf_dir)
+        src = str(tmp_path / "evsrc")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = streaming_daily_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("daily_counts")
+            .outputMode("append")  # watermark closes windows on availableNow
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("select * from daily_counts").collect()
+        }
+        from pyspark.sql import functions as F
+
+        batch = (
+            events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .collect()
+        )
+        expected = {(r["day"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+        # append mode emits only closed windows; the last day stays open
+        assert got
+        for k, v in got.items():
+            assert expected[k] == v
