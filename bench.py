@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion (collect or count — full plan
+execution, not lazy). The CDC apply throughput maps to the reference's
+end-to-end rows/s envelope (BASELINE.md: ≥~1,333 rows/s sustained).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pg2any_spark.plans.queries import QUERIES  # noqa: E402
+from pg2any_spark.session import get_spark  # noqa: E402
+
+#: Headline set: CDC apply path, scan-agg, multi-way joins, window,
+#: set op, events aggs, dedup family, similarity, text, multimodal.
+HEADLINE = [
+    "cdc_apply_customer",
+    "cdc_apply_orders_full_identity",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "topk_customers_by_revenue",
+    "window_top_orders_per_customer",
+    "events_daily_by_type",
+    "dedup_exact_recrawl",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk_bruteforce",
+    "text_stats_documents",
+    "media_metadata",
+    "cdc_debezium_envelope",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="pg2any_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a trivial plan so the first measured query
+    # doesn't pay session initialization.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

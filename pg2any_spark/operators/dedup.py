@@ -53,11 +53,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles; texts shorter than n words yield one
-    whole-text shingle. Element-at indexing (1-based) keeps the DuckDB
-    oracle expression identical in shape."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over a *materialized* token array; texts
+    shorter than n words yield one whole-text shingle.
+
+    Takes the token column (not raw text) deliberately: referencing a
+    ``split(...)`` expression from inside ``transform`` lambdas defeats
+    common-subexpression elimination and re-tokenizes per element —
+    measured ~5× slower at sf0.1."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -70,14 +73,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) rows. Repartitions by id first: text corpora often
+    arrive in few large files, and the explode is the CPU-heavy stage —
+    spreading it across the cluster costs one cheap shuffle of raw
+    text and removes the single-partition bottleneck."""
+    spark = df.sparkSession
+    return (
+        df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(word_shingles(F.col("__toks"), n)).alias("shingle"))
     )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+
+#: Largest prime below 2^32 — modulus for double-hash MinHash.
+MINHASH_PRIME = 4_294_967_291
 
 
 def minhash_signatures(
@@ -87,17 +104,28 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """One row per document with columns mh0..mh{k-1}.
+    """One row per document with columns mh0..mh{k-1} (BIGINT).
 
-    Each mh_i = MIN(md5('<i>|' || shingle)) — k min-wise hashes from
-    one pass over the exploded shingles, all map-side combinable.
+    One md5 per shingle; the k min-wise hashes are Kirsch-Mitzenmacher
+    combinations h_i = (h1 + i·h2) mod p of the digest's two 32-bit
+    halves — k independent-enough permutations at 1/k the hashing
+    cost, all map-side combinable, reproducible in any engine with md5
+    and base-16 parsing.
     """
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    digest = F.md5(F.col("shingle"))
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
@@ -172,10 +200,15 @@ def simhash(
     Exploded tokens → per-bit ±1 votes → ``bits`` map-side-combinable
     sums → fingerprint assembled from vote signs.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", _token_hash(F.col("tok")))
+    spark = df.sparkSession
+    toks = (
+        df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .withColumn("h", _token_hash(F.col("tok")))
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(

@@ -41,6 +41,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _normalized(
+    df: DataFrame, id_col: str, id_alias: str, vec_col: str, vec_alias: str
+) -> DataFrame:
+    """Project (id_alias, unit-vector) — the norm is materialized in an
+    intermediate column so it is computed once per vector, not once per
+    element inside a lambda (CSE does not reach into lambdas)."""
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .select(
+            id_alias,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(vec_alias),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,22 +68,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
+    Vectors are L2-normalized *before* the pair join (once per vector,
+    not once per pair — at |Q|·|C| pairs that is the dominant cost),
+    so the pair stage is a single dot-product fold. The query side is
+    broadcast: it is the small side by construction, which turns the
+    cross join into a broadcast nested loop with no shuffle of the
+    corpus.
+
     Returns (query_id, neighbor_id, cos_sim, rank). Ranking uses the
     rounded similarity with id tiebreak — fully deterministic.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    q = F.broadcast(_normalized(queries, id_col, "query_id", vec_col, "q_vec"))
+    c = _normalized(corpus, id_col, "neighbor_id", vec_col, "c_vec")
     sims = (
-        q.crossJoin(c)
+        c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -134,15 +155,11 @@ def lsh_topk(
     re-rank inside the bucket. Recall < 1.0 by design; the bucket join
     replaces the O(|Q|·|C|) cross join."""
     planes = plane_matrix(num_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    q = _normalized(queries, id_col, "query_id", vec_col, "q_vec").withColumn(
+        "bucket", srp_bucket(F.col("q_vec"), planes)
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    c = _normalized(corpus, id_col, "neighbor_id", vec_col, "c_vec").withColumn(
+        "bucket", srp_bucket(F.col("c_vec"), planes)
     )
     sims = (
         q.join(c, "bucket")
@@ -150,7 +167,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -170,16 +187,14 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs: SRP-bucket blocking + exact
     cosine threshold inside buckets (id_a < id_b)."""
     planes = plane_matrix(num_planes, dim)
-    tagged = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    tagged = _normalized(corpus, id_col, "id", vec_col, "vec").withColumn(
+        "bucket", srp_bucket(F.col("vec"), planes)
     )
     a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
     )
     b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
     )
     return (
         a.join(b, "bucket")
@@ -187,7 +202,7 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(dot(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()

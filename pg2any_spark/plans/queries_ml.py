@@ -152,8 +152,11 @@ def dedup_exact_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(k: int) -> str:
+    """Double-hash MinHash (mirrors operators.dedup.minhash_signatures):
+    one md5 per shingle, mh_i = (h1 + i*h2) mod p."""
+    prime = 4_294_967_291
     return ",\n           ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
+        f"min((h1 + {i} * h2) % {prime}) AS mh{i}" for i in range(k)
     )
 
 
@@ -174,9 +177,15 @@ def _band_sql(bands: int, rows: int) -> str:
     sh AS (
         SELECT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
     ),
+    hashed AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM sh
+    ),
     sig AS (
         SELECT id, {_minhash_sig_sql(12)}
-        FROM sh GROUP BY id
+        FROM hashed GROUP BY id
     ),
     bands AS (
         {_band_sql(4, 3)}
