@@ -1,0 +1,696 @@
+"""Second relational batch: correlated subqueries, conditional
+aggregation, outer joins, pivot, percentiles, scalar-function
+surfaces, grouping sets, statistical aggregates.
+
+These extend SURVEY §2.6 (classic relational operators absent in the
+reference, mandatory in our engine). Shapes follow TPC-H Q7/Q13/Q14/
+Q17/Q18/Q19/Q22 adapted to the driver's reduced fixture columns
+(lineitem has no commitdate/shipmode; orders has no comment/clerk).
+
+Oracle-parity rules inherited from queries.py/queries_ml.py: identical
+aliases on both sides, ROUND every float aggregate, explicit casts at
+timestamp comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pg2any_spark.plans.queries import query
+from pg2any_spark.sources.fixtures import load_table
+
+
+# ---------------------------------------------------------------------------
+# Correlated / scalar subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (avg quantity per
+    part) decorrelated into an aggregate + join — exactly the plan
+    Catalyst produces for the subquery form. The per-part avg table is
+    small (one row per part) and broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING → aggregate + semi
+    join. The HAVING aggregate is map-side combinable; the semi join
+    shuffles only orderkeys that survive the threshold."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
+                li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"), "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global avg) +
+    NOT EXISTS anti join (no urgent order — every fixture customer has
+    *some* order, which would make the classic form empty). The scalar
+    is computed once and folded into the filter."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .collect()[0][0]
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation / CASE expressions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: CASE-gated ratio aggregate over a broadcast
+    dimension join; date filter pushed to the scan."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, "part", sf_dir))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts split by priority class."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q19_bracketed_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate brackets across the join —
+    the join keeps only rows any bracket accepts; Catalyst pushes the
+    single-side conjuncts below the join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = F.broadcast(load_table(spark, "part", sf_dir))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins / multi-alias dimension joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers
+    (COUNT of a nullable column skips NULLs), then a second aggregation
+    over the counts."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q7_cross_nation_trade",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cust_nation, supp_nation
+    ORDER BY volume DESC, cust_nation, supp_nation
+    LIMIT 20
+    """,
+)
+def q7_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    aliases (customer nation vs supplier nation); both sides broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = load_table(spark, "nation", sf_dir)
+    cn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    sn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("volume"))
+        .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")
+        .limit(20)
+    )
+
+
+@query(
+    "full_outer_daily_click_purchase",
+    oracle="""
+    SELECT COALESCE(c.day, p.day) AS day,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           ROUND(COALESCE(p.purchase_value, 0), 2) AS purchase_value
+    FROM (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY day
+    ) c
+    FULL OUTER JOIN (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_purchases, SUM(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY day
+    ) p ON c.day = p.day
+    """,
+)
+def full_outer_daily_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-day aggregates (days with clicks but
+    no purchases and vice versa both survive)."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day).agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").alias("purchase_value"),
+        )
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    return (
+        c.join(p, F.col("c.day") == F.col("p.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.day"), F.col("p.day")).alias("day"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.round(F.coalesce(F.col("purchase_value"), F.lit(0)), 2).alias(
+                "purchase_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / grouping sets / percentiles / statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order status → columns. Values list supplied explicitly
+    so Spark skips the extra distinct-scan job (and so this stays a
+    single-pass conditional aggregation at scale)."""
+    orders = load_table(spark, "orders", sf_dir)
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(s), F.lit(0)), 2).alias(s) for s in ["F", "O", "P"]],
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers (distinct from
+    rollup/cube already covered) — via the SQL surface, registering
+    temp views, since the DataFrame API exposes only rollup/cube."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    load_table(spark, "region", sf_dir).createOrReplaceTempView("region")
+    return spark.sql("""
+        SELECT r_name, n_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """)
+
+
+@query(
+    "percentile_order_value_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def percentile_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (Spark `percentile`
+    ≡ DuckDB `quantile_cont`). At 100 TB swap to `approx_percentile`
+    (t-digest sketch, map-side combinable, no sort) — exact percentile
+    materializes per-group value multisets."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "stats_lineitem_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           ROUND(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_lineitem_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: corr / covar / stddev / variance — all
+    single-pass map-side-combinable moments."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           max_by(o_orderkey, o_totalprice ORDER BY o_orderkey) AS biggest_order,
+           ROUND(MAX(o_totalprice), 2) AS biggest_total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg-max aggregate (one shuffle, no window sort). The
+    struct trick — max over (price, -orderkey) — pins the tiebreak so
+    both engines pick the same order when totals tie."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.max(F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")))
+            .alias("m"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            (-F.col("m.nk")).alias("biggest_order"),
+            F.round(F.col("m.o_totalprice"), 2).alias("biggest_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surfaces (string / date / array-map)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           REPLACE(p_type, 'PROMO', 'PRM') AS type_abbrev,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/substr/length/replace/concat_ws/
+    lpad/LIKE — all JVM built-ins inside whole-stage codegen."""
+    part = load_table(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PRM")).alias("type_abbrev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "date_funcs_orders",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           EXTRACT(MONTH FROM o_orderdate) AS order_month,
+           EXTRACT(QUARTER FROM o_orderdate) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: extract components, truncation, date
+    arithmetic, day difference."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint").alias("days_to_y2k"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "array_funcs_events",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types_seen,
+           len(list(DISTINCT event_type)) AS n_types,
+           CASE WHEN list_contains(list(DISTINCT event_type), 'purchase')
+                THEN 1 ELSE 0 END AS did_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def array_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: collect_set → sort → size/contains. The
+    per-user distinct-type set is bounded (≤ #event types), so state
+    stays small at any scale."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types_seen"))
+        .select(
+            "user_id",
+            "types_seen",
+            F.size("types_seen").cast("bigint").alias("n_types"),
+            F.array_contains("types_seen", "purchase").cast("int").alias("did_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions via LAG + running SUM
+    windows, then per-session aggregates. The batch twin of streaming
+    session windows (`F.session_window` on the readStream side); one
+    shuffle on user_id reused by both window steps and the final agg."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+    ).cast("bigint")
+    return (
+        ev.withColumn("is_new_session", new_sess)
+        .withColumn("session_id", F.sum("is_new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
