@@ -119,6 +119,7 @@ def apply_changes(
     table: str | None = None,
     check_replica_identity: bool = False,
     split_key_updates: bool = False,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply an ordered CDC event stream; return the final table state.
 
@@ -133,7 +134,11 @@ def apply_changes(
         reference. Costs one aggregation pass; off by default.
     split_key_updates: handle key-changing UPDATEs (costs one extra
         pass over the events; enable when the source can change keys).
+    order_cols: replay-order columns, lexicographic. Default ["lsn"];
+        a reassembled streaming-tx feed uses ["commit_lsn", "lsn"]
+        (transactions in commit order, events in write order inside).
     """
+    order_cols = order_cols or ["lsn"]
     if table is not None:
         events = events.filter(F.col("table") == table)
 
@@ -151,26 +156,28 @@ def apply_changes(
         events = split_key_changing_updates(events, key_cols)
 
     # --- TRUNCATE barrier -------------------------------------------------
-    # Scalar aggregate: one number to the driver regardless of scale.
-    trunc_lsn = events.filter(F.col("op") == OP_TRUNCATE).agg(
-        F.max("lsn").alias("m")
+    # Scalar aggregate: one row to the driver regardless of scale.
+    order_expr = F.struct(*order_cols)
+    trunc_row = events.filter(F.col("op") == OP_TRUNCATE).agg(
+        F.max(order_expr).alias("m")
     ).collect()[0]["m"]
     dml = events.filter(F.col("op") != OP_TRUNCATE)
-    if trunc_lsn is not None:
-        dml = dml.filter(F.col("lsn") > trunc_lsn)
+    if trunc_row is not None:
+        barrier = F.struct(*[F.lit(trunc_row[c]).alias(c) for c in order_cols])
+        dml = dml.filter(order_expr > barrier)
         base = None  # everything before the truncate is gone
 
     dtypes = {f.name: f.dataType for f in schema.fields}
     keyed = dml.select(
         *[_key_from_images(k, dtypes[k]).alias(f"__key_{k}") for k in key_cols],
         "op",
-        "lsn",
+        *order_cols,
         "after",
     )
 
     # --- last-writer-wins per key (map-side combinable) -------------------
     winner = keyed.groupBy(*[f"__key_{k}" for k in key_cols]).agg(
-        F.max_by(F.struct("op", "after"), "lsn").alias("w")
+        F.max_by(F.struct("op", "after"), F.struct(*order_cols)).alias("w")
     )
     survivors = winner.filter(F.col("w.op") != OP_DELETE).select(
         typed_from_map(F.col("w.after"), schema)

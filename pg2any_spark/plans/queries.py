@@ -139,6 +139,33 @@ def cdc_apply_orders_full_identity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "cdc_apply_streaming_tx",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 500
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def cdc_apply_streaming_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-v2 streaming transactions: interleaved chunks for three
+    txids — one committed insert tx, one ABORTED update tx (must leave
+    no trace), one committed update tx. Reassembly keeps committed DML
+    only; apply replays in (commit_lsn, lsn) order (reference
+    ``producer.rs:199-300``, ``types.rs:42-50``)."""
+    from pg2any_spark.sources.cdc_gen import synth_streaming_tx_events
+    from pg2any_spark.streaming.reassembly import reassemble_committed
+
+    events = reassemble_committed(synth_streaming_tx_events(spark, sf_dir))
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        order_cols=["commit_lsn", "lsn"],
+    )
+
+
+@query(
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,

@@ -34,6 +34,19 @@ OP_UPDATE = "u"
 OP_DELETE = "d"
 OP_TRUNCATE = "t"
 
+#: Streaming-transaction protocol markers (reference protocol v2:
+#: ``EventType::{StreamStart, StreamStop, StreamCommit, StreamAbort}``,
+#: ``producer.rs:199-300``). Chunks of large in-progress transactions
+#: arrive interleaved across txids between start/stop markers; commit
+#: finalizes, abort discards. DML op codes above stay unchanged.
+OP_STREAM_START = "ss"
+OP_STREAM_STOP = "sp"
+OP_STREAM_COMMIT = "sc"
+OP_STREAM_ABORT = "sa"
+
+#: All DML ops (what reassembly forwards on commit).
+DML_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE, OP_TRUNCATE)
+
 #: Replica identity modes (reference ``sql_renderer.rs:331-375``).
 IDENTITY_DEFAULT = "default"
 IDENTITY_INDEX = "index"

@@ -151,6 +151,81 @@ def synth_truncate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inserts.unionByName(trunc).unionByName(reinserts)
 
 
+def synth_streaming_tx_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved streaming-transaction chunks (protocol v2 shape,
+    reference ``producer.rs:199-300``):
+
+    - tx 100 (COMMITTED, commit_lsn 50M): insert every customer, split
+      into chunks with StreamStart/StreamStop markers;
+    - tx 200 (ABORTED): update acctbal += 9999 for every even custkey —
+      must leave no trace;
+    - tx 300 (COMMITTED, commit_lsn 60M): update acctbal += 500 for
+      custkey%10==0.
+
+    Post-reassembly + apply oracle::
+
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 500
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    after_full = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cust.columns]),
+        F.array(*[_text(c) for c in cust.columns]),
+    )
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    null_map = F.lit(None).cast("map<string,string>")
+
+    def envelope(src, op, txid, lsn_col, before, after):
+        return src.select(
+            F.lit(op).alias("op"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.lit(txid).cast("long").alias("txid"),
+            lsn_col.cast("long").alias("lsn"),
+            ts.alias("commit_ts"),
+            before.alias("before"),
+            after.alias("after"),
+            F.array(F.lit("c_custkey")).alias("key_columns"),
+            F.lit("default").alias("replica_identity"),
+        )
+
+    one = cust.limit(1)
+    # tx 100: chunked inserts of every customer.
+    tx100_dml = envelope(cust, "c", 100, F.col("c_custkey"), null_map, after_full)
+    tx100_marks = (
+        envelope(one, "ss", 100, F.lit(0), null_map, null_map)
+        .unionByName(envelope(one, "sp", 100, F.lit(1_000_000), null_map, null_map))
+        .unionByName(envelope(one, "sc", 100, F.lit(50_000_000), null_map, null_map))
+    )
+    # tx 200: aborted blanket update of even custkeys.
+    upd_abort = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 9999.0
+    )
+    tx200_dml = envelope(
+        upd_abort, "u", 200, F.col("c_custkey") + _UPDATE_BASE,
+        F.create_map(F.lit("c_custkey"), _text("c_custkey")), after_full,
+    )
+    tx200_marks = envelope(one, "sa", 200, F.lit(55_000_000), null_map, null_map)
+    # tx 300: committed +500 update of custkey%10==0.
+    upd_commit = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500.0
+    )
+    tx300_dml = envelope(
+        upd_commit, "u", 300, F.col("c_custkey") + _UPDATE_BASE,
+        F.create_map(F.lit("c_custkey"), _text("c_custkey")), after_full,
+    )
+    tx300_marks = envelope(one, "sc", 300, F.lit(60_000_000), null_map, null_map)
+
+    return (
+        tx100_dml.unionByName(tx100_marks)
+        .unionByName(tx200_dml).unionByName(tx200_marks)
+        .unionByName(tx300_dml).unionByName(tx300_marks)
+    )
+
+
 def synth_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert-all orders → FULL-identity deletes of orderkey%4==1.
 
