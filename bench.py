@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk_bruteforce",
+    "ann_ivf_topk",
     "text_stats_documents",
     "media_metadata",
     "cdc_debezium_envelope",

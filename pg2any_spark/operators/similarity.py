@@ -207,3 +207,103 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: inverted-file cells around deterministic centroids
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seed: the ``num_centroids`` lowest-id
+    vectors, L2-normalized, collected to the driver (k × dim floats —
+    a few KB regardless of corpus size).
+
+    Deterministic seeding keeps the whole index reproducible across
+    engines (the DuckDB oracle regenerates identical cells). A
+    production index would refine these with k-means (MLlib KMeans or
+    Lloyd iterations in DataFrame ops) — refinement changes recall,
+    not the operator's shape.
+    """
+    rows = _normalized(
+        corpus.orderBy(id_col).limit(num_centroids), id_col, "cid", vec_col, "cvec"
+    ).collect()
+    return [(r["cid"], list(r["cvec"])) for r in rows]
+
+
+def _cell_ranking(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (sim, -cid) structs, sorted best-first. Lexicographic
+    struct order = max similarity, then min centroid id — the
+    deterministic tiebreak the oracle reproduces. Similarities rounded
+    to 9dp so cross-engine fp noise cannot flip the argmax."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(dot(vec, _lit_vec(cv)), 9).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.reverse(F.array_sort(entries))
+
+
+def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id for a unit vector."""
+    return -_cell_ranking(vec, centroids)[0]["nc"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k via an IVF index: corpus vectors are assigned to their
+    nearest centroid's cell; each query probes its ``nprobe`` nearest
+    cells and exact-reranks only those candidates.
+
+    Scale shape: the corpus side is one pass to assign cells (the
+    centroid table is a plan literal — no join, no shuffle), then the
+    candidate join shuffles on cell id; cells ≈ |corpus|/k vectors, so
+    the pair count drops from |Q|·|C| to |Q|·nprobe·|C|/k. Cell skew
+    (hot centroids) is the operational risk at 100 TB — mitigate with
+    more centroids or by salting oversized cells.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    c = _normalized(corpus, id_col, "neighbor_id", vec_col, "c_vec").withColumn(
+        "cell", ivf_assign(F.col("c_vec"), cents)
+    )
+    q = (
+        _normalized(queries, id_col, "query_id", vec_col, "q_vec")
+        .withColumn(
+            "probe", F.explode(F.slice(_cell_ranking(F.col("q_vec"), cents), 1, nprobe))
+        )
+        .withColumn("cell", -F.col("probe")["nc"])
+        .drop("probe")
+    )
+    sims = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -441,6 +441,74 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NRM_SQL = """
+    nrm AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM nrm ORDER BY vec_id LIMIT 16)
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_NRM_SQL},
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
+                   ) AS rn
+            FROM nrm n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
+                   ) AS rn
+            FROM nrm n CROSS JOIN cent c
+            WHERE n.vec_id % 50 = 0
+        ) WHERE rn <= 2
+    ),
+    sims AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qn.v, cn.v), 6) AS cos_sim
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
+        JOIN nrm qn ON qn.vec_id = p.query_id
+        JOIN nrm cn ON cn.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF index (16 deterministic centroids, 2-cell
+    probe) — the second scale path next to LSH. The corpus is assigned
+    to cells in one shuffle-free pass (centroids are plan literals);
+    candidates come from a cell-keyed join."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=2).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC output projections
 # ---------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from pg2any_spark.operators import similarity as S
 
@@ -53,3 +53,37 @@ def test_lsh_topk_subset_of_bruteforce_space(spark):
     out = S.lsh_topk(df, q, dim=64, num_planes=4, k=5).collect()
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
     assert len(out) <= 5
+
+
+class TestIVF:
+    def test_assignment_deterministic_and_complete(self, spark, sf_dir):
+        from pg2any_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        cents = S.ivf_centroids(emb, num_centroids=8)
+        assert len(cents) == 8
+        assigned = S._normalized(emb, "vec_id", "vec_id", "embedding", "v").withColumn(
+            "cell", S.ivf_assign(F.col("v"), cents)
+        )
+        rows = assigned.collect()
+        cent_ids = {cid for cid, _ in cents}
+        assert all(r["cell"] in cent_ids for r in rows)
+        # a centroid's own vector must land in its own cell
+        own = {r["vec_id"]: r["cell"] for r in rows if r["vec_id"] in cent_ids}
+        assert own == {cid: cid for cid in cent_ids}
+
+    def test_recall_vs_bruteforce(self, spark, sf_dir):
+        """IVF with nprobe=2 of 8 cells must recover a reasonable share
+        of the exact top-5 (loose floor — recall depends on data)."""
+        from pg2any_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        q = emb.filter("vec_id % 100 = 0")
+        exact = S.brute_force_topk(emb, q, k=5).collect()
+        approx = S.ivf_topk(emb, q, k=5, num_centroids=8, nprobe=2).collect()
+        exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.2, f"recall {recall:.2f} suspiciously low"
+        # every query returns at least one candidate
+        assert {r["query_id"] for r in approx} == {r["query_id"] for r in exact}
