@@ -52,9 +52,12 @@ def main() -> None:
     spark = get_spark(app_name="pg2any_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on a trivial plan so the first measured query
-    # doesn't pay session initialization.
+    # JVM/codegen + datasource warm-up so the first measured query
+    # doesn't pay session initialization: a trivial codegen plan, plus
+    # one read of the 5-row region table to load the Hadoop/parquet
+    # reader classes (measured tables stay cold).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

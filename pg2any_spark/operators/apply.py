@@ -120,6 +120,7 @@ def apply_changes(
     check_replica_identity: bool = False,
     split_key_updates: bool = False,
     order_cols: list[str] | None = None,
+    scan_for_truncate: bool = True,
 ) -> DataFrame:
     """Apply an ordered CDC event stream; return the final table state.
 
@@ -137,6 +138,13 @@ def apply_changes(
     order_cols: replay-order columns, lexicographic. Default ["lsn"];
         a reassembled streaming-tx feed uses ["commit_lsn", "lsn"]
         (transactions in commit order, events in write order inside).
+    scan_for_truncate: the truncate barrier needs one dedicated pass
+        over the events (a scalar max). Against a file/Kafka source the
+        op='t' filter pushes down and the pass is nearly free, but for
+        a computed event stream it recomputes the whole lineage — pass
+        False when the feed cannot contain TRUNCATE (most OLTP tables;
+        the reference likewise treats truncate as a rare, per-dialect
+        special case, ``sql_renderer.rs:300-320``).
     """
     order_cols = order_cols or ["lsn"]
     if table is not None:
@@ -158,9 +166,11 @@ def apply_changes(
     # --- TRUNCATE barrier -------------------------------------------------
     # Scalar aggregate: one row to the driver regardless of scale.
     order_expr = F.struct(*order_cols)
-    trunc_row = events.filter(F.col("op") == OP_TRUNCATE).agg(
-        F.max(order_expr).alias("m")
-    ).collect()[0]["m"]
+    trunc_row = None
+    if scan_for_truncate:
+        trunc_row = events.filter(F.col("op") == OP_TRUNCATE).agg(
+            F.max(order_expr).alias("m")
+        ).collect()[0]["m"]
     dml = events.filter(F.col("op") != OP_TRUNCATE)
     if trunc_row is not None:
         barrier = F.struct(*[F.lit(trunc_row[c]).alias(c) for c in order_cols])

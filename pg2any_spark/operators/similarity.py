@@ -307,3 +307,157 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized brute force (the fast exact path)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow path: the query matrix (|Q| × dim) is
+    collected once and closed over; each corpus partition computes one
+    numpy matmul and pre-prunes to its local top-k per query before the
+    shuffle (map-side top-k), so the final window ranks only
+    |partitions| · |Q| · k rows — never the |Q| · |C| pair set.
+
+    Same contract and determinism as `brute_force_topk` (rounded
+    similarity, id tiebreak); ~10-100× faster per pair than the
+    expression-fold path because the inner loop is one BLAS call per
+    Arrow batch instead of an interpreted lambda per element.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = _normalized(queries, id_col, "query_id", vec_col, "q_vec").collect()
+    if not q_rows:
+        schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)  # (nq, dim)
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["__v"].to_numpy())  # (m, dim)
+            norms = np.linalg.norm(c_mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((c_mat / norms[:, None]) @ q_mat.T, 6)  # (m, nq)
+            frames = []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                # local top-k by (sim desc, id asc): lexsort keys are
+                # applied last-key-primary
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                pick = cand_idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": ids[pick],
+                            "cos_sim": col[pick],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    sims = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k, Arrow path — semantics identical to `ivf_topk` (same
+    centroids, same 9dp assignment rounding, same tiebreaks) with the
+    per-row work done in numpy instead of a 16×64-literal expression
+    tree: per corpus partition, one matmul against the centroid matrix
+    assigns cells (argmax-first ≡ min-cid tiebreak because centroid
+    ids are ascending), then each query scores only the rows whose
+    cell is in its probe set and pre-prunes to a local top-k before
+    the shuffle.
+
+    One pass over the corpus, no join: the probe table (|Q| × nprobe)
+    lives in the task closure. Use the cell-join form instead when the
+    query set itself is too large to broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(ivf_centroids(corpus, id_col, vec_col, num_centroids))
+    c_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    c_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    q_rows = _normalized(queries, id_col, "query_id", vec_col, "q_vec").collect()
+    if not q_rows:
+        schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_sims = np.round(q_mat @ c_mat.T, 9)
+    probe_sets = [
+        set(c_ids[np.lexsort((c_ids, -q_sims[j]))[:nprobe]]) for j in range(len(q_ids))
+    ]
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["__v"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            mat = mat / norms[:, None]
+            cells = c_ids[np.argmax(np.round(mat @ c_mat.T, 9), axis=1)]
+            frames = []
+            for j in range(len(q_ids)):
+                mask = np.isin(cells, list(probe_sets[j])) & (ids != q_ids[j])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                sims = np.round(mat[cand] @ q_mat[j], 6)
+                order = np.lexsort((ids[cand], -sims))[:k]
+                pick = cand[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": ids[pick],
+                            "cos_sim": sims[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    sims = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -55,7 +55,10 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     and text→typed casting (SURVEY §3.3 consumer path)."""
     events = synth_customer_events(spark, sf_dir)
     cust = load_table(spark, "customer", sf_dir)
-    return apply_changes(events, cust.schema, ["c_custkey"], table="customer")
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +138,10 @@ def cdc_apply_orders_full_identity(spark: SparkSession, sf_dir: str) -> DataFram
 
     events = synth_orders_events(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    return apply_changes(events, orders.schema, ["o_orderkey"], table="orders")
+    return apply_changes(
+        events, orders.schema, ["o_orderkey"], table="orders",
+        scan_for_truncate=False,
+    )
 
 
 @query(
@@ -161,7 +167,7 @@ def cdc_apply_streaming_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     return apply_changes(
         events, cust.schema, ["c_custkey"], table="customer",
-        order_cols=["commit_lsn", "lsn"],
+        order_cols=["commit_lsn", "lsn"], scan_for_truncate=False,
     )
 
 

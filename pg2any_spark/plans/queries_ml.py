@@ -317,10 +317,11 @@ _COS_ORACLE = """
 @query("ann_cosine_topk_bruteforce", oracle=_COS_ORACLE)
 def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for every 50th vector — the correctness
-    baseline ANN re-rankers are measured against."""
+    baseline ANN re-rankers are measured against. Arrow path: one
+    numpy matmul per partition with map-side top-k pruning."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.brute_force_topk(emb, queries, k=5).select(
+    return S.brute_force_topk_arrow(emb, queries, k=5).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
 
@@ -504,7 +505,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from a cell-keyed join."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=2).select(
+    return S.ivf_topk_arrow(emb, queries, k=5, num_centroids=16, nprobe=2).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
 
