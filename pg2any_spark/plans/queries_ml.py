@@ -278,7 +278,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard(corpus, pairs, "id", "text", n=3)
 
 
-@query("dedup_simhash_near_pairs")  # rows-only: blocked Hamming join
+@query(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH corpus AS ({_MUTATED_CORPUS}),
+    tok AS (
+        SELECT id, unnest({_TOKS}) AS tok FROM corpus
+    ),
+    hashed AS (
+        SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+        SELECT id,
+               {_simhash_votes_sql(32)}
+        FROM hashed GROUP BY id
+    ),
+    fp AS (
+        SELECT id, CAST({_simhash_fp_sql(32)} AS BIGINT) AS simhash FROM votes
+    ),
+    blocked AS (
+        SELECT id, simhash, b.blk AS block_idx,
+               (simhash >> (b.blk * 8)) & 255 AS block_key
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS blk) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.block_idx = b.block_idx
+                  AND a.block_key = b.block_key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on corpus ∪ mutations via pigeonhole
     blocking (4 × 8-bit blocks), Hamming ≤ 3 verify inside blocks."""
