@@ -142,6 +142,86 @@ def with_srp_bucket(
     )
 
 
+def with_srp_bucket_arrow(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 64,
+    num_planes: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """SRP bucket assignment, Arrow path: one (batch × dim) @ (dim ×
+    planes) matmul per Arrow batch instead of planes × dim interpreted
+    lambda evaluations per row. Semantics match ``srp_bucket`` up to
+    fp summation order in the projection — a sign can only flip when
+    |v · plane| is at rounding noise, the same tolerance the DuckDB
+    oracle's unordered SUM already implies. Scales embarrassingly:
+    no shuffle, no driver state beyond the (planes × dim) ±1 matrix."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    planes_t = [
+        [float(_plane_sign(p, d)) for p in range(num_planes)] for d in range(dim)
+    ]
+    weights_l = [1 << p for p in range(num_planes)]
+    # copy the fields — StructType.add mutates in place, which would
+    # corrupt df's cached schema
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, LongType()),
+            StructField("__unit", ArrayType(DoubleType())),
+        ]
+    )
+
+    def tag(batches):
+        p_mat = np.array(planes_t, dtype=np.float64)  # (dim, planes)
+        weights = np.array(weights_l, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf):
+                v = np.stack(
+                    [np.asarray(a, dtype=np.float64) for a in pdf[vec_col]]
+                )  # (m, dim)
+                pdf[out_col] = ((v @ p_mat) > 0.0) @ weights
+                norms = np.linalg.norm(v, axis=1)
+                norms[norms == 0.0] = 1.0
+                pdf["__unit"] = list(v / norms[:, None])
+            else:
+                pdf[out_col] = np.array([], dtype=np.int64)
+                pdf["__unit"] = []
+            yield pdf
+
+    return df.mapInPandas(tag, schema)
+
+
+def _bucketed_normalized(
+    df: DataFrame,
+    id_col: str,
+    id_alias: str,
+    vec_col: str,
+    vec_alias: str,
+    dim: int,
+    num_planes: int,
+) -> DataFrame:
+    """(id, bucket, unit-vector) in one Arrow pass — bucket from the
+    raw vector (sign of a projection is scale-invariant, and the
+    oracle buckets raw embeddings), normalization vectorized in the
+    same batch so no per-element lambda survives in the plan."""
+    tagged = with_srp_bucket_arrow(
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__raw")),
+        "__raw",
+        dim,
+        num_planes,
+    )
+    return tagged.select(id_alias, "bucket", F.col("__unit").alias(vec_alias))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,16 +233,17 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates from the query's SRP bucket, exact cosine
     re-rank inside the bucket. Recall < 1.0 by design; the bucket join
-    replaces the O(|Q|·|C|) cross join."""
-    planes = plane_matrix(num_planes, dim)
-    q = _normalized(queries, id_col, "query_id", vec_col, "q_vec").withColumn(
-        "bucket", srp_bucket(F.col("q_vec"), planes)
+    replaces the O(|Q|·|C|) cross join. The query side is broadcast
+    (it is small by construction), so the corpus never shuffles — the
+    bucket join is a map-side hash probe per corpus partition."""
+    q = _bucketed_normalized(
+        queries, id_col, "query_id", vec_col, "q_vec", dim, num_planes
     )
-    c = _normalized(corpus, id_col, "neighbor_id", vec_col, "c_vec").withColumn(
-        "bucket", srp_bucket(F.col("c_vec"), planes)
+    c = _bucketed_normalized(
+        corpus, id_col, "neighbor_id", vec_col, "c_vec", dim, num_planes
     )
     sims = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -186,9 +267,8 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: SRP-bucket blocking + exact
     cosine threshold inside buckets (id_a < id_b)."""
-    planes = plane_matrix(num_planes, dim)
-    tagged = _normalized(corpus, id_col, "id", vec_col, "vec").withColumn(
-        "bucket", srp_bucket(F.col("vec"), planes)
+    tagged = _bucketed_normalized(
+        corpus, id_col, "id", vec_col, "vec", dim, num_planes
     )
     a = tagged.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
