@@ -101,3 +101,41 @@ def to_debezium(
             {"ignoreNullFields": "false"},
         ).alias("value"),
     )
+
+
+def from_debezium(records: DataFrame) -> DataFrame:
+    """Parse (topic, key, value) Kafka records back into the canonical
+    change-event schema — the consumer half of the Kafka path (the
+    reference only *writes* the envelope; a Spark pipeline reading a
+    Debezium topic needs the inverse: ``kafka source → from_json →
+    apply``).
+
+    Lossy exactly where the envelope is: ``replica_identity`` is not
+    embedded (restored as 'default'), and ``commit_ts`` carries
+    millisecond precision (``ts_ms``). Neither affects apply semantics
+    — ordering and dedup key on ``lsn``.
+    """
+    payload_schema = (
+        "payload struct<"
+        "before: map<string,string>, after: map<string,string>, "
+        "source: struct<version: string, connector: string, name: string, "
+        "ts_ms: bigint, db: string, schema: string, table: string, "
+        "txId: bigint, lsn: bigint>, "
+        "op: string, ts_ms: bigint>"
+    )
+    parsed = records.select(
+        F.from_json(F.col("value"), payload_schema).getField("payload").alias("p"),
+        F.from_json(F.col("key"), "map<string,string>").alias("k"),
+    )
+    return parsed.select(
+        F.col("p.op").alias("op"),
+        F.col("p.source.schema").alias("schema"),
+        F.col("p.source.table").alias("table"),
+        F.col("p.source.txId").alias("txid"),
+        F.col("p.source.lsn").alias("lsn"),
+        F.timestamp_millis(F.col("p.ts_ms")).alias("commit_ts"),
+        F.col("p.before").alias("before"),
+        F.col("p.after").alias("after"),
+        F.map_keys(F.col("k")).alias("key_columns"),
+        F.lit("default").alias("replica_identity"),
+    )

@@ -597,3 +597,93 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (1 video row → N frame rows) through
     mapInPandas."""
     return M.sample_frames(M.synth_media(spark, sf_dir), every_n_bytes=64)
+
+
+_QUALITY_SQL = f"""
+    SELECT doc_id, lang,
+           ROUND(
+             0.5 * least((CASE WHEN trim(text) = '' THEN 0
+                               ELSE len({_TOKS}) END) / 50.0, 1.0)
+           + 0.3 * least(5.0 * len(list_filter({_TOKS},
+                          t -> list_contains(['the','a','is','and','of'], t)))
+                         / greatest(len({_TOKS}), 1), 1.0)
+           + 0.2 * (1 - least(5.0 * (length(text)
+                          - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                         / greatest(length(text), 1), 1.0)), 6) AS quality
+    FROM documents
+"""
+
+
+@query(
+    "doc_quality_bands",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL})
+    SELECT lang,
+           CASE WHEN quality >= 0.7 THEN 'high'
+                WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS band,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality
+    FROM q
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality-filter shape (Gopher/C4-style): per-document
+    heuristic score (length / stopword / punctuation terms, all
+    JVM-side expressions), banded and aggregated per language — the
+    keep/drop accounting a pretraining pipeline runs before filtering.
+    Per-row score arithmetic is identical IEEE on both engines; the
+    banded average sums through DECIMAL(18,6) so group summation order
+    cannot move the rounded result."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "lang", T.quality_score(F.col("text")).alias("quality")
+    ).withColumn(
+        "band",
+        F.when(F.col("quality") >= 0.7, "high")
+        .when(F.col("quality") >= 0.4, "mid")
+        .otherwise("low"),
+    )
+    return (
+        q.groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+@query(
+    "cdc_envelope_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-path round trip: events → Debezium JSON (``to_debezium``)
+    → parse back (``from_debezium``) → ordered apply. The final table
+    state must equal the direct apply's oracle — proving the envelope
+    serde loses nothing the consumer path needs (reference
+    ``kafka.rs:215-292`` write side; the read side is ours). JSON
+    never leaves the JVM: to_json/from_json both codegen."""
+    from pg2any_spark.functions.envelope import from_debezium, to_debezium
+    from pg2any_spark.operators.apply import apply_changes
+    from pg2any_spark.sources.cdc_gen import synth_customer_events
+
+    events = from_debezium(to_debezium(synth_customer_events(spark, sf_dir)))
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )

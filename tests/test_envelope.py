@@ -61,3 +61,30 @@ def test_delete_envelope_uses_before(spark):
     assert value["payload"]["after"] is None
     assert value["payload"]["before"] == {"id": "3"}
     assert json.loads(row["key"]) == {"id": "3"}
+
+
+def test_from_debezium_roundtrip(spark):
+    from pg2any_spark.functions.envelope import from_debezium
+
+    df = make_event(spark, "u", before={"id": "3", "val": "1"}, after={"id": "3", "val": "2"})
+    back = from_debezium(to_debezium(df)).collect()[0]
+    assert back["op"] == "u"
+    assert back["schema"] == "public" and back["table"] == "t1"
+    assert back["txid"] == 42 and back["lsn"] == 1234
+    assert back["before"] == {"id": "3", "val": "1"}
+    assert back["after"] == {"id": "3", "val": "2"}
+    assert back["key_columns"] == ["id"]
+    assert back["replica_identity"] == "default"
+    # ts survives at millisecond precision (TS has zero micros)
+    assert back["commit_ts"].replace(tzinfo=None) == TS
+
+
+def test_from_debezium_delete_key_from_before(spark):
+    from pg2any_spark.functions.envelope import from_debezium
+
+    df = make_event(spark, "d", before={"id": "3"})
+    back = from_debezium(to_debezium(df)).collect()[0]
+    assert back["op"] == "d"
+    assert back["after"] is None
+    assert back["before"] == {"id": "3"}
+    assert back["key_columns"] == ["id"]
