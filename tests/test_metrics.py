@@ -1,0 +1,82 @@
+"""Metrics-name parity with the reference's Prometheus registry
+(``monitoring/metrics.rs:13-132``) and batch/stream accounting."""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+from pyspark.sql import Row
+
+import pg2any_spark.streaming.metrics as M
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _events(spark):
+    rows = [
+        Row(op="c", schema="public", table="t1", txid=1, lsn=10, commit_ts=TS,
+            before=None, after={"id": "1"}, key_columns=["id"], replica_identity="default"),
+        Row(op="u", schema="public", table="t1", txid=1, lsn=11, commit_ts=TS,
+            before={"id": "1"}, after={"id": "1"}, key_columns=["id"], replica_identity="default"),
+        Row(op="d", schema="public", table="t2", txid=2, lsn=12, commit_ts=TS,
+            before={"id": "9"}, after=None, key_columns=["id"], replica_identity="default"),
+    ]
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+def test_record_batch_counts_and_lsn(spark):
+    m = M.CdcMetrics()
+    M.record_batch(m, _events(spark))
+    assert m.get(M.EVENTS_PROCESSED_TOTAL) == 3
+    assert m.get(M.EVENTS_BY_TYPE, event_type="insert", table_name="t1") == 1
+    assert m.get(M.EVENTS_BY_TYPE, event_type="update", table_name="t1") == 1
+    assert m.get(M.EVENTS_BY_TYPE, event_type="delete", table_name="t2") == 1
+    assert m.get(M.CURRENT_RECEIVED_LSN) == 12
+    # txid 1 spans two tables' groups but t1 contributes 1 distinct tx
+    assert m.get(M.TRANSACTIONS_PROCESSED_TOTAL) >= 2
+    M.record_applied(m, 12)
+    assert m.get(M.LAST_PROCESSED_LSN) == 12
+    assert m.get(M.FULL_TRANSACTIONS_PROCESSED_TOTAL) == 1
+
+
+def test_prometheus_rendering_uses_reference_names(spark):
+    m = M.CdcMetrics()
+    M.record_batch(m, _events(spark))
+    text = m.render_prometheus()
+    assert "pg2any_events_processed_total 3" in text
+    assert 'pg2any_events_by_type_total{event_type="insert",table_name="t1"} 1' in text
+    assert "pg2any_uptime_seconds" in text
+    assert 'pg2any_build_info{version="' in text
+
+
+def test_listener_tracks_stream_progress(spark, tmp_path):
+    m = M.CdcMetrics()
+    listener = M.make_listener(m)
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "events")
+        _events(spark).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(src)
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("metrics_smoke")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener callbacks are async; poll briefly
+        deadline = time.time() + 15
+        while time.time() < deadline and m.get(M.EVENT_PROCESSING_DURATION,
+                                               event_type="batch",
+                                               destination_type="spark") == 0:
+            time.sleep(0.2)
+        assert m.get(M.EVENT_PROCESSING_DURATION, event_type="batch",
+                     destination_type="spark") > 0
+        assert m.get(M.SOURCE_CONNECTION_STATUS) in (0, 1)
+    finally:
+        spark.streams.removeListener(listener)
