@@ -86,9 +86,22 @@ def start_cdc_apply(
     checkpoint_dir: str,
     table: str | None = None,
     available_now: bool = True,
+    dedup_boundary: int = 0,
 ) -> StreamingQuery:
-    """Start the CDC apply stream onto a Parquet replica."""
+    """Start the CDC apply stream onto a Parquet replica.
+
+    ``dedup_boundary`` is the reconciled resume position from
+    ``config.reconcile_resume`` (reference ``slot.rs:62-97`` +
+    ``transaction_manager.rs:1586-1604``): committed events at or below
+    it were already applied in a previous incarnation, so they are
+    filtered out before apply. With a fresh checkpoint against an
+    already-applied source this is what prevents double-apply — the
+    checkpoint handles the steady state, the boundary handles the
+    hand-off, exactly as the reference's disk-LSN/slot split.
+    """
     spark = events.sparkSession
+    if dedup_boundary:
+        events = events.filter(F.col("lsn") > dedup_boundary)
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch_to_parquet(spark, batch_df, target_path, schema, key_cols, table)

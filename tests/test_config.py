@@ -1,0 +1,150 @@
+"""Config/env parity (``env.rs``), slot reconcile matrix (``slot.rs:196+``),
+and consumer backoff policy (``consumer.rs:260-269``). Pure-Python — no
+Spark session."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg2any_spark import config as C
+
+BASE_ENV = {
+    "CDC_SOURCE_CONNECTION_STRING": "postgresql://u:p@h:5432/db?replication=database",
+    "CDC_DEST_URI": "mysql://r:p@127.0.0.1:3306/cdc_target",
+}
+
+
+def test_defaults_match_reference():
+    cfg = C.load_config_from_env(BASE_ENV)
+    assert cfg.destination_type == "MySQL"
+    assert cfg.replication_slot == "cdc_slot"
+    assert cfg.publication == "cdc_pub"
+    assert cfg.protocol_version == 1
+    assert cfg.binary_format is False and cfg.streaming is True
+    assert cfg.connection_timeout_secs == 30 and cfg.query_timeout_secs == 10
+    assert cfg.channel_capacity == 1000 and cfg.batch_size == 1000
+    assert cfg.transaction_segment_size_bytes == 64 * 1024 * 1024
+    assert cfg.bulk_insert_threshold == 500 and cfg.max_rows_per_insert == 0
+
+
+def test_required_vars_error():
+    with pytest.raises(C.ConfigError, match="CDC_SOURCE_CONNECTION_STRING"):
+        C.load_config_from_env({})
+    with pytest.raises(C.ConfigError, match="CDC_DEST_URI"):
+        C.load_config_from_env(
+            {"CDC_SOURCE_CONNECTION_STRING": "postgresql://x?replication=database"}
+        )
+
+
+def test_dest_type_normalization_and_unknown_default():
+    for raw, want in [
+        ("mysql", "MySQL"),
+        ("MySQL", "MySQL"),
+        ("sqlserver", "SqlServer"),
+        ("SQLite", "SQLite"),
+        ("kafka", "Kafka"),
+        ("mongodb", "MySQL"),  # unknown → MySQL (env.rs:77-84)
+    ]:
+        cfg = C.load_config_from_env({**BASE_ENV, "CDC_DEST_TYPE": raw})
+        assert cfg.destination_type == want, raw
+
+
+def test_legacy_fallback_aliases():
+    cfg = C.load_config_from_env({**BASE_ENV, "CDC_BUFFER_SIZE": "77"})
+    assert cfg.channel_capacity == 77
+    # primary key wins over alias
+    cfg = C.load_config_from_env(
+        {**BASE_ENV, "CDC_CHANNEL_CAPACITY": "5", "CDC_BUFFER_SIZE": "77"}
+    )
+    assert cfg.channel_capacity == 5
+    cfg = C.load_config_from_env({**BASE_ENV, "CDC_COMMIT_BATCH_SIZE": "123"})
+    assert cfg.batch_size == 123
+
+
+def test_bool_parse_is_strict():
+    cfg = C.load_config_from_env({**BASE_ENV, "CDC_STREAMING": "false"})
+    assert cfg.streaming is False
+    with pytest.raises(C.ConfigError, match="CDC_STREAMING"):
+        C.load_config_from_env({**BASE_ENV, "CDC_STREAMING": "yes"})
+
+
+def test_schema_mapping_parse_and_apply():
+    cfg = C.load_config_from_env(
+        {**BASE_ENV, "CDC_SCHEMA_MAPPING": " public:cdc_db , myschema:mydb ,"}
+    )
+    assert cfg.schema_mappings == {"public": "cdc_db", "myschema": "mydb"}
+    assert cfg.map_schema("public") == "cdc_db"
+    assert cfg.map_schema("unmapped") == "unmapped"  # passthrough (sql_renderer.rs:31-37)
+    # dest may contain ':' (only first colon splits)
+    assert C.parse_schema_mapping("a:b:c") == {"a": "b:c"}
+    for bad in ["nocolon", "a:", ":b", " : "]:
+        with pytest.raises(C.ConfigError):
+            C.parse_schema_mapping(bad)
+    assert C.parse_schema_mapping("") == {}
+    assert C.parse_schema_mapping(None) == {}
+
+
+# --- slot reconcile matrix (slot.rs:62-97, tests slot.rs:196-250) ---------
+
+def test_reconcile_live_slot_uses_max_of_disk_and_confirmed():
+    s = C.SlotStatus(confirmed_flush_lsn=500, restart_lsn=400, active=False)
+    d = C.reconcile_resume(disk_lsn=300, slot=s)
+    assert d == C.ResumeDecision(500, 500, C.SLOT)
+    # disk ahead of slot (destination applied further than PG acked)
+    d = C.reconcile_resume(disk_lsn=900, slot=s)
+    assert d.start_lsn == 500 and d.dedup_boundary == 900 and d.source == C.SLOT
+
+
+def test_reconcile_slot_with_null_confirmed_lsn():
+    s = C.SlotStatus(confirmed_flush_lsn=None)
+    d = C.reconcile_resume(disk_lsn=250, slot=s)
+    assert d.start_lsn is None and d.dedup_boundary == 250 and d.source == C.SLOT
+
+
+def test_reconcile_slot_deleted_falls_back_to_disk():
+    d = C.reconcile_resume(disk_lsn=700, slot=None)
+    assert d == C.ResumeDecision(None, 700, C.SLOT_DELETED_FALLBACK)
+
+
+def test_reconcile_query_failed_falls_back_to_disk():
+    d = C.reconcile_resume(disk_lsn=700, slot=None, query_failed=True)
+    assert d == C.ResumeDecision(None, 700, C.QUERY_FAILED_FALLBACK)
+
+
+def test_reconcile_fresh_start():
+    assert C.reconcile_resume(None, None) == C.ResumeDecision(None, 0, C.FRESH)
+    assert C.reconcile_resume(None, None, query_failed=True) == C.ResumeDecision(
+        None, 0, C.FRESH
+    )
+
+
+def test_validate_slot_name():
+    C.validate_slot_name("cdc_slot_01")
+    for bad in ["", "CDC", "a-b", "a b", "a;drop"]:
+        with pytest.raises(C.ConfigError):
+            C.validate_slot_name(bad)
+
+
+# --- consumer retry/backoff (consumer.rs:203-278) --------------------------
+
+def test_backoff_exponential_capped_30s():
+    assert [C.backoff_seconds(n) for n in range(7)] == [1, 2, 4, 8, 16, 30, 30]
+
+
+def test_retry_with_backoff_succeeds_after_failures():
+    calls, slept = [], []
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+    n = C.retry_with_backoff(flaky, max_attempts=5, sleep=slept.append)
+    assert n == 3 and slept == [1.0, 2.0]
+
+
+def test_retry_with_backoff_reraises_at_cap():
+    slept = []
+    def always_fail():
+        raise RuntimeError("hard")
+    with pytest.raises(RuntimeError, match="hard"):
+        C.retry_with_backoff(always_fail, max_attempts=3, sleep=slept.append)
+    assert slept == [1.0, 2.0]

@@ -116,6 +116,41 @@ class TestStreamingApply:
         assert read_state(spark, target) == {9: 9}
 
 
+    def test_dedup_boundary_skips_already_applied(self, spark, tmp_path):
+        """Slot-reconcile hand-off (reference O2/O11): a FRESH checkpoint
+        over an already-applied source must not double-apply when the
+        reconciled dedup boundary is passed — deletes below the boundary
+        stay deleted."""
+        from pg2any_spark.config import SlotStatus, reconcile_resume
+
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "replica")
+        write_events(
+            spark,
+            src,
+            [ev("c", 1, t1a(1, 1)), ev("c", 2, t1a(2, 2)),
+             ev("d", 3, before={"id": "2"}), ev("c", 10, t1a(3, 3))],
+            "b1",
+        )
+        # first incarnation applied through lsn=3 (id=2 deleted), then
+        # its checkpoint was lost; the slot still remembers lsn=3.
+        decision = reconcile_resume(
+            disk_lsn=3, slot=SlotStatus(confirmed_flush_lsn=3)
+        )
+        q = start_cdc_apply(
+            read_event_stream(spark, src),
+            target,
+            T1_SCHEMA,
+            ["id"],
+            str(tmp_path / "fresh_ckpt"),
+            dedup_boundary=decision.dedup_boundary,
+        )
+        q.awaitTermination(120)
+        # only lsn=10 passes the boundary: id=2's delete is not replayed
+        # as a resurrecting insert, id=1's insert is not re-applied
+        assert read_state(spark, target) == {3: 3}
+
+
 class TestStreamingWindows:
     def test_daily_counts_match_batch(self, spark, sf_dir, tmp_path):
         """Streaming windowed agg over the events fixture == batch
