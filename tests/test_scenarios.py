@@ -1,0 +1,166 @@
+"""The reference's chaos-suite scenarios S1-S5 (SURVEY §5.1.4,
+``tests/chaos/scenarios/``) re-created as change-event fixtures over the
+apply pipeline. The chaos harness's kill/restart property is covered by
+test_streaming's checkpoint restart tests; here we verify the *data*
+property of each scenario — the destination state the verify SQL polls
+for. Scaled down from 300k/3M rows to keep the suite fast; the shapes
+(blanket update, range delete, single huge transaction) are identical.
+
+Events are generated with ``spark.range`` — distributed, no driver-side
+row lists — so the same generators run at any scale.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pg2any_spark.operators.apply import apply_changes
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, T1_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _insert_events(spark, n, id_start=1, lsn_start=1, txid=1, val=None):
+    """n INSERT events for ids [id_start, id_start+n)."""
+    idc = F.col("id") + F.lit(id_start)
+    value = idc * 10 if val is None else F.lit(val)
+    return spark.range(n).select(
+        F.lit("c").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("t1").alias("table"),
+        F.lit(txid).cast("long").alias("txid"),
+        (F.col("id") + F.lit(lsn_start)).alias("lsn"),
+        F.lit(TS).cast("timestamp").alias("commit_ts"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(
+            F.lit("id"), idc.cast("string"),
+            F.lit("val"), value.cast("string"),
+            F.lit("col1"), F.lit("x"),
+            F.lit("col2"), F.lit("y"),
+        ).alias("after"),
+        F.array(F.lit("id")).alias("key_columns"),
+        F.lit("default").alias("replica_identity"),
+    )
+
+
+def _to_events(df):
+    return df.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields])
+
+
+def test_s1_random_inserts(spark):
+    """S1: 100 inserts → COUNT(*)=100 (scenario1_verify.sql)."""
+    state = apply_changes(
+        _insert_events(spark, 100), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    assert state.count() == 100
+
+
+def test_s2_blanket_update(spark):
+    """S2: 50 inserts then UPDATE val=val+10000 on every row → 50 rows
+    all with val>=10000 (scenario2_verify.sql)."""
+    inserts = _insert_events(spark, 50)
+    updates = _to_events(
+        inserts.withColumn("op", F.lit("u"))
+        .withColumn("lsn", F.col("lsn") + 1000)
+        .withColumn("before", F.map_filter("after", lambda k, v: k == "id"))
+        .withColumn(
+            "after",
+            F.map_zip_with(
+                "after",
+                F.create_map(),
+                lambda k, v, _: F.when(
+                    k == "val", (v.cast("long") + 10000).cast("string")
+                ).otherwise(v),
+            ),
+        )
+    )
+    state = apply_changes(
+        inserts.unionByName(updates), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    rows = state.agg(
+        F.count(F.lit(1)).alias("n"), F.min("val").alias("mn")
+    ).collect()[0]
+    assert rows["n"] == 50 and rows["mn"] >= 10000
+
+
+def test_s3_mass_insert_then_range_delete(spark):
+    """S3 (scaled 10x down): 30k inserts, delete id<=25000 → 5000
+    remain (scenario3_verify.sql)."""
+    inserts = _insert_events(spark, 30_000)
+    deletes = spark.range(25_000).select(
+        F.lit("d").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("t1").alias("table"),
+        F.lit(2).cast("long").alias("txid"),
+        (F.col("id") + 100_000).alias("lsn"),
+        F.lit(TS).cast("timestamp").alias("commit_ts"),
+        F.create_map(F.lit("id"), (F.col("id") + 1).cast("string")).alias("before"),
+        F.lit(None).cast("map<string,string>").alias("after"),
+        F.array(F.lit("id")).alias("key_columns"),
+        F.lit("default").alias("replica_identity"),
+    )
+    state = apply_changes(
+        inserts.unionByName(deletes), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    got = state.agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("mn")
+    ).collect()[0]
+    assert got["n"] == 5_000 and got["mn"] == 25_001
+
+
+def test_s4_mixed_dml_with_marker(spark):
+    """S4: mixed insert/update/delete where surviving updated rows carry
+    the marker value 999999 (scenario4_verify.sql counts marker rows)."""
+    inserts = _insert_events(spark, 100)
+    # update ids 1-30 to the marker value
+    updates = _to_events(
+        _insert_events(spark, 30, lsn_start=1_000, val=999_999).withColumn(
+            "op", F.lit("u")
+        )
+    )
+    # delete ids 21-40 (overlaps updates 21-30: delete wins, higher lsn)
+    deletes = spark.range(20).select(
+        F.lit("d").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("t1").alias("table"),
+        F.lit(3).cast("long").alias("txid"),
+        (F.col("id") + 2_000).alias("lsn"),
+        F.lit(TS).cast("timestamp").alias("commit_ts"),
+        F.create_map(F.lit("id"), (F.col("id") + 21).cast("string")).alias("before"),
+        F.lit(None).cast("map<string,string>").alias("after"),
+        F.array(F.lit("id")).alias("key_columns"),
+        F.lit("default").alias("replica_identity"),
+    )
+    state = apply_changes(
+        inserts.unionByName(updates).unionByName(deletes),
+        T1_SCHEMA,
+        ["id"],
+        scan_for_truncate=False,
+    ).cache()
+    try:
+        assert state.count() == 80  # 100 - 20 deleted
+        marked = state.filter(F.col("val") == 999_999)
+        assert marked.count() == 20  # updates 1-20 survive, 21-30 deleted
+        assert marked.agg(F.max("id")).collect()[0][0] == 20
+    finally:
+        state.unpersist()
+
+
+def test_s5_single_huge_transaction(spark):
+    """S5 (scaled): one transaction inserting 200k rows (the reference
+    uses 3M via generate_series) → exact count, exact sum of ids. The
+    apply plan is identical at any row count — one shuffle on the key,
+    map-side-combined — so the scaled run exercises the same path."""
+    state = apply_changes(
+        _insert_events(spark, 200_000, txid=42),
+        T1_SCHEMA,
+        ["id"],
+        scan_for_truncate=False,
+    )
+    got = state.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    n = 200_000
+    assert got["n"] == n and got["s"] == n * (n + 1) // 2
