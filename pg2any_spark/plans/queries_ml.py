@@ -687,3 +687,97 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, cust.schema, ["c_custkey"], table="customer",
         scan_for_truncate=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# composed training-data pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "training_pipeline_docs",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id AS id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS id, lang, text FROM documents
+    ),
+    survivors AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               min(id) AS id
+        FROM corpus GROUP BY fingerprint
+    ),
+    kept AS (
+        SELECT c.id, c.lang, c.text FROM corpus c JOIN survivors s ON c.id = s.id
+    ),
+    scored AS (
+        SELECT id, lang,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+               ROUND(
+                 0.5 * least((CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len({_TOKS}) END) / 50.0, 1.0)
+               + 0.3 * least(5.0 * len(list_filter({_TOKS},
+                              t -> list_contains(['the','a','is','and','of'], t)))
+                             / greatest(len({_TOKS}), 1), 1.0)
+               + 0.2 * (1 - least(5.0 * (length(text)
+                              - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                             / greatest(length(text), 1), 1.0)), 6) AS quality,
+               {_lang_score_sql("de")} AS s_de,
+               {_lang_score_sql("en")} AS s_en,
+               {_lang_score_sql("es")} AS s_es,
+               {_lang_score_sql("fr")} AS s_fr
+        FROM kept
+    ),
+    labeled AS (
+        SELECT id, lang, n_tokens, quality,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality
+    FROM labeled
+    WHERE quality >= 0.25 AND lang_pred <> 'und'
+    GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
+def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline over a re-crawled (2x
+    duplicated) corpus: exact dedup -> language ID -> quality filter
+    (>= 0.4, known language) -> per-language token/quality accounting.
+    The composition is what a pretraining data job runs before
+    tokenization; every stage is JVM-side expressions, and the dedup
+    survivor set flows into the scorer via a key join (broadcast-able
+    when the survivor set is small, AQE decides)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    corpus = docs.selectExpr("doc_id AS id", "lang", "text").unionByName(
+        docs.selectExpr("doc_id + 100000 AS id", "lang", "text")
+    )
+    survivors = D.exact_dedup(corpus, "id", "text").select("id")
+    kept = corpus.join(survivors, "id")
+    t = F.col("text")
+    scored = kept.select(
+        "id",
+        "lang",
+        T.token_count(t).alias("n_tokens"),
+        T.quality_score(t).alias("quality"),
+        T.lang_id(t).alias("lang_pred"),
+    ).filter((F.col("quality") >= 0.25) & (F.col("lang_pred") != "und"))
+    return (
+        scored.groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -1,0 +1,103 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the operators compute the right answer at
+fixture scale; these prove the *plans* are the ones that survive a
+100× scale-up (the brief's "explain and iterate" loop, made into a
+regression test): filters reach the parquet scan, dimension joins
+broadcast, aggregations stay hash-based (no surprise SortAggregate),
+and nothing degenerates into a cartesian product.
+
+Known, intentional exception: the CDC apply's last-writer-wins
+``max_by`` carries a MAP payload in its aggregation buffer, which is
+not hash-aggregatable in Spark — it plans as a map-side-combining
+SortAggregate, the same shuffle+sort shape Delta MERGE dedup uses
+(see SCALE.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg2any_spark.plans.queries import QUERIES
+
+
+def explain(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = explain(QUERIES[name](spark, sf_dir))
+        return cache[name]
+
+    return get
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No headline query may plan a cartesian/unconditioned nested-loop
+    join — the classic small-SF-works, 100TB-never-finishes trap."""
+    from bench import HEADLINE
+
+    for name in HEADLINE:
+        plan = explain(QUERIES[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q6_filters_reach_the_scan(plans):
+    plan = plans("q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # selection is 4 of 16 lineitem columns — pruning must hold
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_q3_dimension_joins_broadcast(plans):
+    plan = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all join sides fit broadcast at test SF
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed, not post-scan
+
+
+def test_q1_hash_aggregates_only(plans):
+    plan = plans("q1_pricing_summary")
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dedup_exact_is_one_hash_agg_shuffle(plans):
+    plan = plans("dedup_exact_recrawl")
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    # min(id) per fingerprint: partial agg before the exchange halves
+    # the shuffle (one row per fingerprint per partition)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    """The apply operator must shuffle exactly once (on the key); the
+    three event branches (insert/update/delete) union without any
+    exchange of their own."""
+    plan = explain(QUERIES["cdc_apply_customer"](spark, sf_dir), "simple")
+    # count Exchange nodes in the tree (simple mode prints each once)
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == 1, plan
+    # map-side partial aggregation before the exchange: the shuffle
+    # carries one winner per key per partition, not one row per event
+    partial = plan.index("SortAggregate")
+    exchange = plan.index("Exchange ")
+    final = plan.rindex("SortAggregate")
+    assert partial < exchange < final
+
+
+def test_window_query_partitions_before_sorting(plans):
+    """Per-group window: the sort must be within key partitions, never
+    a global single-partition window (the WindowExec warning trap)."""
+    plan = plans("window_top_orders_per_customer")
+    assert "hashpartitioning" in plan
+    assert "SinglePartition" not in plan
