@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / mixing for training-data prep.
+
+The reference replicates tables verbatim and never samples; a
+pretraining pipeline built on this engine needs three more moves, and
+all three must be *deterministic functions of the row* — not RNG —
+so that re-runs, backfills, and the DuckDB oracle all agree:
+
+- **hash bucketing**: row -> stable bucket in [0, buckets), from the
+  md5 of a key. No state, no shuffle, embarrassingly parallel.
+- **train/eval/test split**: bucket thresholds over the hash. A row's
+  split never changes when the corpus grows (crucial: eval
+  contamination is forever), unlike ``df.randomSplit``.
+- **weighted source mixing**: per-source keep-fractions via the same
+  hash thresholds — downsample over-represented sources (the
+  Common-Crawl-vs-Wikipedia mix knob) in one narrow pass.
+
+Scale (100 TB): every operator here is a pure projection/filter — no
+shuffle, no UDF, whole-stage-codegen'd; filters sit directly on the
+scan so Parquet row-group pruning still applies upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Modulus for hash bucketing: fits in a signed 32-bit parse of an
+#: 8-hex-digit md5 prefix, large enough for 0.01% split granularity.
+HASH_MOD = 1_000_000
+
+
+def hash_bucket(key: Column, buckets: int = HASH_MOD, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key (+ salt).
+
+    Cross-engine: DuckDB equivalent is
+    ``CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) % buckets``.
+    The salt namespaces independent decisions (split vs mix) so they
+    are statistically independent of each other.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    eval_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'eval' | 'test') keyed on the
+    md5 of ``key_col``. ppm = parts-per-million of HASH_MOD, so the
+    default is 1% eval / 1% test / 98% train. Deterministic: adding
+    documents later never reassigns an existing row."""
+    b = hash_bucket(F.col(key_col), HASH_MOD, salt)
+    split = (
+        F.when(b < eval_ppm, F.lit("eval"))
+        .when(b < eval_ppm + test_ppm, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows: a row
+    survives iff hash_bucket(key) < fraction * HASH_MOD for its
+    stratum. The deterministic analogue of ``df.sampleBy`` —
+    reproducible across runs and engines, and a pure filter (no
+    shuffle, no RNG state)."""
+    b = hash_bucket(F.col(key_col), HASH_MOD, salt)
+    threshold = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.when(F.col(strata_col) == stratum, F.lit(int(frac * HASH_MOD)))
+        threshold = t if threshold is None else threshold.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * HASH_MOD))
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(default_fraction * HASH_MOD)))
+        if threshold is not None
+        else F.lit(int(default_fraction * HASH_MOD))
+    )
+    return df.filter(b < threshold)
+
+
+def weighted_mix(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Union heterogeneous corpora with per-source keep-fractions and
+    a ``mix_source`` provenance column. ``sources`` maps a source name
+    to (DataFrame, fraction in [0, 1]). Schemas must align by name."""
+    out = None
+    for name, (df, frac) in sorted(sources.items()):
+        b = hash_bucket(F.col(key_col), HASH_MOD, salt)
+        part = df.filter(b < int(frac * HASH_MOD)).withColumn(
+            "mix_source", F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("weighted_mix requires at least one source")
+    return out

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg2any_spark.operators import dedup as D
 from pg2any_spark.operators import multimodal as M
+from pg2any_spark.operators import sampling as SA
 from pg2any_spark.operators import similarity as S
 from pg2any_spark.operators import text as T
 from pg2any_spark.plans.queries import query
@@ -781,3 +782,143 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+def _simhash_pairs_ctes() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b)`` — SimHash near-dup
+    pairs on corpus ∪ mutations, same logic as the
+    dedup_simhash_near_pairs oracle."""
+    return f"""
+    corpus AS ({_MUTATED_CORPUS}),
+    tok AS (
+        SELECT id, unnest({_TOKS}) AS tok FROM corpus
+    ),
+    hashed AS (
+        SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+        SELECT id,
+               {_simhash_votes_sql(32)}
+        FROM hashed GROUP BY id
+    ),
+    fp AS (
+        SELECT id, CAST({_simhash_fp_sql(32)} AS BIGINT) AS simhash FROM votes
+    ),
+    blocked AS (
+        SELECT id, simhash, b.blk AS block_idx,
+               (simhash >> (b.blk * 8)) & 255 AS block_key
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS blk) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM blocked a
+        JOIN blocked b ON a.block_idx = b.block_idx
+                      AND a.block_key = b.block_key AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )"""
+
+
+@query(
+    "dedup_dup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT component AS group_id, COUNT(*) AS group_size,
+           MAX(id) AS max_member_id
+    FROM comp GROUP BY component ORDER BY group_id
+    """,
+)
+def dedup_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: SimHash near-dup pairs -> iterative
+    min-label-propagation connected components -> one row per
+    transitive duplicate group (canonical survivor = min id). The step
+    after pair generation that pair-wise dedup queries skip: A~B and
+    B~C must retire two documents even when A!~C. Oracle is a DuckDB
+    recursive-CTE transitive closure over the identical pair set."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, "id", "text", bits=32)
+    pairs = D.simhash_hamming_pairs(fps, "id", max_distance=3).select("id_a", "id_b")
+    return D.dup_groups(pairs).orderBy("group_id")
+
+
+@query(
+    "split_train_eval",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+                    AS BIGINT) % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 10000 THEN 'eval'
+                WHEN bucket < 20000 THEN 'test'
+                ELSE 'train' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM b GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed train/eval/test split (1%/1%/98%):
+    a document's split is a pure function of its id, so re-runs and
+    corpus growth never migrate rows across the eval boundary (unlike
+    randomSplit). Pure projection+filter — no shuffle until the
+    reporting groupBy."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return (
+        SA.assign_split(docs, "doc_id", eval_ppm=10_000, test_ppm=10_000)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "mix_weighted_sources",
+    oracle="""
+    WITH b AS (
+        SELECT source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8))
+                    AS BIGINT) % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN 1000000
+                               WHEN 'src1' THEN 500000
+                               WHEN 'src2' THEN 250000
+                               ELSE 100000 END
+    GROUP BY source ORDER BY source
+    """,
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: per-source deterministic keep-fractions
+    (src0 100%, src1 50%, src2 25%, everything else 10%) — the
+    corpus-mix knob of a pretraining pipeline, as a single
+    codegen'd filter with no shuffle and no RNG state."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    mixed = SA.stratified_hash_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+

@@ -1,0 +1,144 @@
+"""Deterministic sampling/splitting/mixing + duplicate-group
+resolution (connected components).
+
+The properties that matter for a training pipeline:
+- split/sample decisions are pure functions of the row key
+  (re-run-stable, growth-stable — no eval contamination);
+- connected components resolves transitive duplicate chains, not just
+  pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg2any_spark.operators import dedup as D
+from pg2any_spark.operators import sampling as SA
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc_map(pairs_df):
+    return {
+        r["id"]: r["component"]
+        for r in D.connected_components(pairs_df).collect()
+    }
+
+
+def test_cc_chain_resolves_transitively(spark):
+    # A-B, B-C, C-D: one component rooted at min id, though A!~D.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    comp = _cc_map(pairs)
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_multiple_components(spark):
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+        "id_a long, id_b long",
+    )
+    comp = _cc_map(pairs)
+    assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_cc_long_path_converges(spark):
+    # path graph of 12 nodes: worst case for label propagation
+    # (diameter 11) — still must converge within max_iter.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    comp = _cc_map(pairs)
+    assert set(comp.values()) == {100}
+
+
+def test_dup_groups_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    rows = {
+        r["group_id"]: (r["group_size"], r["max_member_id"])
+        for r in D.dup_groups(pairs).collect()
+    }
+    assert rows == {1: (3, 3), 7: (2, 9)}
+
+
+# ---------------------------------------------------------------------------
+# deterministic split / sample / mix
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+    )
+
+
+def test_split_is_deterministic_and_exhaustive(spark):
+    docs = _docs(spark)
+    a = SA.assign_split(docs, "doc_id", eval_ppm=100_000, test_ppm=100_000)
+    b = SA.assign_split(docs, "doc_id", eval_ppm=100_000, test_ppm=100_000)
+    assert a.collect() == b.collect()
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 400
+    assert set(counts) == {"train", "eval", "test"}
+    # 10%/10%/80% within loose tolerance at n=400
+    assert counts["train"] > counts["eval"]
+    assert counts["train"] > counts["test"]
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """A row's split never changes when more rows are added — the
+    anti-contamination property randomSplit lacks."""
+    small = SA.assign_split(_docs(spark, 100), "doc_id")
+    big = SA.assign_split(_docs(spark, 400), "doc_id")
+    small_map = {r["doc_id"]: r["split"] for r in small.collect()}
+    big_map = {r["doc_id"]: r["split"] for r in big.collect()}
+    for k, v in small_map.items():
+        assert big_map[k] == v
+
+
+def test_stratified_sample_respects_fractions(spark):
+    docs = _docs(spark, 1000)
+    out = SA.stratified_hash_sample(
+        docs, "doc_id", "src", {"0": 1.0, "1": 0.0}, default_fraction=0.5
+    )
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 250          # fraction 1.0 keeps all
+    assert "1" not in counts           # fraction 0.0 drops all
+    for s in ("2", "3"):               # default 0.5 ± sampling noise
+        assert 75 < counts[s] < 175
+
+
+def test_stratified_sample_is_a_pure_filter(spark):
+    """Plan check: no shuffle, no UDF — a single codegen'd
+    Filter over the scan."""
+    docs = _docs(spark, 100)
+    out = SA.stratified_hash_sample(docs, "doc_id", "src", {"0": 0.5})
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_mix_union_and_provenance(spark):
+    docs = _docs(spark, 200)
+    mixed = SA.weighted_mix(
+        {"all": (docs, 1.0), "half": (docs, 0.5)}, "doc_id"
+    )
+    counts = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["all"] == 200
+    assert 60 < counts["half"] < 140
+    # same hash, same salt -> "half" rows are a subset of "all" rows
+    half_ids = {r["doc_id"] for r in mixed.filter("mix_source = 'half'").collect()}
+    all_ids = {r["doc_id"] for r in mixed.filter("mix_source = 'all'").collect()}
+    assert half_ids <= all_ids
