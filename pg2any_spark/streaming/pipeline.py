@@ -114,6 +114,34 @@ def start_cdc_apply(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose normalized-content
+    fingerprint was already seen within the watermark horizon — the
+    ingest-time counterpart of ``operators.dedup.exact_dedup`` for a
+    continuously arriving corpus (re-crawls, mirrored feeds).
+
+    ``dropDuplicatesWithinWatermark`` keys state on the fingerprint
+    and expires it once the watermark passes, so state is bounded by
+    (dedup horizon × arrival rate), not corpus size — the property
+    that makes this viable on an unbounded 100 TB/day feed. Exact
+    global dedup across all history belongs in the batch operator
+    over the accumulated table.
+    """
+    from pg2any_spark.operators.text import normalize_text
+
+    fingered = docs.withColumn(
+        "fingerprint", F.md5(normalize_text(F.col(text_col)))
+    )
+    return fingered.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
 def streaming_daily_counts(
     events: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:

@@ -184,3 +184,45 @@ class TestStreamingWindows:
         assert got
         for k, v in got.items():
             assert expected[k] == v
+
+
+class TestStreamingDedup:
+    def test_exact_dedup_drops_recrawl_within_watermark(self, spark, tmp_path):
+        """Re-crawled (identical after normalization) documents arriving
+        later in the stream are dropped; distinct content survives."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.streaming.pipeline import streaming_exact_dedup
+
+        rows = [
+            (1, "2026-01-01 00:00:00", "alpha beta gamma"),
+            (2, "2026-01-01 00:05:00", "  ALPHA   beta GAMMA "),  # dup of 1
+            (3, "2026-01-01 00:10:00", "delta epsilon"),
+            (4, "2026-01-01 00:20:00", "alpha beta gamma"),       # dup of 1
+            (5, "2026-01-01 00:25:00", "zeta eta"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, ts string, text string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "docsrc")
+        docs.repartition(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(src)
+        out = streaming_exact_dedup(stream, watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {
+            r["doc_id"]
+            for r in spark.sql("select doc_id from dedup_stream").collect()
+        }
+        # one survivor per distinct fingerprint; 2 and 4 are dropped
+        assert 3 in kept and 5 in kept
+        assert len(kept & {1, 2, 4}) == 1
+        assert 2 not in kept or 1 not in kept  # never both of a dup pair
