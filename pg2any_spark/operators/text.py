@@ -114,6 +114,31 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+#: Rabin-Karp parameters shared verbatim with the DuckDB oracle.
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp) of normalized
+    text: ``h = fold(chars, h*131 + codepoint mod 2^31-1)``.
+
+    Entirely JVM-side (``regexp_extract_all`` + higher-order
+    ``aggregate``), so it stays in whole-stage codegen — a pure
+    projection with no shuffle, linear in corpus bytes at any scale.
+    Normalization collapses whitespace first, so ``.`` (no-newline)
+    char extraction sees every character. acc < 2^31 keeps the
+    ``acc*131 + code`` intermediate far inside int64 — no overflow in
+    either engine.
+    """
+    chars = F.regexp_extract_all(normalize_text(text), F.lit(r"."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     t = F.col(text_col)

@@ -100,6 +100,30 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       regexp_extract_all(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '.'),
+                       c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling-hash fingerprint per document —
+    the brief's 'document fingerprinting (rolling hash)' item as a
+    codegen'd higher-order aggregate (no UDF, no shuffle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
     return f"len(list_filter({_TOKS}, t -> list_contains([{markers}], t)))"

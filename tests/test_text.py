@@ -38,3 +38,16 @@ def test_lang_id(spark):
     assert _one(spark, "xyz qqq", T.lang_id(F.col("text"))) == "und"
     # tie between en and de markers -> alphabetical winner (de)
     assert _one(spark, "the der", T.lang_id(F.col("text"))) == "de"
+
+
+def test_rolling_fingerprint(spark):
+    # reference value: fold over "abc def" with h = (h*131 + code) % (2^31-1)
+    h = 0
+    for ch in "abc def":
+        h = (h * 131 + ord(ch)) % 2_147_483_647
+    assert _one(spark, "ABC   def ", T.rolling_fingerprint(F.col("text"))) == h
+    assert _one(spark, "", T.rolling_fingerprint(F.col("text"))) == 0
+    # order-sensitive (unlike a bag-of-chars hash)
+    a = _one(spark, "ab", T.rolling_fingerprint(F.col("text")))
+    b = _one(spark, "ba", T.rolling_fingerprint(F.col("text")))
+    assert a != b
