@@ -144,6 +144,64 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     ).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, width int, height int, payload binary, payload_md5 string"
+)
+
+
+def resize_image(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, fake: bool = True
+) -> DataFrame:
+    """Resize image assets to ``target_w × target_h``.
+
+    STUB for the pixel work (no PIL/opencv in this environment): the
+    fake path emits a deterministic payload whose size scales with the
+    target dimensions (md5-chain resample of the source bytes), so the
+    contract a real resizer must satisfy — output payload bound to
+    target dims, metadata columns updated in lockstep — is testable.
+
+    The Spark-side shape is the real thing: ``mapInPandas`` over
+    payload-bearing Arrow batches, constant memory per batch, output
+    schema fixed (RESIZED_SCHEMA). At scale the input payload column
+    dominates batch size, so cap
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
+    multi-MB.
+    """
+    n_out = max((target_w * target_h) // 64, 16)
+
+    def _fake_resample(data: bytes) -> bytes:
+        seed = hashlib.md5(data).digest()
+        buf = bytearray()
+        while len(buf) < n_out:
+            seed = hashlib.md5(seed).digest()
+            buf.extend(seed)
+        return bytes(buf[:n_out])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv; install one and "
+                    "replace _fake_resample with a real resizer"
+                )
+            resized = pdf["payload"].map(lambda p: _fake_resample(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "payload": resized,
+                    "payload_md5": resized.map(
+                        lambda p: hashlib.md5(p).hexdigest()
+                    ),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata projection (no payload decode): byte size +
     content hash per asset. Payload-column pruning applies upstream."""

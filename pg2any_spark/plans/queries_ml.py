@@ -624,6 +624,13 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.synth_media(spark, sf_dir), every_n_bytes=64)
 
 
+@query("media_resize")  # rows-only: binary output (deterministic fake resampler)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-64×64 over image assets via mapInPandas; payload size
+    bound to target dims, width/height metadata updated in lockstep."""
+    return M.resize_image(M.synth_media(spark, sf_dir), 64, 64, fake=True)
+
+
 _QUALITY_SQL = f"""
     SELECT doc_id, lang,
            ROUND(

@@ -38,3 +38,32 @@ def test_frame_sample_fanout(spark, sf_dir):
     n_videos = media.filter("media_type = 'video'").count()
     assert len(per_asset) == n_videos
     assert all(r["count"] >= 1 for r in per_asset)
+
+
+def test_resize_image_stub(spark, sf_dir):
+    import hashlib
+
+    from pg2any_spark.operators.multimodal import resize_image, synth_media
+
+    media = synth_media(spark, sf_dir)
+    out = resize_image(media, 64, 64, fake=True).limit(20).collect()
+    assert out
+    n_expected = (64 * 64) // 64
+    for r in out:
+        assert r["width"] == 64 and r["height"] == 64
+        assert len(r["payload"]) == n_expected
+        assert hashlib.md5(bytes(r["payload"])).hexdigest() == r["payload_md5"]
+    # deterministic: same asset resizes to the same bytes on a re-run
+    again = {r["asset_id"]: r["payload_md5"] for r in
+             resize_image(media, 64, 64, fake=True).limit(20).collect()}
+    for r in out:
+        assert again[r["asset_id"]] == r["payload_md5"]
+
+
+def test_resize_real_path_raises(spark, sf_dir):
+    import pytest
+
+    from pg2any_spark.operators.multimodal import resize_image, synth_media
+
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_image(synth_media(spark, sf_dir), fake=False).limit(1).collect()
