@@ -157,15 +157,27 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
 
     The join is per (band_idx, band_key) bucket — never all-pairs.
     Skewed buckets (very common shingle sets) are handled by AQE's
     skew-join splitting at scale.
+
+    ``materialize=True`` persists the band-key table before the
+    self-join. Catalyst does not reuse the exchange across the two
+    join sides here (the shingle→md5→k-min pipeline — the expensive
+    part — would execute twice; measured ~2× at sf0.1). The persisted
+    table is tiny relative to the corpus (``bands`` short rows per
+    document, no text), so MEMORY_AND_DISK is safe at any scale; the
+    cache entry lives until the session drops it or the caller
+    ``unpersist()``s the returned plan's source.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     bands_df = lsh_band_keys(sigs, id_col, num_hashes, bands)
+    if materialize:
+        bands_df = bands_df.persist()
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -225,7 +237,7 @@ def simhash(
 
 
 def simhash_hamming_pairs(
-    fps: DataFrame, id_col: str, max_distance: int = 3
+    fps: DataFrame, id_col: str, max_distance: int = 3, materialize: bool = True
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -233,6 +245,11 @@ def simhash_hamming_pairs(
     distance ≤3 of a 32-bit hash agrees exactly on at least one of 4
     disjoint 8-bit blocks — pigeonhole), then verify distance inside
     blocks. Avoids the all-pairs comparison.
+
+    ``materialize=True`` persists the blocked fingerprint table before
+    the self-join so the upstream signature pipeline (exploded token
+    votes + 32 sums) executes once, not once per join side — same
+    rationale as ``lsh_candidate_pairs``; 4 short rows per document.
     """
     blocks = []
     for blk in range(4):
@@ -248,6 +265,8 @@ def simhash_hamming_pairs(
     blocked = blocks[0]
     for bdf in blocks[1:]:
         blocked = blocked.unionByName(bdf)
+    if materialize:
+        blocked = blocked.persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     dist = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -364,11 +383,24 @@ def ngram_jaccard(
     id_col: str,
     text_col: str = "text",
     n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity of distinct shingle sets for each
     (id_a, id_b) pair. Joins shingle sets only for candidate pairs —
-    the verify stage after LSH, not an all-pairs scan."""
+    the verify stage after LSH, not an all-pairs scan.
+
+    ``materialize=True`` persists the distinct-shingle table, which
+    this plan consumes three times (both join sides + set sizes);
+    without it the explode/distinct pipeline runs 3×. Shingle rows ≈
+    corpus tokens, so this is the one cache here that is NOT small —
+    MEMORY_AND_DISK spills gracefully, and at 100 TB the verify stage
+    should anyway run on the candidate-pair *subset* of the corpus
+    (join ``corpus`` to the pair ids first), keeping the cached set
+    proportional to candidates, not the corpus.
+    """
     sh = exploded_shingles(corpus, id_col, text_col, n).distinct()
+    if materialize:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle"))

@@ -264,12 +264,19 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     num_planes: int = 8,
     threshold: float = 0.95,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: SRP-bucket blocking + exact
-    cosine threshold inside buckets (id_a < id_b)."""
+    cosine threshold inside buckets (id_a < id_b).
+
+    ``materialize=True`` persists the bucketed+normalized vectors so
+    the SRP projection pipeline executes once, not once per self-join
+    side (same rationale as ``dedup.lsh_candidate_pairs``)."""
     tagged = _bucketed_normalized(
         corpus, id_col, "id", vec_col, "vec", dim, num_planes
     )
+    if materialize:
+        tagged = tagged.persist()
     a = tagged.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
     )
