@@ -541,7 +541,7 @@ def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

@@ -770,7 +770,7 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     )
     SELECT lang, lang_pred, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_quality
     FROM labeled
@@ -922,7 +922,7 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) % 1000000 AS bucket
         FROM documents
     )
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM b
     WHERE bucket < CASE source WHEN 'src0' THEN 1000000
                                WHEN 'src1' THEN 500000

@@ -21,12 +21,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Read one fixture table from ``{sf_dir}/{name}.parquet``.
 
     ``events.ts`` is physically TIMESTAMP(NANOS); Spark's timestamp is
-    microseconds, so the session reads nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
+    microseconds, so we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
     micros here — the same ns→us truncation DuckDB applies, keeping
     oracle parity. Integer ``div`` (not ``/``) avoids double-precision
     loss at 1e18-scale nanos.
+
+    The conf is set here (runtime-settable), not only in
+    ``session.get_spark``, so this loader works on ANY SparkSession —
+    including harnesses that build their own.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
