@@ -317,6 +317,12 @@ def connected_components(
     ``localCheckpoint`` (replace with a reliable checkpoint dir on a
     real cluster); convergence is detected with a count aggregate on
     the changed set, which AQE compiles to a near-free partial count.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iter`` rounds
+    while labels are still moving — a silent early stop would return
+    *wrong components* (a >max_iter-hop chain would split into several
+    groups), which downstream dedup would act on. Graph diameter, not
+    size, drives rounds: raise ``max_iter`` for pathological chains.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -329,6 +335,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -349,7 +356,15 @@ def connected_components(
         n_changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels are still propagating (chain longer than max_iter hops). "
+            "Returning now would yield wrong duplicate groups — raise "
+            "max_iter or pre-split the graph."
+        )
     return labels
 
 

@@ -170,11 +170,15 @@ def resize_image(
     n_out = max((target_w * target_h) // 64, 16)
 
     def _fake_resample(data: bytes) -> bytes:
-        seed = hashlib.md5(data).digest()
+        # Hex-string md5 chain (not raw-digest chain): each link hashes
+        # the previous *hexdigest* text, so the whole chain is
+        # reproducible in engines whose md5() only accepts VARCHAR
+        # (DuckDB) — that is what makes this operator oracle-able.
+        seed = hashlib.md5(data).hexdigest()
         buf = bytearray()
         while len(buf) < n_out:
-            seed = hashlib.md5(seed).digest()
-            buf.extend(seed)
+            seed = hashlib.md5(seed.encode("ascii")).hexdigest()
+            buf.extend(bytes.fromhex(seed))
         return bytes(buf[:n_out])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

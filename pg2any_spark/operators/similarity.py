@@ -148,6 +148,7 @@ def with_srp_bucket_arrow(
     dim: int = 64,
     num_planes: int = 8,
     out_col: str = "bucket",
+    _emit_unit: bool = False,
 ) -> DataFrame:
     """SRP bucket assignment, Arrow path: one (batch × dim) @ (dim ×
     planes) matmul per Arrow batch instead of planes × dim interpreted
@@ -155,7 +156,13 @@ def with_srp_bucket_arrow(
     fp summation order in the projection — a sign can only flip when
     |v · plane| is at rounding noise, the same tolerance the DuckDB
     oracle's unordered SUM already implies. Scales embarrassingly:
-    no shuffle, no driver state beyond the (planes × dim) ±1 matrix."""
+    no shuffle, no driver state beyond the (planes × dim) ±1 matrix.
+
+    Public output adds ONLY ``out_col`` (matching ``with_srp_bucket``);
+    ``_emit_unit`` is the private fused path for callers that also
+    need the normalized vector (``_bucketed_normalized``) and pays the
+    normalization cost only there.
+    """
     import numpy as np
 
     from pyspark.sql.types import (
@@ -172,13 +179,10 @@ def with_srp_bucket_arrow(
     weights_l = [1 << p for p in range(num_planes)]
     # copy the fields — StructType.add mutates in place, which would
     # corrupt df's cached schema
-    schema = StructType(
-        list(df.schema.fields)
-        + [
-            StructField(out_col, LongType()),
-            StructField("__unit", ArrayType(DoubleType())),
-        ]
-    )
+    extra = [StructField(out_col, LongType())]
+    if _emit_unit:
+        extra.append(StructField("__unit", ArrayType(DoubleType())))
+    schema = StructType(list(df.schema.fields) + extra)
 
     def tag(batches):
         p_mat = np.array(planes_t, dtype=np.float64)  # (dim, planes)
@@ -189,12 +193,14 @@ def with_srp_bucket_arrow(
                     [np.asarray(a, dtype=np.float64) for a in pdf[vec_col]]
                 )  # (m, dim)
                 pdf[out_col] = ((v @ p_mat) > 0.0) @ weights
-                norms = np.linalg.norm(v, axis=1)
-                norms[norms == 0.0] = 1.0
-                pdf["__unit"] = list(v / norms[:, None])
+                if _emit_unit:
+                    norms = np.linalg.norm(v, axis=1)
+                    norms[norms == 0.0] = 1.0
+                    pdf["__unit"] = list(v / norms[:, None])
             else:
                 pdf[out_col] = np.array([], dtype=np.int64)
-                pdf["__unit"] = []
+                if _emit_unit:
+                    pdf["__unit"] = []
             yield pdf
 
     return df.mapInPandas(tag, schema)
@@ -218,6 +224,7 @@ def _bucketed_normalized(
         "__raw",
         dim,
         num_planes,
+        _emit_unit=True,
     )
     return tagged.select(id_alias, "bucket", F.col("__unit").alias(vec_alias))
 

@@ -570,15 +570,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("cdc_debezium_envelope")  # rows-only: JSON text formatting is engine-specific
+@query(
+    "cdc_debezium_envelope",
+    oracle="""
+    WITH ev AS (
+        SELECT 'c' AS op, c_custkey, CAST(c_custkey % 1000 AS BIGINT) AS txid,
+               CAST(c_custkey AS BIGINT) AS lsn,
+               CAST(c_acctbal AS DOUBLE) AS after_acctbal
+        FROM customer
+        UNION ALL
+        SELECT 'u', c_custkey, CAST(2000 AS BIGINT),
+               CAST(c_custkey + 10000000 AS BIGINT),
+               CAST(c_acctbal AS DOUBLE) + 1000.0
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT 'd', c_custkey, CAST(3000 AS BIGINT),
+               CAST(c_custkey + 20000000 AS BIGINT), NULL
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT 'cdc.public.customer' AS topic,
+           '{"c_custkey":"' || CAST(c_custkey AS VARCHAR) || '"}' AS key,
+           op, lsn, txid,
+           epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS ts_ms,
+           'cdc.public.customer.Envelope' AS envelope_name,
+           after_acctbal
+    FROM ev
+    """,
+)
 def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-style Kafka envelope projection over the synthesized
     customer event stream (reference ``kafka.rs:215-292``) — the
-    entire Kafka sink payload path as one JVM-side projection."""
+    entire Kafka sink payload path as one JVM-side projection.
+
+    Field-comparison form: the comparable fields are re-extracted from
+    the *produced JSON text* (``get_json_object``), so the oracle
+    verifies what the envelope actually encodes — topic routing, key
+    JSON, op/lsn/txid ordering metadata, commit ts_ms, schema-block
+    name, and a data column riding inside ``after``. ``after_acctbal``
+    is cast back to double: the JSON carries Java's shortest-roundtrip
+    rendering, so value equality (not string-format parity) is the
+    correct cross-engine contract. Raw (topic, key, value) output
+    remains available via ``functions.envelope.to_debezium``.
+    """
     from pg2any_spark.functions.envelope import to_debezium
     from pg2any_spark.sources.cdc_gen import synth_customer_events
 
-    return to_debezium(synth_customer_events(spark, sf_dir))
+    env = to_debezium(synth_customer_events(spark, sf_dir))
+    return env.select(
+        "topic",
+        "key",
+        F.get_json_object("value", "$.payload.op").alias("op"),
+        F.get_json_object("value", "$.payload.source.lsn").cast("long").alias("lsn"),
+        F.get_json_object("value", "$.payload.source.txId").cast("long").alias("txid"),
+        F.get_json_object("value", "$.payload.ts_ms").cast("long").alias("ts_ms"),
+        F.get_json_object("value", "$.schema.name").alias("envelope_name"),
+        F.get_json_object("value", "$.payload.after.c_acctbal")
+        .cast("double")
+        .alias("after_acctbal"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -610,25 +659,98 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_metadata(M.synth_media(spark, sf_dir))
 
 
-@query("media_image_features")  # rows-only: pandas-UDF (Arrow) path
+@query(
+    "media_image_features",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    h AS (
+        SELECT asset_id, md5(text) AS hx,
+               octet_length(encode(text)) AS n_bytes
+        FROM img
+    ),
+    b AS (
+        SELECT asset_id, n_bytes, hx,
+               list_transform(range(16), i ->
+                   (strpos('0123456789abcdef',
+                           substr(hx, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(hx, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+               ) AS dg
+        FROM h
+    )
+    SELECT asset_id,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST(16 + dg[1] * 4 AS INTEGER) AS fake_width,
+           CAST(16 + dg[2] * 4 AS INTEGER) AS fake_height,
+           ROUND(list_sum(dg) / 4080.0, 6) AS brightness,
+           hx AS payload_md5
+    FROM b
+    """,
+)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over image
-    payloads (deterministic fake decoder — real codecs are stubbed)."""
+    payloads. The fake decoder is a pure function of ``md5(payload)``
+    (``multimodal._fake_image_features``), so the oracle reproduces it
+    byte-for-byte in SQL: hex digits → digest bytes via strpos,
+    width/height from bytes 0/1, brightness = mean(digest)/255."""
     return M.extract_image_features(M.synth_media(spark, sf_dir), fake=True)
 
 
-@query("media_frame_samples")  # rows-only: fan-out mapInPandas path
+@query(
+    "media_frame_samples",
+    oracle="""
+    SELECT v.doc_id AS asset_id,
+           CAST(u.i // 64 AS INTEGER) AS frame_idx,
+           md5(substr(v.text, CAST(u.i + 1 AS INTEGER), 64)) AS frame_md5
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2) v,
+         UNNEST(range(0, greatest(length(v.text), 1), 64)) AS u(i)
+    """,
+)
 def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (1 video row → N frame rows) through
-    mapInPandas."""
+    mapInPandas. Fixture text is pure ASCII, so DuckDB's character
+    ``substr`` equals the byte slice the sampler hashes — the oracle
+    reproduces every frame_md5 exactly."""
     return M.sample_frames(M.synth_media(spark, sf_dir), every_n_bytes=64)
 
 
-@query("media_resize")  # rows-only: binary output (deterministic fake resampler)
+@query(
+    "media_resize",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS asset_id, md5(text) AS h0
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    c1 AS (SELECT asset_id, md5(h0) AS h1 FROM img),
+    c2 AS (SELECT asset_id, h1, md5(h1) AS h2 FROM c1),
+    c3 AS (SELECT asset_id, h1, h2, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT asset_id, h1, h2, h3, md5(h3) AS h4 FROM c3)
+    SELECT asset_id,
+           CAST(64 AS INTEGER) AS width,
+           CAST(64 AS INTEGER) AS height,
+           CAST(64 AS INTEGER) AS n_bytes,
+           h1 || h2 || h3 || h4 AS payload_hex
+    FROM c4
+    """,
+)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-64×64 over image assets via mapInPandas; payload size
-    bound to target dims, width/height metadata updated in lockstep."""
-    return M.resize_image(M.synth_media(spark, sf_dir), 64, 64, fake=True)
+    bound to target dims, width/height metadata updated in lockstep.
+
+    Projects ``payload_hex`` (lowercase hex of the resized bytes)
+    rather than the raw binary column: blob canonicalization differs
+    across engines, hex text does not — the oracle recomputes the
+    md5-hex-chain payload (4 × 16-byte links for 64 output bytes)."""
+    out = M.resize_image(M.synth_media(spark, sf_dir), 64, 64, fake=True)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
 
 
 _QUALITY_SQL = f"""

@@ -99,12 +99,10 @@ def record_batch(metrics: CdcMetrics, batch_df: DataFrame) -> None:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.max("lsn").alias("max_lsn"),
-            F.count_distinct("txid").alias("n_tx"),
         )
         .collect()
     )
     max_lsn = 0
-    total_tx = 0
     for r in rows:
         metrics.inc(EVENTS_PROCESSED_TOTAL, r["n"])
         metrics.inc(
@@ -114,10 +112,13 @@ def record_batch(metrics: CdcMetrics, batch_df: DataFrame) -> None:
             table_name=r["table"],
         )
         max_lsn = max(max_lsn, r["max_lsn"] or 0)
-        total_tx += r["n_tx"]
     if rows:
+        # Distinct txids over the WHOLE batch — summing per-(op, table)
+        # distinct counts would count one transaction once per table or
+        # op-type it touches.
+        n_tx = batch_df.select(F.count_distinct("txid").alias("n")).first()["n"]
         metrics.set(CURRENT_RECEIVED_LSN, max_lsn)
-        metrics.inc(TRANSACTIONS_PROCESSED_TOTAL, total_tx)
+        metrics.inc(TRANSACTIONS_PROCESSED_TOTAL, n_tx)
 
 
 def record_applied(metrics: CdcMetrics, lsn: int) -> None:

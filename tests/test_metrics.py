@@ -34,8 +34,9 @@ def test_record_batch_counts_and_lsn(spark):
     assert m.get(M.EVENTS_BY_TYPE, event_type="update", table_name="t1") == 1
     assert m.get(M.EVENTS_BY_TYPE, event_type="delete", table_name="t2") == 1
     assert m.get(M.CURRENT_RECEIVED_LSN) == 12
-    # txid 1 spans two tables' groups but t1 contributes 1 distinct tx
-    assert m.get(M.TRANSACTIONS_PROCESSED_TOTAL) >= 2
+    # txid 1 spans two (op, table) groups but is ONE transaction:
+    # distinct txids are counted once over the whole batch
+    assert m.get(M.TRANSACTIONS_PROCESSED_TOTAL) == 2
     M.record_applied(m, 12)
     assert m.get(M.LAST_PROCESSED_LSN) == 12
     assert m.get(M.FULL_TRANSACTIONS_PROCESSED_TOTAL) == 1
