@@ -11,9 +11,11 @@ def test_synth_media_schema(spark, sf_dir):
     assert media.count() > 0
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"bytes", fake=False)
+def test_decode_image_real_path_rejects_non_image():
+    # real path on non-image bytes: ValueError without PIL,
+    # UnidentifiedImageError (an OSError) when PIL is installed
+    with pytest.raises((ValueError, OSError)):
+        M.decode_image(b"definitely not an image", fake=False)
 
 
 def test_fake_decoder_deterministic():
@@ -60,10 +62,54 @@ def test_resize_image_stub(spark, sf_dir):
         assert again[r["asset_id"]] == r["payload_md5"]
 
 
-def test_resize_real_path_raises(spark, sf_dir):
-    import pytest
+def test_resize_real_path_end_to_end(spark):
+    """Real (non-fake) resize through the full Spark path: build a
+    media table whose payloads are ACTUAL PNG bytes, resize with
+    fake=False, decode the outputs, and verify pixels match a
+    nearest-neighbor reference."""
+    import hashlib
 
-    from pg2any_spark.operators.multimodal import resize_image, synth_media
+    import numpy as np
 
-    with pytest.raises(Exception, match="NotImplementedError|resize"):
-        resize_image(synth_media(spark, sf_dir), fake=False).limit(1).collect()
+    from pg2any_spark.functions import png as P
+
+    rng = np.random.default_rng(7)
+    srcs = {
+        1: rng.integers(0, 256, (48, 80, 3), dtype=np.uint8),  # RGB
+        2: rng.integers(0, 256, (33, 17), dtype=np.uint8),  # grayscale
+        3: rng.integers(0, 256, (16, 16, 4), dtype=np.uint8),  # RGBA
+    }
+    rows = [
+        (aid, "image", bytearray(P.encode_png(arr))) for aid, arr in srcs.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    out = {
+        r["asset_id"]: r
+        for r in M.resize_image(media, 24, 20, fake=False).collect()
+    }
+    assert set(out) == set(srcs)
+    for aid, arr in srcs.items():
+        r = out[aid]
+        assert (r["width"], r["height"]) == (24, 20)
+        got = P.decode_png(bytes(r["payload"]))
+        expected = P.resize_nearest(arr, 24, 20)
+        assert np.array_equal(got, expected)
+        assert hashlib.md5(bytes(r["payload"])).hexdigest() == r["payload_md5"]
+
+
+def test_decode_image_real_png():
+    import numpy as np
+
+    from pg2any_spark.functions import png as P
+
+    arr = np.full((10, 20, 3), 100, dtype=np.uint8)
+    w, h, brightness = M.decode_image(P.encode_png(arr), fake=False)
+    assert (w, h) == (20, 10)
+    assert brightness == round(100 / 255.0, 6)
+    # alpha plane excluded from brightness
+    rgba = np.dstack([np.full((4, 4, 3), 100, dtype=np.uint8),
+                      np.zeros((4, 4), dtype=np.uint8)])
+    _, _, b2 = M.decode_image(P.encode_png(rgba), fake=False)
+    assert b2 == round(100 / 255.0, 6)
