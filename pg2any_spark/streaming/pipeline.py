@@ -25,6 +25,7 @@ reduction is identical, only the final write changes.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
@@ -58,6 +59,28 @@ def _atomic_replace(staging: str, target: str) -> None:
         shutil.rmtree(old)
 
 
+def _recover_replica(target: str) -> None:
+    """Crash recovery for the staging→target swap, run before every
+    batch. A hard kill (SIGKILL, the reference's chaos ``docker stop``
+    analogue) can land between the two renames in ``_atomic_replace``,
+    leaving the replica missing with its previous state parked in an
+    ``.old-*`` directory. Because the stream's checkpoint only commits
+    AFTER the swap, the interrupted batch will replay — so the correct
+    recovery is to roll the ``.old-*`` state back into place and let
+    the idempotent re-apply run (max-LSN winners make re-applied events
+    a no-op over an already-applied base). Leftover ``.old-*`` dirs
+    next to a live target (kill after swap, before cleanup) and
+    orphaned ``.staging-*`` dirs (kill mid-write) are deleted."""
+    olds = sorted(glob.glob(target + ".old-*"), key=os.path.getmtime)
+    if olds and not os.path.exists(target):
+        os.rename(olds[-1], target)
+        olds = olds[:-1]
+    for d in olds:
+        shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(target + ".staging-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def apply_batch_to_parquet(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -67,6 +90,7 @@ def apply_batch_to_parquet(
     table: str | None = None,
 ) -> None:
     """One micro-batch: current replica ⊕ batch events → new replica."""
+    _recover_replica(target_path)
     base = None
     if os.path.exists(target_path):
         base = spark.read.parquet(target_path)

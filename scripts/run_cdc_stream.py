@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Standalone CDC apply stream runner.
+
+Runs the streaming apply pipeline (``read_event_stream`` →
+``start_cdc_apply`` → drain) in its own process so the hard-kill chaos
+test (tests/test_scenarios.py::test_s5_hard_kill_restart) can SIGKILL
+the whole process group mid-batch — the reference's chaos harness
+property (``tests/chaos/scripts/chaos_script.sh``: random
+``docker stop`` during replication), re-created process-locally.
+
+Usage: run_cdc_stream.py SOURCE_DIR TARGET_PATH CHECKPOINT_DIR [MAX_FILES_PER_TRIGGER]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pg2any_spark.schemas import T1_SCHEMA  # noqa: E402
+from pg2any_spark.session import get_spark  # noqa: E402
+from pg2any_spark.streaming.pipeline import (  # noqa: E402
+    read_event_stream,
+    start_cdc_apply,
+)
+
+
+def main() -> None:
+    src, target, ckpt = sys.argv[1:4]
+    max_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    spark = get_spark(app_name="cdc-stream-runner", shuffle_partitions=8)
+    events = read_event_stream(spark, src, max_files_per_trigger=max_files)
+    query = start_cdc_apply(
+        events, target, T1_SCHEMA, ["id"], ckpt, table="t1", available_now=True
+    )
+    query.awaitTermination()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

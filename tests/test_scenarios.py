@@ -148,6 +148,95 @@ def test_s4_mixed_dml_with_marker(spark):
         state.unpersist()
 
 
+def test_recover_replica_rolls_back_interrupted_swap(tmp_path):
+    """Unit coverage for every SIGKILL landing spot in the
+    staging→target swap (the subprocess test below exercises one
+    random spot per run; this pins all of them)."""
+    import os
+
+    from pg2any_spark.streaming.pipeline import _recover_replica
+
+    target = str(tmp_path / "replica")
+
+    # kill between rename(target→old) and rename(staging→target):
+    # target missing, old holds the previous state → rolled back
+    os.makedirs(target + ".old-aaaa")
+    open(target + ".old-aaaa/part-0", "w").write("prev")
+    os.makedirs(target + ".staging-bbbb")  # orphaned half-written batch
+    _recover_replica(target)
+    assert os.path.exists(target + "/part-0")
+    assert not os.path.exists(target + ".old-aaaa")
+    assert not os.path.exists(target + ".staging-bbbb")
+
+    # kill after swap, before cleanup: target live, old is stale → dropped
+    os.makedirs(target + ".old-cccc")
+    _recover_replica(target)
+    assert os.path.exists(target + "/part-0")
+    assert not os.path.exists(target + ".old-cccc")
+
+
+def test_s5_hard_kill_restart(spark, tmp_path):
+    """S5 + chaos harness parity: ONE transaction inserting 300k rows
+    (reference scenario5_input.sql uses 3M), streamed as 8 micro-
+    batches; the runner process group is SIGKILLed mid-stream (not
+    ``query.stop()`` — the JVM dies with it, like the chaos script's
+    ``docker stop``), restarted on the same checkpoint, and drained.
+    Final replica must be EXACTLY the full apply: same count, same id
+    checksum, zero row diff."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    n = 300_000
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    events = _to_events(_insert_events(spark, n, txid=42))
+    events.repartition(8).write.parquet(src)
+
+    cmd = [sys.executable, "scripts/run_cdc_stream.py", src, target, ckpt, "1"]
+    log1 = open(str(tmp_path / "run1.log"), "wb")
+    p1 = subprocess.Popen(
+        cmd, cwd="/root/repo", start_new_session=True,
+        stdout=log1, stderr=subprocess.STDOUT,
+    )
+    try:
+        # wait for the first committed batch, then strike mid-stream
+        deadline = time.time() + 240
+        while time.time() < deadline and not os.path.exists(
+            os.path.join(target, "_SUCCESS")
+        ):
+            assert p1.poll() is None, (
+                "runner exited before first batch: "
+                + open(str(tmp_path / "run1.log")).read().decode(errors="replace")
+            )
+            time.sleep(0.2)
+        assert os.path.exists(os.path.join(target, "_SUCCESS")), "no batch committed"
+        time.sleep(0.7)  # land inside a later batch's write/swap window
+    finally:
+        os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+        p1.wait()
+        log1.close()
+
+    # restart on the same checkpoint; availableNow drains the rest
+    p2 = subprocess.run(
+        cmd, cwd="/root/repo", timeout=600, capture_output=True
+    )
+    assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
+
+    final = spark.read.parquet(target)
+    got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
+    assert got["n"] == n, f"row count {got['n']} != {n} after kill/restart"
+    assert got["s"] == n * (n + 1) // 2
+    expected = apply_changes(
+        _insert_events(spark, n, txid=42), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    assert final.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(final).isEmpty()
+
+
 def test_s5_single_huge_transaction(spark):
     """S5 (scaled): one transaction inserting 200k rows (the reference
     uses 3M via generate_series) → exact count, exact sum of ids. The
