@@ -61,9 +61,43 @@ def _ensure_tables(conn: sqlite3.Connection, table: str, columns: list[str]) -> 
     )
 
 
+#: Driver-side row cap per micro-batch (upserts + deletes AFTER the
+#: winner-per-key reduction). SQLite is single-writer, so the reduced
+#: row set must cross the driver — but unbounded batches would OOM it.
+#: Raise the cap (or pass ``max_driver_rows``) for bulk backfills, and
+#: bound batch size at the source with ``maxFilesPerTrigger`` /
+#: ``maxOffsetsPerTrigger``.
+DEFAULT_MAX_DRIVER_ROWS = 5_000_000
+
+
 def _chunks(rows: list, size: int):
     for i in range(0, len(rows), size):
         yield rows[i : i + size]
+
+
+def _iter_chunks(df: DataFrame, size: int, counter: list, cap: int | None):
+    """Stream a DataFrame to the driver in bounded chunks.
+
+    ``toLocalIterator`` holds one partition at a time on the driver
+    (not the whole result, unlike ``collect``); ``counter``/``cap``
+    enforce the documented row guard across BOTH row streams of a
+    batch."""
+    buf: list[tuple] = []
+    for r in df.toLocalIterator(prefetchPartitions=True):
+        counter[0] += 1
+        if cap is not None and counter[0] > cap:
+            raise RuntimeError(
+                f"SQLite sink batch exceeds max_driver_rows={cap} reduced "
+                "rows; bound micro-batch size at the source "
+                "(maxFilesPerTrigger / maxOffsetsPerTrigger) or raise "
+                "max_driver_rows for a deliberate bulk backfill"
+            )
+        buf.append(tuple(r))
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
 
 
 def apply_batch_to_sqlite(
@@ -73,13 +107,19 @@ def apply_batch_to_sqlite(
     table: str,
     schema: StructType,
     key_cols: list[str],
+    max_driver_rows: int | None = DEFAULT_MAX_DRIVER_ROWS,
 ) -> None:
     """Apply one micro-batch of change events to a SQLite replica.
 
     Winner-per-key reduction happens in Spark (distributed); this
-    function transacts only the reduced row set. Idempotent on
-    re-delivery: the progress row is checked and advanced inside the
-    same transaction as the data.
+    function transacts only the reduced row set, streamed to the
+    driver one partition at a time (``toLocalIterator``) rather than
+    materialized with ``collect`` — and guarded by ``max_driver_rows``
+    (None disables) so an oversized batch fails with an actionable
+    error instead of an OOM. Idempotent on re-delivery: the progress
+    row is checked and advanced inside the same transaction as the
+    data, and the transaction rolls back wholesale on any error
+    mid-stream.
     """
     from pg2any_spark.operators.apply import _key_from_images
 
@@ -106,9 +146,6 @@ def apply_batch_to_sqlite(
     dels = winners.filter(F.col("w.op") == OP_DELETE).select(
         *[F.col(f"__key_{k}").alias(k) for k in key_cols]
     )
-    up_rows = [tuple(r) for r in ups.collect()]
-    del_rows = [tuple(r) for r in dels.collect()]
-
     columns = [f.name for f in schema.fields]
     conn = _connect(db_path)
     try:
@@ -126,8 +163,9 @@ def apply_batch_to_sqlite(
             # SQLite has no TRUNCATE; the reference's dialect renders
             # DELETE FROM (``dialects/sqlite.rs:26-33``).
             conn.execute(f'DELETE FROM "{table}"')
+        n_rows = [0]  # shared across both streams: one cap per batch
         col_sql = ", ".join(f'"{c}"' for c in columns)
-        for chunk in _chunks(up_rows, MAX_ROWS_PER_STMT):
+        for chunk in _iter_chunks(ups, MAX_ROWS_PER_STMT, n_rows, max_driver_rows):
             # Multi-value upsert ≈ coalescing rewrite R2 + MERGE
             # semantics of R3/R4 (``coalescing.rs:953-996``).
             placeholders = ", ".join(
@@ -139,7 +177,7 @@ def apply_batch_to_sqlite(
                 [v for r in chunk for v in r],
             )
         key_sql = " AND ".join(f'"{k}" = ?' for k in key_cols)
-        for chunk in _chunks(del_rows, MAX_ROWS_PER_STMT):
+        for chunk in _iter_chunks(dels, MAX_ROWS_PER_STMT, n_rows, max_driver_rows):
             # OR-combined DELETE ≈ rewrite R5 (``coalescing.rs:332-357``).
             cond = " OR ".join(f"({key_sql})" for _ in chunk)
             conn.execute(
@@ -153,16 +191,26 @@ def apply_batch_to_sqlite(
             (table, batch_id),
         )
         conn.commit()
+    except BaseException:
+        conn.rollback()
+        raise
     finally:
         conn.close()
 
 
 def sqlite_batch_applier(
-    db_path: str, table: str, schema: StructType, key_cols: list[str]
+    db_path: str,
+    table: str,
+    schema: StructType,
+    key_cols: list[str],
+    max_driver_rows: int | None = DEFAULT_MAX_DRIVER_ROWS,
 ) -> Callable[[DataFrame, int], None]:
     """`foreachBatch` function applying change events to SQLite."""
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch_to_sqlite(batch_df, batch_id, db_path, table, schema, key_cols)
+        apply_batch_to_sqlite(
+            batch_df, batch_id, db_path, table, schema, key_cols,
+            max_driver_rows=max_driver_rows,
+        )
 
     return apply_fn

@@ -83,6 +83,36 @@ class TestSqliteSink:
         apply_batch_to_sqlite(b1, 1, db, "t1", T1_SCHEMA, ["id"])
         assert state(db) == {3: 30}
 
+    def test_max_driver_rows_guard_trips_and_rolls_back(self, spark, tmp_path):
+        """An oversized batch fails with an actionable error (not an
+        OOM) and leaves the replica untouched — the whole transaction
+        rolls back, including the progress row, so a retry with a
+        raised cap re-applies cleanly."""
+        import pytest
+
+        db = str(tmp_path / "dest.db")
+        seed = spark.createDataFrame([ev("c", 1, t1a(1, 10))], CHANGE_EVENT_SCHEMA)
+        apply_batch_to_sqlite(seed, 0, db, "t1", T1_SCHEMA, ["id"])
+        big = spark.createDataFrame(
+            [ev("c", 10 + i, t1a(100 + i, i)) for i in range(8)],
+            CHANGE_EVENT_SCHEMA,
+        )
+        with pytest.raises(RuntimeError, match="max_driver_rows"):
+            apply_batch_to_sqlite(
+                big, 1, db, "t1", T1_SCHEMA, ["id"], max_driver_rows=5
+            )
+        assert state(db) == {1: 10}  # nothing from the failed batch
+        with sqlite3.connect(db) as c:
+            rows = list(
+                c.execute(f"SELECT last_batch_id FROM {PROGRESS_TABLE}")
+            )
+        assert rows == [(0,)]  # progress did not advance
+        # retry with the cap raised: applies completely
+        apply_batch_to_sqlite(
+            big, 1, db, "t1", T1_SCHEMA, ["id"], max_driver_rows=None
+        )
+        assert len(state(db)) == 9
+
     def test_streaming_end_to_end(self, spark, tmp_path):
         db = str(tmp_path / "dest.db")
         src = str(tmp_path / "events")
