@@ -59,6 +59,46 @@ def _normalized(
     )
 
 
+def ranked_topk(sims: DataFrame, k: int, num_salts: int | None = None) -> DataFrame:
+    """Rank candidate (query_id, neighbor_id, cos_sim) rows to top-k
+    per query — optionally in TWO phases to defeat hot-key skew.
+
+    Single-phase: one window over ``query_id``. If one query has
+    millions of candidates (a hot LSH bucket / IVF cell at corpus
+    scale), ALL of them shuffle into one task — the classic straggler.
+
+    Two-phase (``num_salts`` = S): phase 1 ranks within
+    ``(query_id, pmod(neighbor_id, S))`` — S parallel tasks per hot
+    query — and keeps each salt's top-k; phase 2 ranks the ≤ S·k
+    survivors per query. Exact same result as single-phase: every
+    global top-k row is necessarily in its salt partition's top-k, and
+    the (cos_sim desc, neighbor_id asc) tiebreak is total, so the
+    final ordering is identical. Deterministic salt (id-derived, not
+    random) keeps reruns and oracles reproducible.
+    """
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
+    if num_salts and num_salts > 1:
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.col("neighbor_id"), F.lit(num_salts))
+        ).orderBy(*order)
+        sims = (
+            sims.withColumn("__salt_rank", F.row_number().over(w1))
+            .filter(F.col("__salt_rank") <= k)
+            .drop("__salt_rank")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def max_key_count(df: DataFrame, key: str) -> int:
+    """Size of the largest key group — the skew statistic that decides
+    two-phase ranking. One map-side-combinable aggregate; the histogram
+    itself never exceeds the key cardinality (≤ 2^planes buckets /
+    num_centroids cells), so the driver sees a single row."""
+    row = df.groupBy(key).count().agg(F.max("count").alias("m")).first()
+    return int(row["m"] or 0)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -237,18 +277,35 @@ def lsh_topk(
     dim: int = 64,
     num_planes: int = 8,
     k: int = 5,
+    salt_threshold: int | None = 100_000,
+    num_salts: int = 32,
 ) -> DataFrame:
     """ANN top-k: candidates from the query's SRP bucket, exact cosine
     re-rank inside the bucket. Recall < 1.0 by design; the bucket join
     replaces the O(|Q|·|C|) cross join. The query side is broadcast
     (it is small by construction), so the corpus never shuffles — the
-    bucket join is a map-side hash probe per corpus partition."""
+    bucket join is a map-side hash probe per corpus partition.
+
+    Hot-bucket defense: when the largest corpus bucket exceeds
+    ``salt_threshold`` rows (a near-degenerate hyperplane split or an
+    embedding-collapsed corpus), the final per-query ranking switches
+    to the two-phase salted form (``ranked_topk``) so no single task
+    ranks a whole hot bucket. Below the threshold the plan is the
+    unchanged single-window form. ``salt_threshold=None`` disables the
+    check (and the histogram pass) entirely."""
     q = _bucketed_normalized(
         queries, id_col, "query_id", vec_col, "q_vec", dim, num_planes
     )
     c = _bucketed_normalized(
         corpus, id_col, "neighbor_id", vec_col, "c_vec", dim, num_planes
     )
+    salts = None
+    if salt_threshold is not None:
+        # persist: the bucket histogram and the join both consume the
+        # SRP projection — without persist it would run twice
+        c = c.persist()
+        if max_key_count(c, "bucket") > salt_threshold:
+            salts = num_salts
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -258,10 +315,7 @@ def lsh_topk(
             F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return ranked_topk(sims, k, salts)
 
 
 def cosine_near_dup_pairs(
@@ -364,6 +418,8 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 2,
+    salt_threshold: int | None = 100_000,
+    num_salts: int = 32,
 ) -> DataFrame:
     """ANN top-k via an IVF index: corpus vectors are assigned to their
     nearest centroid's cell; each query probes its ``nprobe`` nearest
@@ -373,13 +429,23 @@ def ivf_topk(
     centroid table is a plan literal — no join, no shuffle), then the
     candidate join shuffles on cell id; cells ≈ |corpus|/k vectors, so
     the pair count drops from |Q|·|C| to |Q|·nprobe·|C|/k. Cell skew
-    (hot centroids) is the operational risk at 100 TB — mitigate with
-    more centroids or by salting oversized cells.
+    (hot centroids) is the operational risk at 100 TB: the candidate
+    join's skewed partitions are split by AQE skew-join, and when the
+    largest cell exceeds ``salt_threshold`` the per-query ranking
+    switches to the two-phase salted form (``ranked_topk``) so no
+    single task ranks a hot cell's full candidate set. More centroids
+    remain the structural fix (smaller cells); salting keeps the job
+    from degenerating meanwhile.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
     c = _normalized(corpus, id_col, "neighbor_id", vec_col, "c_vec").withColumn(
         "cell", ivf_assign(F.col("c_vec"), cents)
     )
+    salts = None
+    if salt_threshold is not None:
+        c = c.persist()  # histogram + join share the assignment pass
+        if max_key_count(c, "cell") > salt_threshold:
+            salts = num_salts
     q = (
         _normalized(queries, id_col, "query_id", vec_col, "q_vec")
         .withColumn(
@@ -397,10 +463,7 @@ def ivf_topk(
             F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return ranked_topk(sims, k, salts)
 
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,72 @@ class TestIVF:
         assert recall >= 0.2, f"recall {recall:.2f} suspiciously low"
         # every query returns at least one candidate
         assert {r["query_id"] for r in approx} == {r["query_id"] for r in exact}
+
+
+class TestHotBucketSalting:
+    """Two-phase salted top-k (hot LSH bucket / IVF cell defense)."""
+
+    def _skewed(self, spark, n=60):
+        # every vector points (almost) the same way → ONE srp bucket
+        return vecs(
+            spark,
+            [(i, [1.0] * 32 + [0.001 * (i % 7)] * 32) for i in range(n)],
+        )
+
+    def test_ranked_topk_salted_equals_single_phase(self, spark):
+        import random
+
+        random.seed(3)
+        rows = [
+            (q, n, round(random.uniform(-1, 1), 6))
+            for q in range(4)
+            for n in range(50)
+        ]
+        sims = spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, cos_sim double"
+        )
+        plain = sorted(map(tuple, S.ranked_topk(sims, 5, None).collect()))
+        salted = sorted(map(tuple, S.ranked_topk(sims, 5, 8).collect()))
+        assert plain == salted and len(plain) == 20
+
+    def test_lsh_topk_salted_parity_on_skewed_corpus(self, spark):
+        df = self._skewed(spark)
+        q = df.filter("vec_id < 3")
+        base = sorted(
+            map(tuple, S.lsh_topk(df, q, k=4, salt_threshold=None).collect())
+        )
+        # threshold of 5 forces the two-phase path (bucket holds all 60)
+        salted = sorted(
+            map(tuple, S.lsh_topk(df, q, k=4, salt_threshold=5).collect())
+        )
+        assert base == salted and len(base) == 12
+
+    def test_ivf_topk_salted_parity_on_skewed_corpus(self, spark):
+        df = self._skewed(spark, n=40)
+        q = df.filter("vec_id < 2")
+        base = sorted(
+            map(
+                tuple,
+                S.ivf_topk(df, q, k=3, num_centroids=4, salt_threshold=None).collect(),
+            )
+        )
+        salted = sorted(
+            map(
+                tuple,
+                S.ivf_topk(df, q, k=3, num_centroids=4, salt_threshold=5).collect(),
+            )
+        )
+        assert base == salted and len(base) == 6
+
+    def test_uniform_data_keeps_single_window_plan(self, spark):
+        df = vecs(
+            spark,
+            [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(64)]) for i in range(20)],
+        )
+        q = df.filter("vec_id = 0")
+        # default threshold (100k) far above 20 rows → single-phase plan
+        plan = S.lsh_topk(df, q, dim=64, num_planes=4, k=5)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Window [") == 1
+        # forced two-phase plan carries the extra salt window
+        plan2 = S.lsh_topk(df, q, dim=64, num_planes=4, k=5, salt_threshold=1)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan2.count("Window [") == 2
