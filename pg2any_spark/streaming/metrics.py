@@ -85,6 +85,58 @@ class CdcMetrics:
         return "\n".join(lines) + "\n"
 
 
+class MetricsServer:
+    """HTTP exposition server — the reference's ``metrics_server.rs``
+    contract: ``GET /metrics`` → Prometheus text format (version=0.0.4
+    content type), ``GET /health`` → ``{"status":"healthy"}``, anything
+    else → 404 "Not Found". Runs on a daemon thread; ``port=0`` binds
+    an ephemeral port (see ``.port`` after start)."""
+
+    def __init__(self, metrics: CdcMetrics, port: int = 8080, host: str = "0.0.0.0"):
+        import http.server
+
+        registry = metrics
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path == "/metrics":
+                    body = registry.render_prometheus().encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "content-type", "text/plain; version=0.0.4; charset=utf-8"
+                    )
+                elif self.path == "/health":
+                    body = b'{"status":"healthy"}'
+                    self.send_response(200)
+                    self.send_header("content-type", "application/json")
+                else:
+                    body = b"Not Found"
+                    self.send_response(404)
+                self.send_header("content-length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args) -> None:  # quiet scrape logs
+                pass
+
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "MetricsServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="metrics-server", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
 #: op code → the reference's event_type label values.
 _OP_LABEL = {"c": "insert", "u": "update", "d": "delete", "t": "truncate"}
 

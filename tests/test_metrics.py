@@ -52,6 +52,39 @@ def test_prometheus_rendering_uses_reference_names(spark):
     assert 'pg2any_build_info{version="' in text
 
 
+def test_metrics_http_endpoint(spark):
+    """Scrape contract parity with metrics_server.rs: /metrics serves
+    the Prometheus text with the reference counter names, /health
+    serves the health JSON, everything else 404s."""
+    import urllib.error
+    import urllib.request
+
+    m = M.CdcMetrics()
+    M.record_batch(m, _events(spark))
+    srv = M.MetricsServer(m, port=0, host="127.0.0.1").start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        resp = urllib.request.urlopen(f"{base}/metrics", timeout=10)
+        assert resp.status == 200
+        assert resp.headers["content-type"].startswith("text/plain; version=0.0.4")
+        text = resp.read().decode()
+        assert "pg2any_events_processed_total 3" in text
+        assert "pg2any_transactions_processed_total 2" in text
+        assert "pg2any_uptime_seconds" in text
+
+        health = urllib.request.urlopen(f"{base}/health", timeout=10)
+        assert health.status == 200
+        assert health.read() == b'{"status":"healthy"}'
+
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+
+
 def test_listener_tracks_stream_progress(spark, tmp_path):
     m = M.CdcMetrics()
     listener = M.make_listener(m)
