@@ -43,6 +43,8 @@ HEADLINE = [
     "text_stats_documents",
     "media_metadata",
     "cdc_debezium_envelope",
+    "token_hist_by_lang",
+    "ivf_kmeans_refined_centroids",
 ]
 
 

@@ -466,6 +466,45 @@ def ivf_topk(
     return ranked_topk(sims, k, salts)
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> DataFrame:
+    """One Lloyd refinement step over the deterministic IVF seeds —
+    the centroid *training* path ``ivf_centroids`` points at: assign
+    every vector to its nearest seed (same 9dp-rounded argmax and
+    min-cid tiebreak as ``ivf_assign``), then recompute each cell's
+    centroid as the member mean per dimension.
+
+    Returns (cell, pos, coord, n_members) — the refined centroid
+    matrix in long form. Fully distributed: assignment is a plan
+    literal (no join), the mean is one map-side-combinable aggregate
+    whose shuffle carries ≤ cells × dims rows. Iterating = calling
+    again with the previous output as seeds; dimension means sum
+    through DECIMAL(28,12) so partition order cannot move the rounded
+    coordinate (oracle-reproducible).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    assigned = _normalized(corpus, id_col, "id", vec_col, "vec").withColumn(
+        "cell", ivf_assign(F.col("vec"), cents)
+    )
+    ex = assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+    return (
+        ex.groupBy("cell", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coord"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cell", "pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow-vectorized brute force (the fast exact path)
 # ---------------------------------------------------------------------------

@@ -565,6 +565,124 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_centroids_by_label",
+    oracle="""
+    SELECT label, CAST(r.i AS INTEGER) AS pos,
+           ROUND(CAST(SUM(CAST(e.embedding[r.i + 1] AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS coord,
+           COUNT(*) AS n_vectors
+    FROM embeddings e, UNNEST(range(len(e.embedding))) AS r(i)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (vector aggregation
+    in long form): posexplode → one map-side-combinable mean per
+    (label, dimension). The shuffle carries ≤ labels × dims rows
+    regardless of corpus size — the aggregation shape for class
+    prototypes / cluster summaries over 100 TB of embeddings.
+    Dimension sums go through DECIMAL(28,12) so fp summation order
+    cannot move the rounded coordinate on either engine."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coord"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "ivf_kmeans_refined_centroids",
+    oracle=f"""
+    WITH {_IVF_NRM_SQL},
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
+                   ) AS rn
+            FROM nrm n CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+    SELECT a.cell, CAST(r.i AS INTEGER) AS pos,
+           ROUND(CAST(SUM(CAST(n.v[r.i + 1] AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS coord,
+           COUNT(*) AS n_members
+    FROM assign a, nrm n, UNNEST(range(len(n.v))) AS r(i)
+    WHERE n.vec_id = a.vec_id
+    GROUP BY a.cell, pos
+    ORDER BY a.cell, pos
+    """,
+)
+def ivf_kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step over the deterministic IVF seeds
+    (``similarity.kmeans_refine``) — the centroid-training operator
+    that upgrades the IVF index from seeded to refined. Assignment is
+    a plan literal (no join/shuffle); the per-cell dimension means are
+    one map-side-combinable aggregate."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.kmeans_refine(emb, num_centroids=16)
+
+
+@query(
+    "token_hist_by_lang",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+               END AS n_tok,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+           ROUND(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def token_hist_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count accounting per language — the corpus-budget numbers
+    a pretraining data pipeline reports (docs, whitespace tokens,
+    exact p50/p90 token lengths, BPE-ish word-piece estimate). Exact
+    percentiles for oracle parity; at 100 TB swap to
+    ``approx_percentile`` (t-digest, map-side combinable)."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "lang",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC output projections
 # ---------------------------------------------------------------------------

@@ -694,3 +694,135 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: retention cohorts + conversion funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_act AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    cohort AS (
+        SELECT user_id,
+               CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week
+        FROM first_act
+    ),
+    act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS act_week
+        FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.act_week) // 7
+                AS INTEGER) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    ORDER BY c.cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted in each subsequent activity week. Two shuffles —
+    per-user min (map-side-combinable) and the cohort×offset distinct
+    count; the (user, week) distinct runs before the join so the join
+    input is already reduced."""
+    ev = load_table(spark, "events", sf_dir)
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id", F.to_date(F.date_trunc("week", "first_ts")).alias("cohort_week")
+        )
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+    ).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 4) AS view_to_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 4) AS view_to_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → first click strictly after it
+    → first purchase strictly after that): the event-sequence shape
+    behind product analytics. Each stage is a per-user min over a
+    semi-filtered join — all map-side-combinable aggregates on the
+    user_id shuffle key, reused stage to stage."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(
+            F.col("n_click_after_view").cast("double") / F.col("n_view"), 4
+        ).alias("view_to_click"),
+        F.round(
+            F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 4
+        ).alias("view_to_purchase"),
+    )

@@ -88,3 +88,54 @@ def test_from_debezium_delete_key_from_before(spark):
     assert back["after"] is None
     assert back["before"] == {"id": "3"}
     assert back["key_columns"] == ["id"]
+
+
+class TestKafkaProducePathStandIn:
+    """End-to-end produce path without a broker (reference
+    ``kafka.rs:346-416`` delivery barrier): the envelope flows through
+    an ACTUAL Structured Streaming query — readStream → to_debezium →
+    writeStream(foreachBatch capturing the exact (topic, key, value)
+    records a Kafka sink would transmit) — and the captured bytes are
+    golden-asserted character-for-character. Swapping the capturing
+    foreachBatch for format('kafka') + kafka_producer_options is the
+    only delta to a live broker."""
+
+    def test_streamed_envelope_exact_bytes(self, spark, tmp_path):
+        # single-column row: map key order through the Python→JVM
+        # conversion is not insertion-stable, and this assertion is
+        # byte-exact on purpose
+        src = str(tmp_path / "events")
+        make_event(spark, "c", after={"id": "7"}).coalesce(1).write.parquet(src)
+
+        captured = []
+
+        def capture(batch_df, batch_id):
+            captured.extend(
+                (r["topic"], r["key"], r["value"])
+                for r in batch_df.collect()
+            )
+
+        stream = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(src)
+        q = (
+            to_debezium(stream, topic_prefix="cdc", source_db="postgres")
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        ts_ms = int(TS.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        fields = '{"type":"string","optional":true,"field":"id"}'
+        expected_value = (
+            '{"schema":{"type":"struct","fields":['
+            f'{{"type":"struct","fields":[{fields}],"optional":true,"field":"before"}},'
+            f'{{"type":"struct","fields":[{fields}],"optional":true,"field":"after"}}'
+            '],"optional":false,"name":"cdc.public.t1.Envelope"},'
+            '"payload":{"before":null,"after":{"id":"7"},'
+            '"source":{"version":"0.1.0","connector":"pg2any","name":"cdc",'
+            f'"ts_ms":{ts_ms},"db":"postgres","schema":"public","table":"t1",'
+            '"txId":42,"lsn":1234},'
+            f'"op":"c","ts_ms":{ts_ms}}}}}'
+        )
+        assert captured == [("cdc.public.t1", '{"id":"7"}', expected_value)]

@@ -156,3 +156,25 @@ class TestHotBucketSalting:
         # forced two-phase plan carries the extra salt window
         plan2 = S.lsh_topk(df, q, dim=64, num_planes=4, k=5, salt_threshold=1)._jdf.queryExecution().optimizedPlan().toString()
         assert plan2.count("Window [") == 2
+
+
+class TestKmeansRefine:
+    def test_one_step_means_and_membership(self, spark):
+        # 4 seeds (ids 0-3) on distinct axes; later vectors sit near a
+        # known axis, so their cell and the refined mean are predictable
+        base = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 1.0]),
+            (4, [1.0, 0.0, 0.0, 0.0]),  # → cell 0
+            (5, [0.0, 1.0, 0.0, 0.0]),  # → cell 1
+        ]
+        df = vecs(spark, base)
+        out = S.kmeans_refine(df, num_centroids=4).collect()
+        # membership: every vector lands in exactly one cell
+        assert sum(r["n_members"] for r in out if r["pos"] == 0) == len(base)
+        by_cell = {(r["cell"], r["pos"]): r for r in out}
+        assert by_cell[(0, 0)]["n_members"] == 2
+        assert by_cell[(0, 0)]["coord"] == 1.0  # mean of two unit-x vectors
+        assert by_cell[(2, 2)]["n_members"] == 1
