@@ -486,10 +486,31 @@ def kmeans_refine(
     through DECIMAL(28,12) so partition order cannot move the rounded
     coordinate (oracle-reproducible).
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
-    assigned = _normalized(corpus, id_col, "id", vec_col, "vec").withColumn(
-        "cell", ivf_assign(F.col("vec"), cents)
-    )
+    import numpy as np
+
+    cents = sorted(ivf_centroids(corpus, id_col, vec_col, num_centroids))
+    c_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    c_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    # Arrow assignment: one (batch × dim) @ (dim × cells) matmul per
+    # Arrow batch instead of a cells × dim literal expression tree —
+    # same 9dp rounding and min-cid tiebreak as ivf_assign (argmax over
+    # ascending cids), so the oracle's assignment CTE still matches.
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                v = np.stack(pdf["vec"].to_numpy())
+                norms = np.linalg.norm(v, axis=1)
+                norms[norms == 0.0] = 1.0
+                v = v / norms[:, None]
+                pdf["vec"] = list(v)
+                pdf["cell"] = c_ids[np.argmax(np.round(v @ c_mat.T, 9), axis=1)]
+            else:
+                pdf["cell"] = np.array([], dtype=np.int64)
+            yield pdf
+
+    raw = corpus.select(_as_double(F.col(vec_col)).alias("vec"))
+    assigned = raw.mapInPandas(assign, "vec array<double>, cell long")
     ex = assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
     return (
         ex.groupBy("cell", "pos")
