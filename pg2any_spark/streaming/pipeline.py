@@ -166,6 +166,107 @@ def streaming_exact_dedup(
     )
 
 
+#: Closed-session output of ``sessionize_stream``.
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, duration_s long"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: a custom stateful operator over
+    ``applyInPandasWithState`` keyed by user — the continuous
+    counterpart of the batch ``sessionize_events`` query (same
+    gap-based session definition).
+
+    State per user is ONE open session (start, last-event, count) —
+    constant bytes per active user, not per event. A batch's events
+    close sessions in-group when the gap is exceeded; sessions with no
+    successor close via event-time timeout once the watermark passes
+    ``last + gap`` (late events beyond the watermark are dropped by
+    the same contract as every watermarked operator). At 100 TB/day
+    state scales with concurrently-active users only.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def close(start_us: int, last_us: int, n: int):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [0],  # overwritten below
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "duration_s": [(last_us - start_us) // 1_000_000],
+            }
+        )
+
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            out = close(start_us, last_us, n)
+            out["user_id"] = user_id
+            yield out
+            return
+
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(pdf["ts"].astype("int64") // 1000)
+        ts_us.sort()
+        open_sess = list(state.get) if state.exists else None
+        closed = []
+        for t in ts_us:
+            if open_sess is None:
+                open_sess = [t, t, 1]
+            elif t - open_sess[1] <= gap_us:
+                open_sess[1] = t
+                open_sess[2] += 1
+            else:
+                closed.append(tuple(open_sess))
+                open_sess = [t, t, 1]
+        state.update(tuple(open_sess))
+        state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+        if closed:
+            out = pd.concat([close(*c) for c in closed], ignore_index=True)
+            out["user_id"] = user_id
+            yield out
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_daily_counts(
     events: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:

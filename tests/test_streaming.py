@@ -226,3 +226,68 @@ class TestStreamingDedup:
         assert 3 in kept and 5 in kept
         assert len(kept & {1, 2, 4}) == 1
         assert 2 not in kept or 1 not in kept  # never both of a dup pair
+
+
+class TestStreamingSessionize:
+    def test_sessions_close_on_gap_across_batches(self, spark, tmp_path):
+        """Custom stateful operator (applyInPandasWithState): sessions
+        separated by > gap close and emit; the open tail session stays
+        in state. Two source files = two micro-batches, so the second
+        batch closes sessions opened in the first — state survives the
+        batch boundary."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.streaming.pipeline import sessionize_stream
+
+        def ev(eid, user, ts):
+            return (eid, ts, user)
+
+        batch1 = [
+            ev(1, 1, "2026-01-01 10:00:00"),
+            ev(2, 1, "2026-01-01 10:05:00"),
+            ev(3, 1, "2026-01-01 10:10:00"),
+            ev(4, 2, "2026-01-01 10:00:00"),
+        ]
+        batch2 = [
+            ev(5, 1, "2026-01-01 11:00:00"),  # >30min after 10:10 → closes s1
+            ev(6, 2, "2026-01-01 10:10:00"),  # within gap → still open
+            ev(7, 1, "2026-01-01 23:00:00"),  # closes the 11:00 session
+        ]
+        src = str(tmp_path / "events")
+        for i, rows in enumerate([batch1, batch2]):
+            spark.createDataFrame(
+                rows, "event_id long, ts string, user_id long"
+            ).withColumn("ts", F.to_timestamp("ts")).repartition(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "select * from sessions order by user_id, session_start"
+        ).collect()
+        closed = [
+            (r["user_id"], str(r["session_start"]), r["n_events"], r["duration_s"])
+            for r in rows
+        ]
+        # user 1: 10:00-10:10 (3 events) and the 11:00 singleton close
+        # via in-group gap logic; user 2's session closes via the
+        # EVENT-TIME TIMEOUT (hasTimedOut path) once the 23:00 event
+        # advances the watermark past its last+gap. User 1's 23:00
+        # tail stays open in state: its timeout (23:30) is beyond the
+        # final watermark.
+        assert closed == [
+            (1, "2026-01-01 10:00:00", 3, 600),
+            (1, "2026-01-01 11:00:00", 1, 0),
+            (2, "2026-01-01 10:00:00", 2, 600),
+        ]
