@@ -108,3 +108,42 @@ def weighted_mix(
     if out is None:
         raise ValueError("weighted_mix requires at least one source")
     return out
+
+
+def decontaminate_train(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    eval_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+) -> DataFrame:
+    """Eval-set decontamination: flag train rows whose normalized
+    content fingerprint also appears in the eval/test splits — the
+    leakage check every pretraining pipeline must run before the eval
+    numbers mean anything.
+
+    Returns the train rows with a ``contaminated`` boolean. The
+    holdout fingerprint set is produced by an aggregate (distinct) and
+    joined back with a left join; at the default 2% holdout the set is
+    small enough that AQE turns the join into a broadcast — the train
+    side never shuffles. Both the split and the fingerprint are pure
+    functions of the row (md5), so the whole check is deterministic
+    and oracle-reproducible.
+    """
+    from pg2any_spark.operators.text import fingerprint
+
+    tagged = assign_split(df, key_col, eval_ppm, test_ppm).withColumn(
+        "fp", fingerprint(F.col(text_col))
+    )
+    holdout = (
+        tagged.filter(F.col("split") != "train")
+        .select("fp")
+        .distinct()
+        .withColumn("__held", F.lit(True))
+    )
+    return (
+        tagged.filter(F.col("split") == "train")
+        .join(holdout, "fp", "left")
+        .withColumn("contaminated", F.coalesce(F.col("__held"), F.lit(False)))
+        .drop("__held")
+    )

@@ -153,3 +153,21 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams over whitespace tokens (empty array when
+    the text has fewer than ``n`` tokens). Pure codegen'd higher-order
+    functions — the corpus-statistics primitive behind contamination
+    screens and boilerplate detection."""
+    toks = tokens(text)
+    return F.when(
+        (F.trim(text) == "") | (F.size(toks) < n), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )

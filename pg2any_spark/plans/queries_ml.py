@@ -1193,3 +1193,83 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
+
+
+@query(
+    "decontaminate_train_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT source,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                || 'split'), 1, 8)) AS BIGINT) % 1000000
+                         < 20000 THEN 'holdout' ELSE 'train' END AS split,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    holdout AS (SELECT DISTINCT fp FROM tagged WHERE split = 'holdout')
+    SELECT t.source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN h.fp IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM tagged t LEFT JOIN holdout h ON h.fp = t.fp
+    WHERE t.split = 'train'
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination accounting per source: train docs
+    whose content fingerprint leaks into the eval/test holdout are
+    flagged (``sampling.decontaminate_train``). The holdout set is a
+    2% distinct-fingerprint aggregate — broadcast-joined, so the train
+    side never shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    flagged = SA.decontaminate_train(docs, "doc_id", "text")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.col("contaminated").cast("int")).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.sum((~F.col("contaminated")).cast("int")).cast("bigint").alias(
+                "n_clean"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "top_ngrams_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+        SELECT t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 3 AS INTEGER)] AS ngram
+        FROM toks, UNNEST(range(len(t) - 2)) AS r(i)
+        WHERE len(t) >= 3
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def top_ngrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word 3-grams over the corpus (``text.word_ngrams``):
+    boilerplate/contamination screening statistics. Explode →
+    map-side-combinable count → deterministic top-k
+    (TakeOrderedAndProject); the shuffle carries one row per distinct
+    n-gram per partition, never the exploded corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(F.explode(T.word_ngrams(F.col("text"), 3)).alias("ngram"))
+    return (
+        g.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(20)
+    )

@@ -8,7 +8,10 @@ the whole process group mid-batch — the reference's chaos harness
 property (``tests/chaos/scripts/chaos_script.sh``: random
 ``docker stop`` during replication), re-created process-locally.
 
-Usage: run_cdc_stream.py SOURCE_DIR TARGET_PATH CHECKPOINT_DIR [MAX_FILES_PER_TRIGGER]
+Usage: run_cdc_stream.py SOURCE_DIR TARGET CHECKPOINT_DIR [MAX_FILES_PER_TRIGGER]
+
+TARGET is a parquet replica path, or ``sqlite:<db_path>`` to apply
+through the live SQLite sink (atomic data+progress transactions).
 """
 
 from __future__ import annotations
@@ -30,9 +33,23 @@ def main() -> None:
     max_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark(app_name="cdc-stream-runner", shuffle_partitions=8)
     events = read_event_stream(spark, src, max_files_per_trigger=max_files)
-    query = start_cdc_apply(
-        events, target, T1_SCHEMA, ["id"], ckpt, table="t1", available_now=True
-    )
+    if target.startswith("sqlite:"):
+        from pg2any_spark.sinks.sqlite_sink import sqlite_batch_applier
+
+        query = (
+            events.writeStream.foreachBatch(
+                sqlite_batch_applier(
+                    target[len("sqlite:"):], "t1", T1_SCHEMA, ["id"]
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        query = start_cdc_apply(
+            events, target, T1_SCHEMA, ["id"], ckpt, table="t1", available_now=True
+        )
     query.awaitTermination()
     spark.stop()
 

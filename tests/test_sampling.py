@@ -142,3 +142,34 @@ def test_weighted_mix_union_and_provenance(spark):
     half_ids = {r["doc_id"] for r in mixed.filter("mix_source = 'half'").collect()}
     all_ids = {r["doc_id"] for r in mixed.filter("mix_source = 'all'").collect()}
     assert half_ids <= all_ids
+
+
+class TestDecontaminate:
+    def test_flags_holdout_fingerprints(self, spark):
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.sampling import assign_split, decontaminate_train
+
+        # synthetic corpus big enough that ~2% lands in holdout
+        docs = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text "), (F.col("id") % 500).cast("string")).alias("text"),
+        )
+        out = decontaminate_train(docs, "doc_id", "text").cache()
+        try:
+            tagged = assign_split(docs, "doc_id")
+            n_train = tagged.filter("split = 'train'").count()
+            assert out.count() == n_train  # all train rows come back, flagged
+            # every contaminated row's fingerprint really is in the holdout
+            holdout_fps = {
+                r["fp"]
+                for r in tagged.filter("split != 'train'")
+                .select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"))
+                .distinct()
+                .collect()
+            }
+            for r in out.collect():
+                assert (r["fp"] in holdout_fps) == r["contaminated"]
+            assert out.filter("contaminated").count() > 0  # 6 dup groups of 500 keys
+        finally:
+            out.unpersist()

@@ -237,6 +237,72 @@ def test_s5_hard_kill_restart(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
 
 
+def test_sqlite_sink_hard_kill_restart(spark, tmp_path):
+    """S10 atomicity under SIGKILL: the SQLite sink commits data and
+    its progress row in ONE transaction per micro-batch, so a hard
+    kill anywhere (mid-transaction, between destination commit and
+    Spark's checkpoint write) leaves a state the restart reconciles to
+    exactly-once. 50k inserts over 8 micro-batches; kill the runner
+    process group after the first destination commit; restart; the
+    replica must hold exactly the 50k rows with no duplicates."""
+    import os
+    import signal
+    import sqlite3
+    import subprocess
+    import sys
+    import time
+
+    n = 50_000
+    src = str(tmp_path / "events")
+    db = str(tmp_path / "dest.db")
+    ckpt = str(tmp_path / "ckpt")
+    _to_events(_insert_events(spark, n, txid=7)).repartition(8).write.parquet(src)
+
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src, f"sqlite:{db}", ckpt, "1",
+    ]
+    log1 = open(str(tmp_path / "run1.log"), "wb")
+    p1 = subprocess.Popen(
+        cmd, cwd="/root/repo", start_new_session=True,
+        stdout=log1, stderr=subprocess.STDOUT,
+    )
+    try:
+        deadline = time.time() + 240
+
+        def committed_rows():
+            if not os.path.exists(db):
+                return 0
+            try:
+                with sqlite3.connect(db) as c:
+                    return c.execute('SELECT COUNT(*) FROM "t1"').fetchone()[0]
+            except sqlite3.OperationalError:  # table not created yet
+                return 0
+
+        while time.time() < deadline and committed_rows() == 0:
+            assert p1.poll() is None, (
+                "runner exited before first batch: "
+                + open(str(tmp_path / "run1.log")).read().decode(errors="replace")
+            )
+            time.sleep(0.2)
+        assert committed_rows() > 0, "no destination commit before deadline"
+        time.sleep(0.5)  # strike inside a later batch
+    finally:
+        os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+        p1.wait()
+        log1.close()
+
+    p2 = subprocess.run(cmd, cwd="/root/repo", timeout=600, capture_output=True)
+    assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
+
+    with sqlite3.connect(db) as c:
+        n_rows, n_ids, s = c.execute(
+            'SELECT COUNT(*), COUNT(DISTINCT id), SUM(id) FROM "t1"'
+        ).fetchone()
+    assert n_rows == n, f"{n_rows} rows after kill/restart, want {n}"
+    assert n_ids == n  # no duplicate applies
+    assert s == n * (n + 1) // 2
+
+
 def test_s5_single_huge_transaction(spark):
     """S5 (scaled): one transaction inserting 200k rows (the reference
     uses 3M via generate_series) → exact count, exact sum of ids. The

@@ -51,3 +51,24 @@ def test_rolling_fingerprint(spark):
     a = _one(spark, "ab", T.rolling_fingerprint(F.col("text")))
     b = _one(spark, "ba", T.rolling_fingerprint(F.col("text")))
     assert a != b
+
+
+class TestWordNgrams:
+    def test_ngram_edges(self, spark):
+        from pyspark.sql import Row, functions as F
+
+        from pg2any_spark.operators.text import word_ngrams
+
+        df = spark.createDataFrame(
+            [
+                Row(i=1, text="a b c d"),
+                Row(i=2, text="one two"),  # fewer than n tokens
+                Row(i=3, text="   "),      # blank
+                Row(i=4, text="x Y  z"),   # case + multi-space
+            ]
+        )
+        rows = {r["i"]: r["g"] for r in df.select("i", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+        assert rows[1] == ["a b c", "b c d"]
+        assert rows[2] == []
+        assert rows[3] == []
+        assert rows[4] == ["x y z"]
