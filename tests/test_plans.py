@@ -101,3 +101,45 @@ def test_window_query_partitions_before_sorting(plans):
     plan = plans("window_top_orders_per_customer")
     assert "hashpartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_funnel_stage_filters_reach_the_scan(plans):
+    """Each funnel stage scans events with its event_type filter
+    PUSHED — three pruned scans, not one full scan re-filtered."""
+    plan = plans("funnel_view_click_purchase")
+    for etype in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in plan, etype
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_aggregates_stay_hash(plans):
+    plan = plans("retention_cohorts")
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_holdout_broadcasts(plans):
+    """The 2% holdout fingerprint set must come back as a broadcast
+    join — the train side (98% of the corpus) never shuffles for it."""
+    plan = plans("decontaminate_train_split")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_ngrams_partial_agg_before_exchange(plans):
+    """Explode fan-out must be reduced map-side: partial count per
+    distinct n-gram precedes the exchange, and the top-k is a
+    TakeOrderedAndProject (no global sort of all n-grams)."""
+    plan = plans("top_ngrams_corpus")
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_refine_single_aggregate_no_join(plans):
+    """Assignment is in the Arrow map stage (no join/shuffle); the only
+    exchange belongs to the (cell, pos) mean aggregate."""
+    plan = plans("ivf_kmeans_refined_centroids")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
