@@ -61,6 +61,54 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_apply_multi_table",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT 'orders', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 <> 1
+    ORDER BY table_name
+    """,
+)
+def cdc_apply_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table dispatch: ONE interleaved event stream (customer +
+    orders, the reference's whole-publication replication) fanned out
+    to per-table applies; output is the per-table row-count/checksum
+    summary of both final states. Each apply filters the shared stream
+    by table — pushed to the scan — so tables never pay for each
+    other's events."""
+    from pg2any_spark.sources.cdc_gen import (
+        synth_customer_events,
+        synth_orders_events,
+    )
+
+    events = synth_customer_events(spark, sf_dir).unionByName(
+        synth_orders_events(spark, sf_dir)
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust_state = apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
+    orders_state = apply_changes(
+        events, orders.schema, ["o_orderkey"], table="orders",
+        scan_for_truncate=False,
+    )
+    summary = cust_state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "key_sum")
+    summary2 = orders_state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "key_sum")
+    return summary.unionByName(summary2).orderBy("table_name")
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.6 — absent in reference, Spark-native here)
 # ---------------------------------------------------------------------------

@@ -138,6 +138,43 @@ def start_cdc_apply(
     return writer.start()
 
 
+def start_multi_table_apply(
+    events: DataFrame,
+    tables: dict[str, tuple[str, StructType, list[str]]],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Apply ONE change-event stream onto MANY table replicas — the
+    reference replicates every table in the publication through one
+    slot (``lib.rs`` consumer loop dispatches per event table); here
+    one micro-batch fans out to per-table applies inside a single
+    foreachBatch, so all tables advance atomically with one checkpoint.
+
+    ``tables`` maps table name → (target parquet path, schema,
+    key columns). Each table's apply filters the batch down to its own
+    events (`apply_changes(table=…)`), so an empty slice is a cheap
+    no-op. One checkpoint covers all tables: a restart replays the
+    whole batch for every table, and each apply is idempotent."""
+    spark = events.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for table, (target, schema, key_cols) in tables.items():
+                apply_batch_to_parquet(
+                    spark, batch_df, target, schema, key_cols, table=table
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = events.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     ts_col: str = "ts",

@@ -291,3 +291,48 @@ class TestStreamingSessionize:
             (1, "2026-01-01 11:00:00", 1, 0),
             (2, "2026-01-01 10:00:00", 2, 600),
         ]
+
+
+class TestMultiTableApply:
+    def test_one_stream_two_replicas(self, spark, tmp_path, sf_dir):
+        """One interleaved event stream advances BOTH table replicas
+        under a single checkpoint; each replica equals its direct
+        batch apply."""
+        from pg2any_spark.operators.apply import apply_changes
+        from pg2any_spark.sources.cdc_gen import (
+            synth_customer_events,
+            synth_orders_events,
+        )
+        from pg2any_spark.streaming.pipeline import start_multi_table_apply
+
+        cust = load_table(spark, "customer", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        events = synth_customer_events(spark, sf_dir).unionByName(
+            synth_orders_events(spark, sf_dir)
+        )
+        src = str(tmp_path / "events")
+        events.repartition(2).write.parquet(src)
+
+        stream = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(src)
+        t_cust = str(tmp_path / "cust")
+        t_ord = str(tmp_path / "ord")
+        q = start_multi_table_apply(
+            stream,
+            {
+                "customer": (t_cust, cust.schema, ["c_custkey"]),
+                "orders": (t_ord, orders.schema, ["o_orderkey"]),
+            },
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+
+        for target, schema, keys, table in [
+            (t_cust, cust.schema, ["c_custkey"], "customer"),
+            (t_ord, orders.schema, ["o_orderkey"], "orders"),
+        ]:
+            got = spark.read.parquet(target)
+            want = apply_changes(
+                events, schema, keys, table=table, scan_for_truncate=False
+            )
+            assert got.exceptAll(want).isEmpty(), table
+            assert want.exceptAll(got).isEmpty(), table
