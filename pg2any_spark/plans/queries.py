@@ -109,6 +109,48 @@ def cdc_apply_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.unionByName(summary2).orderBy("table_name")
 
 
+@query(
+    "cdc_incremental_agg_view",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey % 4 <> 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change
+    stream: each event becomes an aggregate DELTA (+row for insert,
+    −row for delete, read from the FULL-identity ``before`` image) and
+    the view is one fold over deltas — no replica scan, no state
+    lookup. This is why the reference supports FULL replica identity
+    (``sql_renderer.rs:353-369``): with key-only images the deltas for
+    deletes would need a base-table join. The oracle aggregates the
+    post-apply state — event-sourced deltas must equal state
+    aggregation exactly."""
+    from pg2any_spark.sources.cdc_gen import synth_orders_events
+
+    ev = synth_orders_events(spark, sf_dir)
+    img = F.when(F.col("op") == "c", F.col("after")).otherwise(F.col("before"))
+    sign = F.when(F.col("op") == "c", F.lit(1)).otherwise(F.lit(-1))
+    deltas = ev.filter(F.col("op").isin("c", "d")).select(
+        img["o_orderpriority"].alias("o_orderpriority"),
+        sign.alias("sign"),
+        (sign * img["o_totalprice"].cast("double")).alias("price_delta"),
+    )
+    return (
+        deltas.groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").cast("bigint").alias("n_orders"),
+            F.round(F.sum("price_delta"), 2).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.6 — absent in reference, Spark-native here)
 # ---------------------------------------------------------------------------
