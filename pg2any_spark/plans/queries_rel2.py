@@ -826,3 +826,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 4
         ).alias("view_to_purchase"),
     )
+
+
+@query(
+    "rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY day
+    )
+    SELECT day, day_rev,
+           ROUND(SUM(day_rev) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_7d
+    FROM daily ORDER BY day
+    """,
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): 7-day trailing
+    revenue per day. Spark's rangeBetween needs a numeric ordering
+    key, so the day orders by epoch seconds with a −6·86400 lower
+    bound — semantically identical to DuckDB's INTERVAL frame over
+    dates. The daily pre-aggregation keeps the window input at one row
+    per day regardless of order volume."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        daily.withColumn("rolling_7d", F.round(F.sum("day_rev").over(w), 2))
+        .orderBy("day")
+    )
