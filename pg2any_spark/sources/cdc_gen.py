@@ -45,71 +45,58 @@ def synth_customer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey % 7 <> 0
     """
     cust = load_table(spark, "customer", sf_dir)
+    cols = cust.columns
     after_full = F.map_from_arrays(
-        F.array(*[F.lit(c) for c in cust.columns]),
-        F.array(*[_text(c) for c in cust.columns]),
-    )
-    common = {
-        "schema": F.lit("public"),
-        "table": F.lit("customer"),
-        "commit_ts": F.to_timestamp(F.lit("2026-01-01 00:00:00")),
-        "key_columns": F.array(F.lit("c_custkey")),
-        "replica_identity": F.lit("default"),
-    }
-
-    inserts = cust.select(
-        F.lit("c").alias("op"),
-        common["schema"].alias("schema"),
-        common["table"].alias("table"),
-        (F.col("c_custkey") % 1000).cast("long").alias("txid"),
-        F.col("c_custkey").cast("long").alias("lsn"),
-        common["commit_ts"].alias("commit_ts"),
-        F.lit(None).cast("map<string,string>").alias("before"),
-        after_full.alias("after"),
-        common["key_columns"].alias("key_columns"),
-        common["replica_identity"].alias("replica_identity"),
-    )
-
-    upd = cust.filter(F.col("c_custkey") % UPDATE_MOD == 0).withColumn(
-        "new_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[_text(c) for c in cols]),
     )
     upd_after = F.map_from_arrays(
-        F.array(*[F.lit(c) for c in cust.columns]),
+        F.array(*[F.lit(c) for c in cols]),
         F.array(
             *[
-                F.col("new_acctbal").cast("string") if c == "c_acctbal" else _text(c)
-                for c in cust.columns
+                (F.col("c_acctbal") + F.lit(1000.0)).cast("string")
+                if c == "c_acctbal"
+                else _text(c)
+                for c in cols
             ]
         ),
     )
-    updates = upd.select(
-        F.lit("u").alias("op"),
-        common["schema"].alias("schema"),
-        common["table"].alias("table"),
-        F.lit(2000).cast("long").alias("txid"),
-        (F.col("c_custkey") + _UPDATE_BASE).cast("long").alias("lsn"),
-        common["commit_ts"].alias("commit_ts"),
-        # Default replica identity: before carries key columns only.
-        F.create_map(F.lit("c_custkey"), _text("c_custkey")).alias("before"),
-        upd_after.alias("after"),
-        common["key_columns"].alias("key_columns"),
-        common["replica_identity"].alias("replica_identity"),
-    )
+    # Default replica identity: before carries key columns only.
+    key_map = F.create_map(F.lit("c_custkey"), _text("c_custkey"))
+    null_map = F.lit(None).cast("map<string,string>")
+    k = F.col("c_custkey")
 
-    deletes = cust.filter(F.col("c_custkey") % DELETE_MOD == 0).select(
-        F.lit("d").alias("op"),
-        common["schema"].alias("schema"),
-        common["table"].alias("table"),
-        F.lit(3000).cast("long").alias("txid"),
-        (F.col("c_custkey") + _DELETE_BASE).cast("long").alias("lsn"),
-        common["commit_ts"].alias("commit_ts"),
-        F.create_map(F.lit("c_custkey"), _text("c_custkey")).alias("before"),
-        F.lit(None).cast("map<string,string>").alias("after"),
-        common["key_columns"].alias("key_columns"),
-        common["replica_identity"].alias("replica_identity"),
-    )
+    def mk(op, txid, lsn, before, after):
+        return F.struct(
+            F.lit(op).alias("op"),
+            txid.cast("long").alias("txid"),
+            lsn.cast("long").alias("lsn"),
+            before.alias("before"),
+            after.alias("after"),
+        )
 
-    return inserts.unionByName(updates).unionByName(deletes)
+    # ONE customer scan: each row explodes into its 1-3 events (insert
+    # always; update/delete per predicate). The 3-branch union form
+    # scanned customer three times — measured ~30% slower end-to-end
+    # through apply at sf0.1.
+    events = F.array(
+        mk("c", k % 1000, k, null_map, after_full),
+        F.when(k % UPDATE_MOD == 0, mk("u", F.lit(2000), k + _UPDATE_BASE, key_map, upd_after)),
+        F.when(k % DELETE_MOD == 0, mk("d", F.lit(3000), k + _DELETE_BASE, key_map, null_map)),
+    )
+    e = cust.select(F.explode(F.filter(events, lambda x: x.isNotNull())).alias("e"))
+    return e.select(
+        F.col("e.op").alias("op"),
+        F.lit("public").alias("schema"),
+        F.lit("customer").alias("table"),
+        F.col("e.txid").alias("txid"),
+        F.col("e.lsn").alias("lsn"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("commit_ts"),
+        F.col("e.before").alias("before"),
+        F.col("e.after").alias("after"),
+        F.array(F.lit("c_custkey")).alias("key_columns"),
+        F.lit("default").alias("replica_identity"),
+    )
 
 
 def synth_truncate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,30 +226,33 @@ def synth_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(c) for c in orders.columns]),
         F.array(*[_text(c) for c in orders.columns]),
     )
-    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
     null_map = F.lit(None).cast("map<string,string>")
-    inserts = orders.select(
-        F.lit("c").alias("op"),
+    k = F.col("o_orderkey")
+
+    def mk(op, txid, lsn, before, after):
+        return F.struct(
+            F.lit(op).alias("op"),
+            txid.cast("long").alias("txid"),
+            lsn.cast("long").alias("lsn"),
+            before.alias("before"),
+            after.alias("after"),
+        )
+
+    # one orders scan (see synth_customer_events for the rationale)
+    events = F.array(
+        mk("c", F.lit(10), k, null_map, full_map),
+        F.when(k % 4 == 1, mk("d", F.lit(11), k + _DELETE_BASE, full_map, null_map)),
+    )
+    e = orders.select(F.explode(F.filter(events, lambda x: x.isNotNull())).alias("e"))
+    return e.select(
+        F.col("e.op").alias("op"),
         F.lit("public").alias("schema"),
         F.lit("orders").alias("table"),
-        F.lit(10).cast("long").alias("txid"),
-        F.col("o_orderkey").cast("long").alias("lsn"),
-        ts.alias("commit_ts"),
-        null_map.alias("before"),
-        full_map.alias("after"),
+        F.col("e.txid").alias("txid"),
+        F.col("e.lsn").alias("lsn"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("commit_ts"),
+        F.col("e.before").alias("before"),
+        F.col("e.after").alias("after"),
         F.array(F.lit("o_orderkey")).alias("key_columns"),
         F.lit("full").alias("replica_identity"),
     )
-    deletes = orders.filter(F.col("o_orderkey") % 4 == 1).select(
-        F.lit("d").alias("op"),
-        F.lit("public").alias("schema"),
-        F.lit("orders").alias("table"),
-        F.lit(11).cast("long").alias("txid"),
-        (F.col("o_orderkey") + _DELETE_BASE).cast("long").alias("lsn"),
-        ts.alias("commit_ts"),
-        full_map.alias("before"),
-        null_map.alias("after"),
-        F.array(F.lit("o_orderkey")).alias("key_columns"),
-        F.lit("full").alias("replica_identity"),
-    )
-    return inserts.unionByName(deletes)
