@@ -199,3 +199,51 @@ class TestSynthCustomerScenario:
         assert out.count() == expected.count()
         diff = out.exceptAll(expected.select(*[f.name for f in cust.schema.fields]))
         assert diff.count() == 0
+
+
+class TestRandomizedReplay:
+    """Differential test: random interleaved event streams applied by
+    the distributed operator must equal an independent sequential
+    Python replay (sort by lsn, apply one-by-one onto a dict) — the
+    simplest possible executable spec of last-writer-wins."""
+
+    @pytest.mark.parametrize("seed", [1, 7, 42])
+    def test_apply_equals_sequential_replay(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        keys = list(range(1, 31))
+        events, lsns = [], iter(range(1, 10_000))
+        for _ in range(250):
+            k = rng.choice(keys)
+            op = rng.choices(["c", "u", "d"], weights=[3, 4, 2])[0]
+            lsn = next(lsns)
+            if op == "d":
+                events.append(ev("d", lsn, before={"id": str(k)}))
+            else:
+                events.append(
+                    ev(op, lsn, t1_after(k, rng.randrange(1000)), {"id": str(k)})
+                )
+
+        # sequential spec replay
+        replica: dict[str, dict] = {}
+        for e in sorted(events, key=lambda e: e.lsn):
+            if e.op == "d":
+                replica.pop(e.before["id"], None)
+            else:
+                replica[e.after["id"]] = e.after
+
+        # distributed apply over a SHUFFLED event order (order must not
+        # matter — the reduction keys on lsn, not arrival order)
+        rng.shuffle(events)
+        got = state(
+            apply_changes(
+                make_events(spark, events), T1_SCHEMA, ["id"],
+                scan_for_truncate=False,
+            )
+        )
+        want = {
+            int(k): (int(v["val"]), v["col1"], v["col2"])
+            for k, v in replica.items()
+        }
+        assert got == want
