@@ -114,8 +114,10 @@ def interval_join(
         c = left[lk] == right[rk]
         cond = c if cond is None else (cond & c)
     # microsecond precision — truncating to seconds would disagree
-    # with interval arithmetic at the window edges
-    lt = F.unix_micros(left[left_ts])
-    rt = F.unix_micros(right[right_ts])
+    # with interval arithmetic at the window edges. cast("timestamp")
+    # is a no-op on TIMESTAMP and legalizes TIMESTAMP_NTZ inputs
+    # (unix_micros rejects NTZ; session TZ is pinned UTC).
+    lt = F.unix_micros(left[left_ts].cast("timestamp"))
+    rt = F.unix_micros(right[right_ts].cast("timestamp"))
     cond = cond & (rt >= lt) & (rt <= lt + max_gap_seconds * 1_000_000)
     return left.join(right, cond)

@@ -20,21 +20,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); Spark's timestamp is
-    microseconds, so we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    micros here — the same ns→us truncation DuckDB applies, keeping
-    oracle parity. Integer ``div`` (not ``/``) avoids double-precision
-    loss at 1e18-scale nanos.
-
-    The conf is set here (runtime-settable), not only in
-    ``session.get_spark``, so this loader works on ANY SparkSession —
-    including harnesses that build their own.
+    Timestamp normalization: the fixtures store
+    ``Timestamp(isAdjustedToUTC=false, MICROS)``, which Spark 4 reads
+    as TIMESTAMP_NTZ via parquet NTZ inference. The engine's contract
+    is plain TIMESTAMP everywhere (session TZ is pinned UTC, so the
+    instant is unchanged) — NTZ would reject ``withWatermark``,
+    ``unix_micros`` and ``cast(long)`` downstream. Older fixture
+    generations stored TIMESTAMP(NANOS) read as bigint; that branch is
+    kept so the loader works on either encoding.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # legacy nanos-as-long encoding: truncate ns -> us (integer div,
+        # not /, to avoid double-precision loss at 1e18-scale nanos)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

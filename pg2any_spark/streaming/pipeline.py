@@ -175,6 +175,20 @@ def start_multi_table_apply(
     return writer.start()
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP.
+
+    ``withWatermark`` raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    NTZ columns, and NTZ is exactly what Spark 4 infers from the
+    fixtures' ``Timestamp(isAdjustedToUTC=false)`` parquet encoding.
+    Session TZ is pinned UTC so the instant is unchanged; plain
+    TIMESTAMP columns pass through untouched.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     ts_col: str = "ts",
@@ -195,7 +209,7 @@ def streaming_exact_dedup(
     """
     from pg2any_spark.operators.text import normalize_text
 
-    fingered = docs.withColumn(
+    fingered = _ensure_event_time(docs, ts_col).withColumn(
         "fingerprint", F.md5(normalize_text(F.col(text_col)))
     )
     return fingered.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
@@ -292,7 +306,8 @@ def sessionize_stream(
             yield out
 
     return (
-        events.withWatermark("ts", watermark)
+        _ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
@@ -311,7 +326,8 @@ def streaming_daily_counts(
     (the §2.5 surface the reference lacks): late data beyond the
     watermark is dropped, state is bounded."""
     return (
-        events.withWatermark("ts", watermark)
+        _ensure_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

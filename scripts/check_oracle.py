@@ -70,18 +70,32 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        # one crashing query must record a failure, not abort the gate
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            elapsed = time.time() - t0
+            msg = str(exc).splitlines()[0][:200]
+            failures.append((name, f"spark error: {msg}"))
+            print(f"  ✗ {name}: SPARK ERROR {msg} [{elapsed:.1f}s]")
+            continue
         elapsed = time.time() - t0
         if name not in oracles:
             print(f"  ~ {name}: rows={len(srows)} (rows-only, no oracle) [{elapsed:.1f}s]")
             if len(srows) == 0:
                 failures.append((name, "0 rows"))
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).splitlines()[0][:200]
+            failures.append((name, f"oracle error: {msg}"))
+            print(f"  ✗ {name}: ORACLE ERROR {msg} [{elapsed:.1f}s]")
+            continue
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
