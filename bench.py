@@ -45,6 +45,9 @@ HEADLINE = [
     "cdc_debezium_envelope",
     "token_hist_by_lang",
     "ivf_kmeans_refined_centroids",
+    # round 3: SCD2 history build; keyless binned range join
+    "scd2_customer_history",
+    "range_join_error_purchase_global",
 ]
 
 

@@ -147,3 +147,47 @@ def decontaminate_train(
         .withColumn("contaminated", F.coalesce(F.col("__held"), F.lit(False)))
         .drop("__held")
     )
+
+
+def decontaminate_ngram_overlap(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 8,
+    eval_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+) -> DataFrame:
+    """N-gram-overlap decontamination: flag train rows sharing ANY word
+    n-gram with the eval/test holdout — the stricter industry-standard
+    screen (fingerprints only catch whole-document leaks; n-gram
+    overlap catches quoted passages and templated near-copies).
+
+    Plan shape: holdout n-grams are a distinct aggregate over 2% of
+    the corpus (broadcast-sized); train docs explode to (doc, gram),
+    LEFT SEMI join against the broadcast gram set, and the distinct
+    contaminated-id set flags back onto the un-exploded train rows.
+    The full train corpus is never shuffled — only its contaminated
+    id set (tiny by construction) crosses stages.
+    """
+    from pg2any_spark.operators.text import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
+    tagged = assign_split(df, key_col, eval_ppm, test_ppm)
+    holdout_grams = (
+        tagged.filter(F.col("split") != "train")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = tagged.filter(F.col("split") == "train")
+    contaminated = (
+        train.select(F.col(key_col), F.explode(grams).alias("gram"))
+        .join(F.broadcast(holdout_grams), "gram", "left_semi")
+        .select(key_col)
+        .distinct()
+        .withColumn("__c", F.lit(True))
+    )
+    return (
+        train.join(contaminated, key_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__c"), F.lit(False)))
+        .drop("__c")
+    )

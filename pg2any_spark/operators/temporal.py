@@ -121,3 +121,52 @@ def interval_join(
     rt = F.unix_micros(right[right_ts].cast("timestamp"))
     cond = cond & (rt >= lt) & (rt <= lt + max_gap_seconds * 1_000_000)
     return left.join(right, cond)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """KEYLESS bounded range join: all pairs with
+    ``left_ts <= right_ts <= left_ts + max_gap_seconds``, no equi-key.
+
+    Without keys, Catalyst can only plan a pure range predicate as a
+    broadcast-nested-loop / cartesian — O(|L|·|R|) comparisons, the
+    classic 100 TB never-finishes shape. This operator makes it an
+    EQUI-join on a time bin: bucket both sides by ``gap``-sized bins;
+    a right row at time r can only match left rows in bin
+    ``floor(r/gap)`` or the one before, so exploding the right side
+    into those two candidate bins and hash-joining on the bin key
+    touches only temporally-adjacent pairs. Comparisons drop to
+    O(pairs-within-2·gap); the exact predicate filters the remainder.
+    (The same trick range-join hints apply in other engines, expressed
+    with plain DataFrame ops.)
+
+    Bins inherit time skew — a hot bin (traffic spike) makes one hash
+    bucket large. AQE's skew-join splitting (on in ``session.get_spark``)
+    re-splits oversized partitions at runtime.
+
+    Column names must be disjoint between the two sides (rename before
+    calling for self-joins); the helper columns are dropped on return.
+    """
+    gap_us = max_gap_seconds * 1_000_000
+    lus = F.unix_micros(left[left_ts].cast("timestamp"))
+    rus = F.unix_micros(right[right_ts].cast("timestamp"))
+    l_binned = left.withColumn("__lus", lus).withColumn(
+        "__bin", F.floor(F.col("__lus") / gap_us)
+    )
+    r_bin = F.floor(F.col("__rus") / gap_us)
+    r_binned = right.withColumn("__rus", rus).withColumn(
+        "__bin", F.explode(F.array(r_bin, r_bin - 1))
+    )
+    return (
+        l_binned.join(r_binned, "__bin")
+        .filter(
+            (F.col("__rus") >= F.col("__lus"))
+            & (F.col("__rus") <= F.col("__lus") + gap_us)
+        )
+        .drop("__bin", "__lus", "__rus")
+    )

@@ -14,7 +14,7 @@ Cross-engine determinism notes (the DuckDB oracles mirror these):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Stopword markers per language for the n-gram/stopword heuristic.
 #: Deterministic and tiny by design — the point is the *operator shape*
@@ -171,3 +171,128 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the
+    corpus-statistics primitive behind keyword extraction and
+    boilerplate screening in a training-data pipeline.
+
+    Plan shape (all JVM codegen, no Python): explode → per-(doc, term)
+    count with map-side partial agg → document frequency as a second
+    small agg over the tf table (|vocab| rows) joined back on term →
+    corpus size as a broadcast 1-row aggregate → per-doc top-k via
+    row_number window. The big shuffles carry (doc, term) pairs and the
+    vocabulary, never the raw token stream; at 100 TB that's the same
+    two-shuffle budget as any word-count.
+
+    TF-IDF is rounded to 6 decimals BEFORE ranking so the tie-break
+    (term ascending) is reproducible across engines — floating ln()
+    noise must not reorder ranks vs the DuckDB oracle.
+    """
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    toks = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rnk")
+    )
+
+
+#: PII patterns shared VERBATIM with the oracles. Kept to syntax that
+#: Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+#: backrefs, no lookaround, explicit classes.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses and phone numbers with typed
+    placeholder tags — the standard scrub before training-corpus
+    release. Pure chained ``regexp_replace`` (JVM codegen; global
+    replace is Spark's default and DuckDB needs the 'g' flag —
+    mirrored in the oracle)."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (audit metric for the scrub)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_ips": F.regexp_count(text, F.lit(IPV4_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)),
+    }
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array —
+    single-pass ``aggregate`` with (prev, run, best) struct state."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(grams: Column) -> dict[str, Column]:
+    """Gopher-style repetition quality signals over a word n-gram
+    array (materialize it ONCE with ``word_ngrams`` + ``withColumn``
+    before calling — inlining the n-gram expression into each stat
+    re-derives it per reference and measures ~50× slower):
+
+    - ``dup_ngram_frac``: fraction of n-gram OCCURRENCES that are
+      repeats of an earlier occurrence (1 - distinct/total);
+    - ``top_ngram_share``: share of occurrences taken by the single
+      most frequent n-gram (modal count = longest equal run after
+      ``array_sort`` — O(n log n) per doc, not quadratic).
+
+    Machine-generated/boilerplate text scores high on both. Pure
+    per-row expressions: no shuffle, no UDF, linear corpus cost.
+    """
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    top = _max_run_length(F.array_sort(grams))
+    safe_total = F.when(total > 0, total.cast("double"))
+    return {
+        "dup_ngram_frac": F.round(
+            F.coalesce((total - distinct) / safe_total, F.lit(0.0)), 6
+        ),
+        "top_ngram_share": F.round(
+            F.coalesce(top / safe_total, F.lit(0.0)), 6
+        ),
+    }

@@ -1273,3 +1273,214 @@ def top_ngrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ngram")
         .limit(20)
     )
+
+
+@query(
+    "tfidf_top_terms_per_doc",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (`text.tfidf_top_terms`):
+    keyword extraction / boilerplate screening. Two shuffle stages
+    ((doc,term) count, vocabulary df) + broadcast corpus size; ranks
+    tie-break on the 6-dp-rounded score so both engines agree."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("doc_id", "rnk")
+
+
+@query(
+    "pii_redaction_docs",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR)
+                        || '.15 tel 415-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g'),
+             '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[PHONE]', 'g'
+           ) AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS INTEGER) AS n_phones
+    FROM aug ORDER BY doc_id
+    """,
+)
+def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (`text.redact_pii`): emails / IPv4 / phone numbers →
+    typed placeholders, plus per-class audit counts. The fixture corpus
+    contains no PII, so every other document is deterministically
+    augmented with synthetic PII derived from its doc_id — BOTH engines
+    build the same string, so the oracle genuinely exercises the
+    regexes. Pure chained regexp_replace: codegen'd projection, no
+    shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".15 tel 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    t = F.col("__aug")
+    counts = T.pii_counts(t)
+    return (
+        docs.withColumn("__aug", aug)
+        .select(
+            "doc_id",
+            T.redact_pii(t).alias("redacted"),
+            counts["n_emails"].alias("n_emails"),
+            counts["n_ips"].alias("n_ips"),
+            counts["n_phones"].alias("n_phones"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+        SELECT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS gram
+        FROM toks, UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    agg AS (
+        SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+        FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(ROUND((agg.total - agg.n_distinct)
+                          / CAST(agg.total AS DOUBLE), 6), 0.0) AS dup_ngram_frac,
+           COALESCE(ROUND(agg.top / CAST(agg.total AS DOUBLE), 6), 0.0)
+               AS top_ngram_share
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (`text.repetition_stats`): duplicate-2-gram fraction and modal
+    2-gram share — the machine-generated/boilerplate screen. Pure
+    per-row array expressions (no shuffle); the oracle recomputes via
+    relational unnest+aggregate to prove the expression form."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "__grams", T.word_ngrams(F.col("text"), 2)
+    )
+    stats = T.repetition_stats(F.col("__grams"))
+    return docs.select(
+        "doc_id",
+        stats["dup_ngram_frac"].alias("dup_ngram_frac"),
+        stats["top_ngram_share"].alias("top_ngram_share"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, source, text,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                || 'split'), 1, 8)) AS BIGINT) % 1000000
+                         < 20000 THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, split, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM tagged WHERE trim(text) <> ''
+    ),
+    g AS (
+        SELECT doc_id, split,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' || t[CAST(r.i + 2 AS INTEGER)]
+               || ' ' || t[CAST(r.i + 3 AS INTEGER)] || ' ' || t[CAST(r.i + 4 AS INTEGER)]
+               || ' ' || t[CAST(r.i + 5 AS INTEGER)] || ' ' || t[CAST(r.i + 6 AS INTEGER)]
+               || ' ' || t[CAST(r.i + 7 AS INTEGER)] || ' ' || t[CAST(r.i + 8 AS INTEGER)]
+               AS gram
+        FROM toks, UNNEST(range(len(t) - 7)) AS r(i)
+        WHERE len(t) >= 8
+    ),
+    holdout AS (SELECT DISTINCT gram FROM g WHERE split = 'holdout'),
+    bad_ids AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN holdout h ON g.gram = h.gram
+        WHERE g.split = 'train'
+    )
+    SELECT t.source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM tagged t LEFT JOIN bad_ids b ON t.doc_id = b.doc_id
+    WHERE t.split = 'train'
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def decontaminate_ngram_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram-overlap decontamination accounting per source
+    (`sampling.decontaminate_ngram_overlap`) — the stricter screen that
+    catches quoted passages, not just whole-document dups. Holdout
+    gram set broadcasts; the train corpus never shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    flagged = SA.decontaminate_ngram_overlap(docs, "doc_id", "text", n=8)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.col("contaminated").cast("int")).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("source")
+    )

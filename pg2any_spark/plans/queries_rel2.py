@@ -864,3 +864,54 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("rolling_7d", F.round(F.sum("day_rev").over(w), 2))
         .orderBy("day")
     )
+
+
+@query(
+    "window_value_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    over a GLOBAL order — deliberately the single-partition window
+    shape. At 100 TB a global rank is computed differently (sample-based
+    range partitioning or approx percentiles, see
+    `percentile_order_value_by_segment`); this pins the exact semantics
+    at the scale where a global window is the honest plan."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "setop_surplus_1997_orders",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    ORDER BY o_custkey
+    """,
+)
+def setop_surplus_1997_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) semantics: each customer appears
+    max(0, n_1997 - n_1998) times, i.e. their 1997 order SURPLUS.
+    Distinct from the existing INTERSECT/EXCEPT queries, which are set
+    semantics; Spark plans the multiset difference as one hash
+    aggregate of signed counts + generate (no join)."""
+    orders = load_table(spark, "orders", sf_dir)
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.exceptAll(y98).orderBy("o_custkey")

@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pg2any_spark.operators.temporal import asof_join, bucketize, interval_join
+from pg2any_spark.operators.temporal import (
+    asof_join,
+    bucketize,
+    interval_join,
+    range_join_binned,
+)
 from pg2any_spark.plans.queries import query
 from pg2any_spark.sources.fixtures import load_table
 
@@ -120,3 +125,119 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))).alias("gap_us"),
     ).orderBy("purchase_id", "error_id")
+
+
+@query(
+    "range_join_error_purchase_global",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           COUNT(p.event_id) AS n_purchases,
+           ROUND(COALESCE(SUM(p.value), 0), 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE
+    GROUP BY e.event_id
+    ORDER BY error_id
+    """,
+)
+def range_join_error_purchase_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range correlation: purchases anywhere in the system
+    within 5 minutes after each error (incident-impact shape — no
+    shared key, so a naive join is cartesian). Uses the binned
+    range-join rewrite (`range_join_binned`): gap-sized time bins turn
+    the pure range predicate into a hash equi-join on the bin; the
+    oracle keeps the raw range-join form to prove the rewrite. Inner
+    pairs are re-joined to the full error set broadcast-style via a
+    left join on the aggregated counts."""
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("p_value"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = range_join_binned(
+        errors, purchases, left_ts="e_ts", right_ts="p_ts", max_gap_seconds=300
+    )
+    per_error = pairs.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("p_value"), 2).alias("purchase_value"),
+    )
+    return (
+        errors.select("error_id")
+        .join(per_error, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("error_id")
+    )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_acctbal,
+               CAST(c_custkey AS BIGINT) AS valid_from_lsn,
+               CAST(CASE WHEN c_custkey % 3 = 0 THEN c_custkey + 10000000
+                         WHEN c_custkey % 7 = 0 THEN c_custkey + 20000000
+                    END AS BIGINT) AS valid_to_lsn
+        FROM customer
+    ),
+    v2 AS (
+        SELECT c_custkey, c_acctbal + 1000 AS c_acctbal,
+               CAST(c_custkey + 10000000 AS BIGINT) AS valid_from_lsn,
+               CAST(CASE WHEN c_custkey % 7 = 0 THEN c_custkey + 20000000
+                    END AS BIGINT) AS valid_to_lsn
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT c_custkey, c_acctbal, valid_from_lsn, valid_to_lsn,
+           (valid_to_lsn IS NULL) AS is_current
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    ORDER BY c_custkey, valid_from_lsn
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build from the synthesized customer CDC stream
+    (insert-all -> +1000 update for custkey%3==0 -> delete custkey%7==0):
+    every row VERSION with its LSN validity interval, one shuffle total
+    (operators/scd2.py). The oracle reconstructs the expected intervals
+    directly from the synthesis predicates."""
+    from pg2any_spark.operators.scd2 import scd2_from_events
+    from pg2any_spark.sources.cdc_gen import synth_customer_events
+
+    events = synth_customer_events(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    hist = scd2_from_events(events, cust.schema, ["c_custkey"])
+    return hist.select(
+        "c_custkey", "c_acctbal", "valid_from_lsn", "valid_to_lsn", "is_current"
+    ).orderBy("c_custkey", "valid_from_lsn")
+
+
+@query(
+    "scd2_snapshot_time_travel",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def scd2_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the SCD2 history: state as of LSN 15,000,000 —
+    after every insert and update, before any delete. A pure validity-
+    interval filter over the history (no recomputation); distinct from
+    the destructive apply's final state, which has the deletes."""
+    from pg2any_spark.operators.scd2 import scd2_from_events, scd2_snapshot_at
+    from pg2any_spark.sources.cdc_gen import synth_customer_events
+
+    events = synth_customer_events(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    hist = scd2_from_events(events, cust.schema, ["c_custkey"])
+    snap = scd2_snapshot_at(hist, 15_000_000)
+    return snap.select("c_custkey", "c_acctbal").orderBy("c_custkey")

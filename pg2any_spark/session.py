@@ -40,12 +40,10 @@ def get_spark(
         )
         # Arrow for pandas UDFs / toPandas — vectorized interchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Timestamps in fixtures are naive; keep session TZ stable for parity
-        # with the DuckDB oracle.
+        # Timestamps in fixtures are naive (NTZ parquet encoding,
+        # normalized to TIMESTAMP in sources.fixtures.load_table); keep
+        # session TZ stable for parity with the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp, so read as long and normalize in the loader.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast threshold: dimension tables (region/nation/supplier/part)
         # stay broadcast even at large SF; 64m is safe with 4g+ executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

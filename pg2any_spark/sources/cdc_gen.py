@@ -76,9 +76,11 @@ def synth_customer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # ONE customer scan: each row explodes into its 1-3 events (insert
-    # always; update/delete per predicate). The 3-branch union form
-    # scanned customer three times — measured ~30% slower end-to-end
-    # through apply at sf0.1.
+    # always; update/delete per predicate). A/B vs the 3-branch union
+    # (scripts/ab_cdc_synth.py, sf0.1, medians): explode 1.13s vs union
+    # 1.20s — explode wins here because the update/delete branches
+    # carry cheap key-only maps. Contrast synth_orders_events, where
+    # FULL identity makes the union form the winner.
     events = F.array(
         mk("c", k % 1000, k, null_map, after_full),
         F.when(k % UPDATE_MOD == 0, mk("u", F.lit(2000), k + _UPDATE_BASE, key_map, upd_after)),
@@ -229,30 +231,30 @@ def synth_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_map = F.lit(None).cast("map<string,string>")
     k = F.col("o_orderkey")
 
-    def mk(op, txid, lsn, before, after):
-        return F.struct(
+    def envelope(src, op, txid, lsn_col, before, after):
+        return src.select(
             F.lit(op).alias("op"),
-            txid.cast("long").alias("txid"),
-            lsn.cast("long").alias("lsn"),
+            F.lit("public").alias("schema"),
+            F.lit("orders").alias("table"),
+            F.lit(txid).cast("long").alias("txid"),
+            lsn_col.cast("long").alias("lsn"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("commit_ts"),
             before.alias("before"),
             after.alias("after"),
+            F.array(F.lit("o_orderkey")).alias("key_columns"),
+            F.lit("full").alias("replica_identity"),
         )
 
-    # one orders scan (see synth_customer_events for the rationale)
-    events = F.array(
-        mk("c", F.lit(10), k, null_map, full_map),
-        F.when(k % 4 == 1, mk("d", F.lit(11), k + _DELETE_BASE, full_map, null_map)),
+    # 2-branch union, NOT the single-scan explode form: FULL identity
+    # means the wide row-map appears in BOTH the insert's after and the
+    # delete's before, so the explode array materializes it twice per
+    # row; the union computes it 1.25× per row (all inserts + 25%
+    # deletes) and measured ~33% faster end-to-end through apply at
+    # sf0.1 (scripts/ab_cdc_synth.py, numbers in SCALE.md). The
+    # customer synthesis keeps the explode form — its extra branches
+    # carry cheap key-only maps, and explode wins there.
+    inserts = envelope(orders, "c", 10, k, null_map, full_map)
+    deletes = envelope(
+        orders.filter(k % 4 == 1), "d", 11, k + _DELETE_BASE, full_map, null_map
     )
-    e = orders.select(F.explode(F.filter(events, lambda x: x.isNotNull())).alias("e"))
-    return e.select(
-        F.col("e.op").alias("op"),
-        F.lit("public").alias("schema"),
-        F.lit("orders").alias("table"),
-        F.col("e.txid").alias("txid"),
-        F.col("e.lsn").alias("lsn"),
-        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("commit_ts"),
-        F.col("e.before").alias("before"),
-        F.col("e.after").alias("after"),
-        F.array(F.lit("o_orderkey")).alias("key_columns"),
-        F.lit("full").alias("replica_identity"),
-    )
+    return inserts.unionByName(deletes)

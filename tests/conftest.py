@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from pg2any_spark.session import get_spark
@@ -10,7 +12,14 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="pg2any_spark-tests", shuffle_partitions=8)
+    # warehouse dir outside the repo: bucketed-table tests saveAsTable
+    s = get_spark(
+        app_name="pg2any_spark-tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="pg2any-warehouse-")
+        },
+    )
     yield s
 
 

@@ -143,3 +143,45 @@ def test_kmeans_refine_single_aggregate_no_join(plans):
     plan = plans("ivf_kmeans_refined_centroids")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# Whole-registry gate: every registered query, not just the pinned ones
+# ---------------------------------------------------------------------------
+
+#: Queries whose plans legitimately contain Arrow/pandas stages — the
+#: vectorized UDF surface (embedding matmuls, media kernels). Anything
+#: NOT listed here must stay entirely JVM-side.
+ARROW_STAGE_ALLOWED = {
+    "ann_cosine_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+    "ivf_kmeans_refined_centroids",
+    "media_frame_samples",
+    "media_image_features",
+    "media_resize",
+    "training_pipeline_docs",
+}
+
+_PY_NODES = (
+    "MapInPandas",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_plan_gate(plans, name):
+    """No query may plan a cartesian product, a row-at-a-time Python
+    UDF (BatchEvalPython), or an unexpected Python stage. Runs over the
+    WHOLE registry so new queries can't silently regress the
+    shapes PLANS.md documents."""
+    plan = plans(name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ARROW_STAGE_ALLOWED:
+        for node in _PY_NODES:
+            assert node not in plan, f"{name}: unexpected Python stage {node}"

@@ -26,3 +26,19 @@ def test_query_runs(spark, sf_dir, name):
     # the smoke SF; allow empty only for the known-selective ones
     if name not in {"setop_lapsed_customers", "anti_join_unsold_parts"}:
         assert len(rows) > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """approx_distinct_parts is rows-only at the driver gate (sketches
+    are engine-specific), so pin its accuracy here: HLL++ at rsd=0.01
+    must land within 5·rsd of the exact distinct counts."""
+    from pg2any_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = QUERIES["approx_distinct_parts"](spark, sf).collect()[0]
+    exact = QUERIES["distinct_supplier_part_counts"](spark, sf).collect()[0]
+    for a, e in (
+        (approx["approx_parts"], exact["n_parts"]),
+        (approx["approx_supps"], exact["n_supps"]),
+    ):
+        assert abs(a - e) <= 5 * 0.01 * e, (a, e)

@@ -185,6 +185,47 @@ class TestStreamingWindows:
         for k, v in got.items():
             assert expected[k] == v
 
+    def test_daily_counts_on_raw_ntz_fixture(self, spark, sf_dir):
+        """Stream DIRECTLY from the driver fixture parquet: ``ts``
+        arrives as TIMESTAMP_NTZ (parquet NTZ inference), the exact
+        shape that used to crash ``withWatermark`` — the pipeline must
+        normalize it, not rely on the batch loader having run."""
+        from pyspark.sql import functions as F
+
+        path = f"{sf_dir}/events.parquet"
+        raw_schema = spark.read.format("parquet").load(path).schema
+        assert raw_schema["ts"].dataType.typeName() == "timestamp_ntz"
+        # file stream sources want a directory: stream the fixture DIR
+        # filtered to the events file (read-only, no copy)
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        out = streaming_daily_counts(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("daily_counts_ntz")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("select * from daily_counts_ntz").collect()
+        }
+        events = load_table(spark, "events", sf_dir)
+        batch = (
+            events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .collect()
+        )
+        expected = {(r["day"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+        assert got
+        for k, v in got.items():
+            assert expected[k] == v
+
 
 class TestStreamingDedup:
     def test_exact_dedup_drops_recrawl_within_watermark(self, spark, tmp_path):
@@ -336,3 +377,51 @@ class TestMultiTableApply:
             )
             assert got.exceptAll(want).isEmpty(), table
             assert want.exceptAll(got).isEmpty(), table
+
+
+class TestStreamingScd2:
+    def test_incremental_history_matches_batch_build(self, spark, sf_dir, tmp_path):
+        """Replay the synthesized customer CDC stream in THREE
+        micro-batches (split on the LSN bands: inserts / updates /
+        deletes) through start_scd2_history; the final history must
+        equal the one-shot batch scd2_from_events build — incremental
+        maintenance may not change semantics."""
+        from pg2any_spark.operators.scd2 import scd2_from_events
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.fixtures import load_table
+        from pg2any_spark.streaming.pipeline import start_scd2_history
+        from pyspark.sql import functions as F
+
+        events = synth_customer_events(spark, sf_dir)
+        cust = load_table(spark, "customer", sf_dir)
+        src = str(tmp_path / "events")
+        # one file per LSN band -> maxFilesPerTrigger=1 gives 3 batches
+        for lo, hi in ((0, 10_000_000), (10_000_000, 20_000_000),
+                       (20_000_000, 1 << 60)):
+            events.filter(
+                (F.col("lsn") >= lo) & (F.col("lsn") < hi)
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        history = str(tmp_path / "history")
+        q = start_scd2_history(
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            history, cust.schema, ["c_custkey"],
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+
+        def key(r):
+            return (r["c_custkey"], r["valid_from_lsn"])
+
+        def payload(r):
+            return (
+                r["valid_to_lsn"], r["is_current"], r["c_acctbal"], r["c_name"]
+            )
+
+        got = {key(r): payload(r) for r in spark.read.parquet(history).collect()}
+        want = {
+            key(r): payload(r)
+            for r in scd2_from_events(events, cust.schema, ["c_custkey"]).collect()
+        }
+        assert len(got) == len(want)
+        assert got == want

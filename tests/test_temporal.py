@@ -78,3 +78,125 @@ class TestIntervalJoin:
             max_gap_seconds=30, right_by=["u"],
         )
         assert sorted(r["eid"] for r in out.collect()) == [10, 11]
+
+
+class TestRangeJoinBinned:
+    """Keyless binned range join vs a brute-force reference join."""
+
+    def _sides(self, spark):
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(i, f"2026-01-01 00:{i:02d}:00") for i in range(0, 50)],
+            "l_id long, l_ts_s string",
+        ).select("l_id", F.to_timestamp("l_ts_s").alias("l_ts"))
+        right = spark.createDataFrame(
+            [(100 + i, f"2026-01-01 00:{i:02d}:30") for i in range(0, 50)],
+            "r_id long, r_ts_s string",
+        ).select("r_id", F.to_timestamp("r_ts_s").alias("r_ts"))
+        return left, right
+
+    def test_matches_bruteforce(self, spark):
+        from pg2any_spark.operators.temporal import range_join_binned
+
+        left, right = self._sides(spark)
+        got = {
+            (r["l_id"], r["r_id"])
+            for r in range_join_binned(
+                left, right, "l_ts", "r_ts", max_gap_seconds=150
+            ).collect()
+        }
+        lt = {r["l_id"]: r["l_ts"] for r in left.collect()}
+        rt = {r["r_id"]: r["r_ts"] for r in right.collect()}
+        want = {
+            (li, ri)
+            for li in lt
+            for ri in rt
+            if 0 <= (rt[ri] - lt[li]).total_seconds() <= 150
+        }
+        assert got == want
+        assert got  # non-trivial
+
+    def test_boundary_inclusive(self, spark):
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.temporal import range_join_binned
+
+        left = spark.createDataFrame(
+            [("2026-01-01 00:00:00",)], "l_ts_s string"
+        ).select(F.to_timestamp("l_ts_s").alias("l_ts"))
+        right = spark.createDataFrame(
+            [("2026-01-01 00:00:00",), ("2026-01-01 00:01:00",),
+             ("2026-01-01 00:01:00.000001",)],
+            "r_ts_s string",
+        ).select(F.to_timestamp("r_ts_s").alias("r_ts"))
+        out = range_join_binned(left, right, "l_ts", "r_ts", 60).collect()
+        # gap=0 and gap=60s match; 60s+1us does not
+        assert len(out) == 2
+
+    def test_no_cartesian_in_plan(self, spark):
+        from pg2any_spark.operators.temporal import range_join_binned
+
+        left, right = self._sides(spark)
+        df = range_join_binned(left, right, "l_ts", "r_ts", 150)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestScd2:
+    def _events(self, spark):
+        """key 1: insert@10, update@20, delete@30; key 2: insert@15."""
+        rows = [
+            ("c", 10, {"id": "1", "v": "a"}, None),
+            ("u", 20, {"id": "1", "v": "b"}, {"id": "1"}),
+            ("d", 30, None, {"id": "1"}),
+            ("c", 15, {"id": "2", "v": "x"}, None),
+        ]
+        return spark.createDataFrame(
+            [(op, lsn, after, before) for op, lsn, after, before in rows],
+            "op string, lsn long, after map<string,string>, before map<string,string>",
+        )
+
+    def test_history_intervals(self, spark):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from pg2any_spark.operators.scd2 import scd2_from_events
+
+        schema = StructType(
+            [StructField("id", LongType()), StructField("v", StringType())]
+        )
+        hist = scd2_from_events(self._events(spark), schema, ["id"])
+        got = {
+            (r["id"], r["v"]): (r["valid_from_lsn"], r["valid_to_lsn"], r["is_current"])
+            for r in hist.collect()
+        }
+        assert got == {
+            (1, "a"): (10, 20, False),
+            (1, "b"): (20, 30, False),  # closed by the delete
+            (2, "x"): (15, None, True),
+        }
+
+    def test_snapshot_matches_destructive_apply(self, spark):
+        """Snapshot at the max LSN must equal the apply operator's
+        final state (deletes leave no current version)."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from pg2any_spark.operators.scd2 import scd2_from_events, scd2_snapshot_at
+
+        schema = StructType(
+            [StructField("id", LongType()), StructField("v", StringType())]
+        )
+        hist = scd2_from_events(self._events(spark), schema, ["id"])
+        snap = {
+            (r["id"], r["v"]) for r in scd2_snapshot_at(hist, 99).collect()
+        }
+        assert snap == {(2, "x")}
+        mid = {(r["id"], r["v"]) for r in scd2_snapshot_at(hist, 25).collect()}
+        assert mid == {(1, "b"), (2, "x")}

@@ -72,3 +72,101 @@ class TestWordNgrams:
         assert rows[2] == []
         assert rows[3] == []
         assert rows[4] == ["x y z"]
+
+
+class TestTfidf:
+    def test_known_corpus(self, spark):
+        """3-doc corpus with hand-computable scores: 'common' appears in
+        every doc (idf=0), 'rare' in one (idf=ln 3)."""
+        import math
+
+        from pg2any_spark.operators.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common rare rare"),
+                (2, "common mid"),
+                (3, "common mid"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id"], r["term"]): (r["tf"], r["tfidf"], r["rnk"])
+            for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+        }
+        ln3 = round(math.log(3.0), 6)
+        ln15 = round(math.log(1.5), 6)
+        # doc 1: rare tf=2 idf=ln3 ranks first; common idf=0 second
+        assert out[(1, "rare")] == (2, round(2 * math.log(3.0), 6), 1)
+        assert out[(1, "common")][1] == 0.0 and out[(1, "common")][2] == 2
+        # docs 2/3: mid (idf=ln 1.5) beats common (idf=0)
+        assert out[(2, "mid")] == (1, ln15, 1)
+        assert out[(3, "mid")] == (1, ln15, 1)
+        assert ln3 > 0
+
+    def test_blank_docs_excluded(self, spark):
+        from pg2any_spark.operators.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "   "), (3, "")],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, "doc_id", "text", k=5).collect()
+        # blank docs contribute nothing AND don't inflate n_docs:
+        # idf = ln(1/1) = 0 for terms of the only real doc
+        assert {r["doc_id"] for r in out} == {1}
+        assert all(r["tfidf"] == 0.0 for r in out)
+
+
+class TestPiiRedaction:
+    def test_redacts_all_classes(self, spark):
+        from pg2any_spark.operators.text import pii_counts, redact_pii
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("mail bob.smith+x@corp.example.org from 192.168.1.200 "
+              "or call +1 415-555-0142 today",)],
+            "text string",
+        )
+        c = pii_counts(F.col("text"))
+        row = df.select(
+            redact_pii(F.col("text")).alias("red"),
+            c["n_emails"].alias("e"), c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+        ).collect()[0]
+        assert "[EMAIL]" in row["red"] and "[IP]" in row["red"]
+        assert "[PHONE]" in row["red"]
+        assert "bob.smith" not in row["red"]
+        assert "192.168" not in row["red"]
+        assert (row["e"], row["i"], row["p"]) == (1, 1, 1)
+
+    def test_clean_text_untouched(self, spark):
+        from pg2any_spark.operators.text import redact_pii
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("no pii here at all",)], "text string")
+        assert df.select(
+            redact_pii(F.col("text")).alias("r")
+        ).collect()[0]["r"] == "no pii here at all"
+
+
+class TestRepetitionStats:
+    def test_known_values(self, spark):
+        from pg2any_spark.operators.text import repetition_stats, word_ngrams
+        from pyspark.sql import functions as F
+
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] ->
+        # total 5, distinct 2, modal "a b" x3
+        df = spark.createDataFrame(
+            [("a b a b a b",), ("w x y z",), ("",)], "text string"
+        ).withColumn("g", word_ngrams(F.col("text"), 2))
+        s = repetition_stats(F.col("g"))
+        rows = df.select(
+            "text",
+            s["dup_ngram_frac"].alias("dup"),
+            s["top_ngram_share"].alias("top"),
+        ).collect()
+        got = {r["text"]: (r["dup"], r["top"]) for r in rows}
+        assert got["a b a b a b"] == (round(3 / 5, 6), round(3 / 5, 6))
+        assert got["w x y z"] == (0.0, round(1 / 3, 6))
+        assert got[""] == (0.0, 0.0)
