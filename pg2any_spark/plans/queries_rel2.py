@@ -915,3 +915,22 @@ def setop_surplus_1997_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
     y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
     return y97.exceptAll(y98).orderBy("o_custkey")
+
+
+@query("approx_percentile_order_value")  # no oracle: sketch is engine-specific
+def approx_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (the percentile scale path, like HLL for
+    distinct counts): p50/p95 order value per priority. Rows-only at
+    the driver gate — sketch outputs are engine-specific — with a
+    rank-tolerance test vs the exact percentile in tests/test_queries.py
+    (same contract as approx_distinct_parts)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50"),
+            F.approx_percentile("o_totalprice", 0.95, 10000).alias("p95"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

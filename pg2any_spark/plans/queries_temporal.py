@@ -4,7 +4,7 @@ re-expressed as compositions (operators/temporal.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pg2any_spark.operators.temporal import (
     asof_join,
@@ -241,3 +241,72 @@ def scd2_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_from_events(events, cust.schema, ["c_custkey"])
     snap = scd2_snapshot_at(hist, 15_000_000)
     return snap.select("c_custkey", "c_acctbal").orderBy("c_custkey")
+
+
+@query(
+    "timeseries_gapfill_daily_orders",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_orderpriority, MIN(day) AS lo, MAX(day) AS hi
+        FROM b GROUP BY o_orderpriority
+    ),
+    spine AS (
+        SELECT o_orderpriority,
+               CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM r
+    )
+    SELECT s.o_orderpriority, s.day,
+           COALESCE(b.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(b.revenue, 0), 2) AS revenue,
+           ROUND(last_value(b.revenue IGNORE NULLS) OVER (
+               PARTITION BY s.o_orderpriority ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS last_seen_revenue
+    FROM spine s LEFT JOIN b
+      ON s.o_orderpriority = b.o_orderpriority AND s.day = b.day
+    ORDER BY s.o_orderpriority, s.day
+    """,
+)
+def timeseries_gapfill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill per order priority (`timeseries.gapfill_daily`):
+    dense daily spine from a per-key min/max agg + explode(sequence),
+    zero-fill for additive measures, carry-forward for level measures.
+    One (key, day) shuffle — the floor cost of per-key time-series
+    math; the spine never cross-joins a calendar table."""
+    from pg2any_spark.operators.timeseries import gapfill_daily
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    dense = gapfill_daily(
+        daily,
+        ["o_orderpriority"],
+        "day",
+        fill_zero={"n_orders": F.lit(0), "revenue": F.lit(0.0)},
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("revenue") != 0.0, F.col("revenue")), ignorenulls=True
+    ).over(w)
+    return dense.select(
+        "o_orderpriority",
+        "day",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(carried, 2).alias("last_seen_revenue"),
+    ).orderBy("o_orderpriority", "day")

@@ -408,6 +408,44 @@ def sessionize_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM bounded interval join — the continuous twin of
+    ``operators.temporal.interval_join`` (e.g. click↔purchase
+    attribution over two live feeds).
+
+    Both sides are watermarked, and the join condition bounds
+    ``right_ts`` to [left_ts, left_ts + gap]; together those two facts
+    let Spark expire buffered rows once the watermark passes their
+    match horizon — state is bounded by (watermark + gap) × arrival
+    rate per side, the requirement for an unbounded run. Without the
+    time bound the state would grow forever (Spark rejects unbounded
+    stream-stream inner joins on watermark alone for exactly that
+    reason).
+
+    Column names must be disjoint across sides except ``by`` is the
+    left name; pass pre-renamed frames (self-join feeds need it anyway).
+    """
+    lw = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (lw[by] == rw[f"{by}_r"])
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {max_gap_seconds} SECONDS")
+        )
+    )
+    return lw.join(rw, cond)
+
+
 def streaming_daily_counts(
     events: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:

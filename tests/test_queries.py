@@ -42,3 +42,36 @@ def test_approx_distinct_within_tolerance(spark):
         (approx["approx_supps"], exact["n_supps"]),
     ):
         assert abs(a - e) <= 5 * 0.01 * e, (a, e)
+
+
+def test_approx_percentile_within_rank_tolerance(spark):
+    """approx_percentile is rows-only at the driver gate; pin accuracy
+    here: the approx p50/p95 must land inside the exact p45–p55 /
+    p90–p99 value band per group (rank-error contract)."""
+    from pyspark.sql import functions as F
+
+    from pg2any_spark.plans.queries import QUERIES
+    from pg2any_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p95"])
+        for r in QUERIES["approx_percentile_order_value"](spark, sf).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p45"], r["p55"], r["p90"], r["p99"])
+        for r in load_table(spark, "orders", sf)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.45).alias("p45"),
+            F.percentile("o_totalprice", 0.55).alias("p55"),
+            F.percentile("o_totalprice", 0.90).alias("p90"),
+            F.percentile("o_totalprice", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and approx
+    for k, (p50, p95) in approx.items():
+        p45, p55, p90, p99 = exact[k]
+        assert p45 <= p50 <= p55, (k, p50, p45, p55)
+        assert p90 <= p95 <= p99, (k, p95, p90, p99)
