@@ -191,3 +191,57 @@ def decontaminate_ngram_overlap(
         .withColumn("contaminated", F.coalesce(F.col("__c"), F.lit(False)))
         .drop("__c")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-balanced corpus sampling: the standard multilingual/
+    multi-domain mixing rule where a stratum's draw probability is
+    proportional to ``n^alpha``. ``alpha < 1`` flattens the size
+    distribution — small languages/domains are upweighted relative to
+    their raw share, the big one stops dominating.
+
+    With corpus budget ``T = budget_frac · N``, a stratum of size n_s
+    gets expected take ``t_s = T · n_s^alpha / Σ n^alpha`` and keep
+    fraction ``min(1, t_s / n_s)``, realized as the usual
+    deterministic md5-hash filter (no RNG, reproducible, growth-
+    stable). The per-stratum thresholds come from one tiny aggregate
+    broadcast back onto the corpus — the corpus itself never shuffles.
+    Thresholds are floored to integer bucket space so the comparison
+    is exact cross-engine.
+    """
+    n_col = F.count(F.lit(1))
+    counts = df.groupBy(strata_col).agg(n_col.alias("__n"))
+    totals = counts.agg(
+        F.sum("__n").alias("__total"),
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__wsum"),
+    )
+    thresholds = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__keep",
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("__total")
+                * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                / (F.col("__wsum") * F.col("__n")),
+            ),
+        )
+        .select(
+            strata_col,
+            F.floor(F.col("__keep") * HASH_MOD).cast("long").alias("__thr"),
+        )
+    )
+    b = hash_bucket(F.col(key_col), HASH_MOD, salt)
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(b < F.col("__thr"))
+        .drop("__thr")
+    )

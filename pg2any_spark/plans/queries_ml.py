@@ -1484,3 +1484,53 @@ def decontaminate_ngram_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+@query(
+    "temperature_mix_by_lang",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(n) AS total, SUM(pow(CAST(n AS DOUBLE), 0.5)) AS wsum
+        FROM counts
+    ),
+    thr AS (
+        SELECT lang,
+               CAST(floor(LEAST(1.0,
+                   0.5 * tot.total * pow(CAST(n AS DOUBLE), 0.5)
+                   / (tot.wsum * n)) * 1000000) AS BIGINT) AS t
+        FROM counts CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'),
+                    1, 8)) AS BIGINT) % 1000000 < thr.t
+    )
+    SELECT c.lang, c.n AS n_docs,
+           CAST(COUNT(k.lang) AS BIGINT) AS n_kept
+    FROM counts c LEFT JOIN kept k ON c.lang = k.lang
+    GROUP BY c.lang, c.n ORDER BY c.lang
+    """,
+)
+def temperature_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced sampling accounting per language
+    (`sampling.temperature_mix`, alpha=0.5, budget 50%): the dominant
+    language is downsampled hardest, small ones keep (nearly) all
+    docs — the standard multilingual mixing rule, as a deterministic
+    hash filter with broadcast thresholds."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = SA.temperature_mix(docs, "doc_id", "lang", alpha=0.5, budget_frac=0.5)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return (
+        counts.join(kept_counts, "lang", "left")
+        .select(
+            "lang", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+        )
+        .orderBy("lang")
+    )

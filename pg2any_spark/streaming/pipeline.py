@@ -102,6 +102,190 @@ def apply_batch_to_parquet(
     _atomic_replace(staging, target_path)
 
 
+#: Partition column for bucketed replicas (not part of the user schema).
+BUCKET_COL = "__bucket"
+
+
+def _bucket_of(key_cols: list[str], n_buckets: int, from_images: bool = False):
+    """Bucket expression: pmod(murmur3(key), n) — over typed table
+    columns, or over the text key images of an event stream (cast to
+    string on BOTH paths so the hash agrees: hash('42') != hash(42))."""
+    if from_images:
+        parts = [
+            F.coalesce(
+                F.col("after").getItem(k), F.col("before").getItem(k)
+            )
+            for k in key_cols
+        ]
+    else:
+        parts = [F.col(k).cast("string") for k in key_cols]
+    return F.pmod(F.hash(*parts), F.lit(n_buckets))
+
+
+def apply_batch_to_bucketed_parquet(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    target_path: str,
+    schema: StructType,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    table: str | None = None,
+) -> None:
+    """One micro-batch against a BUCKET-PARTITIONED replica: only the
+    partitions containing touched keys are re-derived and overwritten.
+
+    The replica is laid out as ``target/__bucket=N/*.parquet`` with
+    ``__bucket = pmod(hash(key), n_buckets)``. Per batch:
+
+    1. the touched-bucket list comes from one tiny distinct over the
+       batch's key images (≤ n_buckets values — driver-safe);
+    2. the base read prunes to touched partitions (directory-level
+       partition pruning, visible as PartitionFilters in the scan);
+    3. the max-LSN apply runs over that slice only;
+    4. ``partitionOverwriteMode=dynamic`` replaces exactly the
+       partitions present in the output; buckets whose rows were all
+       deleted are cleared explicitly.
+
+    Batch cost is O(touched buckets), not O(table) — at a 100 TB
+    replica with 4096 buckets, a batch touching 1% of keys rewrites
+    ~1% of the table (this is MERGE INTO's pruning, built from plain
+    parquet). Crash contract: the checkpoint commits only after the
+    batch, so a mid-write crash replays the batch; re-applying onto
+    already-updated buckets is a no-op (max-LSN idempotence), and
+    Spark's job-level commit keeps each partition directory
+    old-or-new, never half-written.
+
+    TRUNCATE events are not supported on this path (a truncate is a
+    whole-table barrier — use the full-rewrite applier); the truncate
+    scan is disabled accordingly.
+    """
+    if table is not None:
+        batch_df = batch_df.filter(F.col("table") == table)
+    touched = [
+        r[0]
+        for r in batch_df.select(
+            _bucket_of(key_cols, n_buckets, from_images=True).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return
+    base = None
+    if os.path.exists(target_path):
+        base = (
+            spark.read.option("basePath", target_path)
+            .parquet(target_path)
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .drop(BUCKET_COL)
+        )
+    final = apply_changes(
+        batch_df, schema, key_cols, base=base, scan_for_truncate=False
+    ).withColumn(BUCKET_COL, _bucket_of(key_cols, n_buckets))
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a touched bucket that lost its last row must be cleared manually.
+    # Computed BEFORE the write — afterwards the lazy plan would re-read
+    # the just-overwritten base.
+    remaining = {
+        r[0] for r in final.select(BUCKET_COL).distinct().collect()
+    }
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_path)
+    )
+    for b in set(touched) - remaining:
+        shutil.rmtree(
+            os.path.join(target_path, f"{BUCKET_COL}={b}"), ignore_errors=True
+        )
+
+
+def read_bucketed_replica(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a bucketed replica without the internal partition column."""
+    return spark.read.parquet(target_path).drop(BUCKET_COL)
+
+
+def compact_replica(
+    spark: SparkSession,
+    target_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a parquet replica's small files (streaming appliers
+    accrete one file set per micro-batch; scans degrade as the file
+    count grows — the classic small-files problem). Rewrites the table
+    into ``ceil(bytes / target_file_bytes)`` files via the same
+    staged-rename swap the applier uses, so a crash mid-compaction
+    leaves the original intact. Bucketed replicas keep their
+    ``__bucket=`` layout (partition column is preserved by the
+    rewrite). Returns the new file count.
+
+    Run it out-of-band (maintenance window / every N batches) — it
+    reads the whole replica, which is exactly what the incremental
+    applier avoids per batch; at 100 TB you compact per-partition on a
+    schedule, never the world at once.
+    """
+    sizes = [
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(target_path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not sizes:
+        return 0
+    n_files = max(1, -(-sum(sizes) // target_file_bytes))
+    df = spark.read.parquet(target_path)
+    partitioned = BUCKET_COL in df.columns
+    staging = target_path + f".staging-{uuid.uuid4().hex[:8]}"
+    if partitioned:
+        # one output file per bucket partition (repartition on the
+        # partition column so each task owns whole buckets)
+        writer = (
+            df.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(staging)
+    _atomic_replace(staging, target_path)
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(target_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def start_bucketed_cdc_apply(
+    events: DataFrame,
+    target_path: str,
+    schema: StructType,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    table: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC apply stream onto a bucket-partitioned replica — same
+    checkpoint/exactly-once contract as ``start_cdc_apply``, with
+    per-batch cost proportional to touched buckets instead of table
+    size."""
+    spark = events.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch_to_bucketed_parquet(
+            spark, batch_df, target_path, schema, key_cols, n_buckets, table
+        )
+
+    writer = events.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_cdc_apply(
     events: DataFrame,
     target_path: str,

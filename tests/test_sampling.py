@@ -173,3 +173,38 @@ class TestDecontaminate:
             assert out.filter("contaminated").count() > 0  # 6 dup groups of 500 keys
         finally:
             out.unpersist()
+
+
+class TestTemperatureMix:
+    def test_flattens_distribution(self, spark):
+        """alpha=0.5 must downsample the dominant stratum hardest and
+        keep small strata (nearly) whole; alpha=1 must be a uniform
+        budget_frac cut."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        kept = temperature_mix(
+            df, "doc_id", "src", alpha=0.5, budget_frac=0.5
+        )
+        got = {
+            r["src"]: r["n"]
+            for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+        }
+        # expected keep fractions: w = n^0.5; T = 500
+        # big: 500*30/(30+10)/900 = 0.4167; small: 500*10/40/100 = 1.0 (capped)
+        assert got["small"] == 100  # small stratum kept whole
+        assert 330 <= got["big"] <= 420  # ~0.4167 * 900, hash noise
+        # dominant stratum keep-rate < overall budget, small >> budget
+        assert got["big"] / 900 < 0.5 < got["small"] / 100
+
+    def test_alpha_one_is_uniform_budget(self, spark):
+        from pg2any_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        kept = temperature_mix(df, "doc_id", "src", alpha=1.0, budget_frac=0.3)
+        n = kept.count()
+        assert abs(n - 900) < 90  # 30% of 3000 ± hash noise

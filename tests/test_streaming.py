@@ -479,3 +479,154 @@ class TestStreamStreamJoin:
         }
         assert want  # non-trivial
         assert got == want
+
+
+class TestBucketedApply:
+    """Bucket-partitioned incremental apply: per-batch cost must be
+    O(touched buckets), with end-state identical to the full-rewrite
+    applier."""
+
+    def _start(self, spark, src, target, ckpt, n_buckets=8):
+        from pg2any_spark.streaming.pipeline import start_bucketed_cdc_apply
+
+        return start_bucketed_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt,
+            n_buckets=n_buckets,
+        )
+
+    def test_end_state_matches_full_rewrite(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+        src = str(tmp_path / "events")
+        write_events(
+            spark,
+            src,
+            [ev("c", i, t1a(i, i)) for i in range(1, 51)]
+            + [ev("u", 100 + i, t1a(i, 1000 + i), {"id": str(i)}) for i in range(1, 11)]
+            + [ev("d", 200 + i, before={"id": str(i)}) for i in range(40, 46)],
+            "b1",
+        )
+        q = self._start(spark, src, str(tmp_path / "rep"), str(tmp_path / "ck"))
+        q.awaitTermination(120)
+        got = {
+            r["id"]: r["val"]
+            for r in read_bucketed_replica(spark, str(tmp_path / "rep")).collect()
+        }
+        expected = {i: (1000 + i if i <= 10 else i) for i in range(1, 51)
+                    if not (40 <= i <= 45)}
+        assert got == expected
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        import glob as g
+
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "rep")
+        ckpt = str(tmp_path / "ck")
+        write_events(spark, src, [ev("c", i, t1a(i, i)) for i in range(1, 51)], "b1")
+        q = self._start(spark, src, target, ckpt)
+        q.awaitTermination(120)
+        # snapshot data-file mtimes per partition dir
+        before = {
+            p: sorted(os.path.getmtime(f) for f in g.glob(f"{p}/*.parquet"))
+            for p in g.glob(f"{target}/__bucket=*")
+        }
+        assert len(before) > 2  # several buckets exist
+        # second batch touches exactly ONE key
+        write_events(spark, src, [ev("u", 999, t1a(7, 7777), {"id": "7"})], "b2")
+        q2 = self._start(spark, src, target, ckpt)
+        q2.awaitTermination(120)
+        after = {
+            p: sorted(os.path.getmtime(f) for f in g.glob(f"{p}/*.parquet"))
+            for p in g.glob(f"{target}/__bucket=*")
+        }
+        changed = [p for p in before if after.get(p) != before[p]]
+        assert len(changed) == 1, changed  # only key 7's bucket rewrote
+        from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+        state = {
+            r["id"]: r["val"]
+            for r in read_bucketed_replica(spark, target).collect()
+        }
+        assert state[7] == 7777 and len(state) == 50
+
+    def test_bucket_cleared_when_all_rows_deleted(self, spark, tmp_path):
+        import glob as g
+
+        from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "rep")
+        ckpt = str(tmp_path / "ck")
+        # n_buckets=1000 with 3 keys -> each key very likely alone in
+        # its bucket; delete one key entirely
+        write_events(
+            spark, src,
+            [ev("c", 1, t1a(1, 1)), ev("c", 2, t1a(2, 2)), ev("c", 3, t1a(3, 3))],
+            "b1",
+        )
+        q = self._start(spark, src, target, ckpt, n_buckets=1000)
+        q.awaitTermination(120)
+        n_dirs_before = len(g.glob(f"{target}/__bucket=*"))
+        write_events(spark, src, [ev("d", 10, before={"id": "2"})], "b2")
+        q2 = self._start(spark, src, target, ckpt, n_buckets=1000)
+        q2.awaitTermination(120)
+        state = {
+            r["id"]: r["val"] for r in read_bucketed_replica(spark, target).collect()
+        }
+        assert state == {1: 1, 3: 3}
+        assert len(g.glob(f"{target}/__bucket=*")) == n_dirs_before - 1
+
+
+class TestCompaction:
+    def test_compact_flat_replica(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import compact_replica
+
+        target = str(tmp_path / "rep")
+        # 20 tiny appends -> >= 20 files
+        for i in range(20):
+            spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(target)
+        import glob as g
+
+        n_before = len(g.glob(f"{target}/*.parquet"))
+        assert n_before >= 20
+        n_after = compact_replica(spark, target)
+        assert n_after < n_before and n_after >= 1
+        got = sorted(r["id"] for r in spark.read.parquet(target).collect())
+        assert got == list(range(200))
+
+    def test_compact_bucketed_replica_keeps_layout(self, spark, tmp_path):
+        import glob as g
+
+        from pg2any_spark.streaming.pipeline import (
+            compact_replica,
+            read_bucketed_replica,
+        )
+
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "rep")
+        # several micro-batches -> several file sets per bucket
+        for b in range(4):
+            write_events(
+                spark, src,
+                [ev("c", 1000 * b + i, t1a(100 * b + i, i)) for i in range(1, 11)],
+                f"b{b}",
+            )
+        from pg2any_spark.streaming.pipeline import start_bucketed_cdc_apply
+
+        q = start_bucketed_cdc_apply(
+            read_event_stream(spark, src, max_files_per_trigger=1),
+            target, T1_SCHEMA, ["id"], str(tmp_path / "ck"), n_buckets=4,
+        )
+        q.awaitTermination(180)
+        before_state = {
+            r["id"]: r["val"] for r in read_bucketed_replica(spark, target).collect()
+        }
+        compact_replica(spark, target)
+        dirs = g.glob(f"{target}/__bucket=*")
+        assert dirs  # layout preserved
+        for d in dirs:
+            assert len(g.glob(f"{d}/*.parquet")) == 1  # one file per bucket
+        after_state = {
+            r["id"]: r["val"] for r in read_bucketed_replica(spark, target).collect()
+        }
+        assert after_state == before_state and len(after_state) == 40
