@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Measured scaling: representative queries at sf0.001 / 0.01 / 0.1.
+
+The scale story in SCALE.md argues each operator's cost is linear-ish
+in input (modulo fixed Spark overhead); this probe measures it. For
+each query and SF the wall time is the median of 3 runs on a warmed
+session. The printed exponent is the log-log slope between sf0.01 and
+sf0.1 (the two sizes where fixed overhead stops dominating): slope ≈ 1
+means linear data cost, ≪ 1 means overhead-bound at these sizes, ≫ 1
+flags super-linear blowup (the thing that kills a 100× scale-up).
+
+Usage: python scripts/scaling_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pg2any_spark.plans.queries import QUERIES  # noqa: E402
+from pg2any_spark.session import get_spark  # noqa: E402
+
+SFS = ["0.001", "0.01", "0.1"]
+DEFAULT = [
+    "q1_pricing_summary",          # scan-agg
+    "q3_shipping_priority",        # multi-join + top-k
+    "cdc_apply_customer",          # CDC apply reduction
+    "dedup_minhash_lsh",           # banded self-join
+    "ann_cosine_topk_bruteforce",  # Arrow matmul
+    "scd2_customer_history",       # window over event stream
+    "range_join_error_purchase_global",  # binned range join
+    "tfidf_top_terms_per_doc",     # two-level agg + window
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        times = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+            fn(spark, sf_dir).count()  # warm (footer cache, codegen)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            times[sf] = round(statistics.median(runs), 3)
+        slope = math.log(times["0.1"] / times["0.01"]) / math.log(10)
+        out[name] = {**times, "slope_01_to_1": round(slope, 2)}
+        print(f"# {name}: {times} slope={slope:.2f}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
