@@ -179,9 +179,13 @@ def decontaminate_ngram_overlap(
         .distinct()
     )
     train = tagged.filter(F.col("split") == "train")
+    # no forced broadcast: the distinct 8-grams of 2% of a 100 TB
+    # corpus are NOT driver-sized. AQE promotes the join to broadcast
+    # when the set is actually small (the fixture case) and keeps a
+    # shuffle join when it is not.
     contaminated = (
         train.select(F.col(key_col), F.explode(grams).alias("gram"))
-        .join(F.broadcast(holdout_grams), "gram", "left_semi")
+        .join(holdout_grams, "gram", "left_semi")
         .select(key_col)
         .distinct()
         .withColumn("__c", F.lit(True))
@@ -240,8 +244,14 @@ def temperature_mix(
         )
     )
     b = hash_bucket(F.col(key_col), HASH_MOD, salt)
+    # null-safe equality: a NULL stratum is a real stratum (it got a
+    # threshold row above); a plain equi-join would silently drop it
+    thr = thresholds.withColumnRenamed(strata_col, "__stratum")
     return (
-        df.join(F.broadcast(thresholds), strata_col)
+        df.join(
+            F.broadcast(thr),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
         .filter(b < F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__stratum")
     )

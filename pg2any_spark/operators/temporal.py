@@ -152,6 +152,11 @@ def range_join_binned(
     Column names must be disjoint between the two sides (rename before
     calling for self-joins); the helper columns are dropped on return.
     """
+    if max_gap_seconds <= 0:
+        # gap 0 would make every bin NULL (x / 0) and silently match
+        # nothing; exact-timestamp pairing is an equi-join, not a
+        # range join — make the misuse loud.
+        raise ValueError("range_join_binned requires max_gap_seconds > 0")
     gap_us = max_gap_seconds * 1_000_000
     lus = F.unix_micros(left[left_ts].cast("timestamp"))
     rus = F.unix_micros(right[right_ts].cast("timestamp"))

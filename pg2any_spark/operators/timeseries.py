@@ -35,6 +35,11 @@ def gapfill_daily(
     ``fill_zero`` maps column name → zero literal for gap rows (counts,
     sums); ``carry_cols`` are filled with the most recent earlier value
     (last observation carried forward; leading gaps stay NULL).
+
+    Carry runs BEFORE zero-fill: a column named in both therefore
+    carries the last real observation across gaps, not a just-filled
+    zero — and a genuine observed zero is still a real observation
+    (gap-ness is keyed on the join's NULL, never on the value).
     """
     spine = (
         facts.groupBy(*key_cols)
@@ -45,8 +50,6 @@ def gapfill_daily(
         )
     )
     dense = spine.join(facts, [*key_cols, day_col], "left")
-    for name, zero in (fill_zero or {}).items():
-        dense = dense.withColumn(name, F.coalesce(F.col(name), zero))
     if carry_cols:
         w = (
             Window.partitionBy(*key_cols)
@@ -57,4 +60,6 @@ def gapfill_daily(
             dense = dense.withColumn(
                 name, F.last(name, ignorenulls=True).over(w)
             )
+    for name, zero in (fill_zero or {}).items():
+        dense = dense.withColumn(name, F.coalesce(F.col(name), zero))
     return dense

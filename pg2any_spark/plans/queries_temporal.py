@@ -4,7 +4,7 @@ re-expressed as compositions (operators/temporal.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg2any_spark.operators.temporal import (
     asof_join,
@@ -288,25 +288,18 @@ def timeseries_gapfill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFra
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-    )
+    ).withColumn("last_seen_revenue", F.col("revenue"))
     dense = gapfill_daily(
         daily,
         ["o_orderpriority"],
         "day",
         fill_zero={"n_orders": F.lit(0), "revenue": F.lit(0.0)},
+        carry_cols=["last_seen_revenue"],
     )
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last(
-        F.when(F.col("revenue") != 0.0, F.col("revenue")), ignorenulls=True
-    ).over(w)
     return dense.select(
         "o_orderpriority",
         "day",
         "n_orders",
         F.round("revenue", 2).alias("revenue"),
-        F.round(carried, 2).alias("last_seen_revenue"),
+        F.round("last_seen_revenue", 2).alias("last_seen_revenue"),
     ).orderBy("o_orderpriority", "day")

@@ -25,15 +25,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     as TIMESTAMP_NTZ via parquet NTZ inference. The engine's contract
     is plain TIMESTAMP everywhere (session TZ is pinned UTC, so the
     instant is unchanged) — NTZ would reject ``withWatermark``,
-    ``unix_micros`` and ``cast(long)`` downstream. Older fixture
-    generations stored TIMESTAMP(NANOS) read as bigint; that branch is
-    kept so the loader works on either encoding.
+    ``unix_micros`` and ``cast(long)`` downstream. (Earlier fixture
+    generations used TIMESTAMP(NANOS), which this Spark rejects
+    outright without the since-removed ``nanosAsLong`` conf; that
+    encoding no longer exists anywhere, so no branch handles it.)
     """
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # legacy nanos-as-long encoding: truncate ns -> us (integer div,
-        # not /, to avoid double-precision loss at 1e18-scale nanos)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))

@@ -106,15 +106,32 @@ def apply_batch_to_parquet(
 BUCKET_COL = "__bucket"
 
 
-def _bucket_of(key_cols: list[str], n_buckets: int, from_images: bool = False):
-    """Bucket expression: pmod(murmur3(key), n) — over typed table
-    columns, or over the text key images of an event stream (cast to
-    string on BOTH paths so the hash agrees: hash('42') != hash(42))."""
+def _bucket_of(
+    key_cols: list[str],
+    n_buckets: int,
+    schema: StructType | None = None,
+    from_images: bool = False,
+):
+    """Bucket expression: pmod(murmur3(key), n).
+
+    Both paths hash the CANONICAL string rendering — typed key cast to
+    string. The image path therefore round-trips the wire text through
+    the destination type first (``schema`` required): a non-canonical
+    wire rendering ('042', '1.50', 't') must land in the same bucket
+    as the typed row it produces, or the pruned base read and the
+    written partition diverge and dynamic overwrite destroys an
+    unpruned bucket.
+    """
     if from_images:
+        from pg2any_spark.operators.apply import _cast_text
+
         parts = [
-            F.coalesce(
-                F.col("after").getItem(k), F.col("before").getItem(k)
-            )
+            _cast_text(
+                F.coalesce(
+                    F.col("after").getItem(k), F.col("before").getItem(k)
+                ),
+                schema[k].dataType,
+            ).cast("string")
             for k in key_cols
         ]
     else:
@@ -159,12 +176,13 @@ def apply_batch_to_bucketed_parquet(
     whole-table barrier — use the full-rewrite applier); the truncate
     scan is disabled accordingly.
     """
+    _recover_replica(target_path)  # compact_replica crash mid-swap
     if table is not None:
         batch_df = batch_df.filter(F.col("table") == table)
     touched = [
         r[0]
         for r in batch_df.select(
-            _bucket_of(key_cols, n_buckets, from_images=True).alias("b")
+            _bucket_of(key_cols, n_buckets, schema, from_images=True).alias("b")
         )
         .distinct()
         .collect()
@@ -179,22 +197,29 @@ def apply_batch_to_bucketed_parquet(
             .filter(F.col(BUCKET_COL).isin(touched))
             .drop(BUCKET_COL)
         )
-    final = apply_changes(
-        batch_df, schema, key_cols, base=base, scan_for_truncate=False
-    ).withColumn(BUCKET_COL, _bucket_of(key_cols, n_buckets))
-    # dynamic overwrite only replaces partitions PRESENT in the output:
-    # a touched bucket that lost its last row must be cleared manually.
-    # Computed BEFORE the write — afterwards the lazy plan would re-read
-    # the just-overwritten base.
-    remaining = {
-        r[0] for r in final.select(BUCKET_COL).distinct().collect()
-    }
-    (
-        final.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .parquet(target_path)
+    final = (
+        apply_changes(
+            batch_df, schema, key_cols, base=base, scan_for_truncate=False
+        )
+        .withColumn(BUCKET_COL, _bucket_of(key_cols, n_buckets))
+        .persist()  # one apply computation serves both actions below
     )
+    try:
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output: a touched bucket that lost its last row must be
+        # cleared manually. Computed BEFORE the write — afterwards the
+        # lazy plan would re-read the just-overwritten base.
+        remaining = {
+            r[0] for r in final.select(BUCKET_COL).distinct().collect()
+        }
+        (
+            final.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(target_path)
+        )
+    finally:
+        final.unpersist()
     for b in set(touched) - remaining:
         shutil.rmtree(
             os.path.join(target_path, f"{BUCKET_COL}={b}"), ignore_errors=True
@@ -600,6 +625,7 @@ def stream_stream_interval_join(
     right_ts: str,
     max_gap_seconds: int,
     watermark: str = "1 hour",
+    right_by: str | None = None,
 ) -> DataFrame:
     """Stream-STREAM bounded interval join — the continuous twin of
     ``operators.temporal.interval_join`` (e.g. click↔purchase
@@ -614,13 +640,15 @@ def stream_stream_interval_join(
     stream-stream inner joins on watermark alone for exactly that
     reason).
 
-    Column names must be disjoint across sides except ``by`` is the
-    left name; pass pre-renamed frames (self-join feeds need it anyway).
+    Column names must be disjoint across sides; ``by`` is the left key
+    name, ``right_by`` the right one (defaults to ``{by}_r``, matching
+    the batch twin's rename convention for self-join feeds).
     """
+    right_by = right_by or f"{by}_r"
     lw = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
     rw = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
-        (lw[by] == rw[f"{by}_r"])
+        (lw[by] == rw[right_by])
         & (rw[right_ts] >= lw[left_ts])
         & (
             rw[right_ts]

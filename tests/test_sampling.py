@@ -208,3 +208,15 @@ class TestTemperatureMix:
         kept = temperature_mix(df, "doc_id", "src", alpha=1.0, budget_frac=0.3)
         n = kept.count()
         assert abs(n - 900) < 90  # 30% of 3000 ± hash noise
+
+    def test_null_stratum_not_dropped(self, spark):
+        """Rows with a NULL stratum form a real stratum: they must be
+        sampled at their computed keep-rate, not silently dropped by a
+        null-rejecting equi-join."""
+        from pg2any_spark.operators.sampling import temperature_mix
+
+        rows = [(i, "a" if i < 500 else None) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        kept = temperature_mix(df, "doc_id", "src", alpha=1.0, budget_frac=0.5)
+        n_null = kept.filter("src IS NULL").count()
+        assert 200 <= n_null <= 300  # ~50% of 500 ± hash noise, never 0

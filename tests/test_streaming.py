@@ -677,3 +677,42 @@ class TestBucketedApplyRestart:
         assert len(state) == 55
         assert all(i not in state for i in range(1, 6))
         assert state[51] == 1
+
+
+class TestBucketedApplyCanonicalKeys:
+    def test_non_canonical_wire_key_image(self, spark, tmp_path):
+        """A wire image '042' must prune/write the SAME bucket as the
+        typed key 42 — otherwise dynamic overwrite replaces an unpruned
+        bucket and silently deletes its pre-existing rows."""
+        from pg2any_spark.streaming.pipeline import (
+            read_bucketed_replica,
+            start_bucketed_cdc_apply,
+        )
+
+        src = str(tmp_path / "events")
+        target = str(tmp_path / "rep")
+        ckpt = str(tmp_path / "ck")
+        write_events(spark, src, [ev("c", i, t1a(i, i)) for i in range(1, 51)], "b1")
+        q = start_bucketed_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt,
+            n_buckets=4,
+        )
+        q.awaitTermination(120)
+        # update key 42 with a ZERO-PADDED wire rendering
+        write_events(
+            spark, src,
+            [ev("u", 999, {"id": "042", "val": "4242", "col1": "u", "col2": "u"},
+                {"id": "042"})],
+            "b2",
+        )
+        q2 = start_bucketed_cdc_apply(
+            read_event_stream(spark, src), target, T1_SCHEMA, ["id"], ckpt,
+            n_buckets=4,
+        )
+        q2.awaitTermination(120)
+        state = {
+            r["id"]: r["val"]
+            for r in read_bucketed_replica(spark, target).collect()
+        }
+        assert state[42] == 4242
+        assert len(state) == 50  # nothing lost from any bucket

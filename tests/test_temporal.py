@@ -200,3 +200,45 @@ class TestScd2:
         assert snap == {(2, "x")}
         mid = {(r["id"], r["v"]) for r in scd2_snapshot_at(hist, 25).collect()}
         assert mid == {(1, "b"), (2, "x")}
+
+
+class TestGapfill:
+    def test_carry_runs_before_zero_fill(self, spark):
+        """A column in BOTH fill_zero and carry_cols carries the last
+        real observation across gaps (never a just-filled zero), and a
+        genuinely observed zero is treated as real, not as a gap."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.timeseries import gapfill_daily
+
+        facts = spark.createDataFrame(
+            [("k", "2026-01-01", 5.0), ("k", "2026-01-02", 0.0),
+             ("k", "2026-01-04", 7.0)],
+            "key string, day_s string, v double",
+        ).select("key", F.to_date("day_s").alias("day"), "v")
+        out = gapfill_daily(
+            facts, ["key"], "day",
+            fill_zero={"v": F.lit(0.0)}, carry_cols=["v"],
+        )
+        got = {str(r["day"]): r["v"] for r in out.collect()}
+        # Jan 3 is the only gap: carried from Jan 2's REAL zero
+        assert got == {"2026-01-01": 5.0, "2026-01-02": 0.0,
+                       "2026-01-03": 0.0, "2026-01-04": 7.0}
+        # separate carry column: gap day carries 0.0 (the real obs),
+        # proving the carry source is the observation, not the fill
+        facts2 = facts.withColumn("carried", F.col("v"))
+        out2 = gapfill_daily(
+            facts2, ["key"], "day",
+            fill_zero={"v": F.lit(0.0)}, carry_cols=["carried"],
+        )
+        got2 = {str(r["day"]): r["carried"] for r in out2.collect()}
+        assert got2["2026-01-03"] == 0.0 and got2["2026-01-04"] == 7.0
+
+    def test_range_join_rejects_nonpositive_gap(self, spark):
+        import pytest as _pytest
+
+        from pg2any_spark.operators.temporal import range_join_binned
+
+        df = spark.range(1).selectExpr("current_timestamp() AS ts")
+        with _pytest.raises(ValueError):
+            range_join_binned(df, df, "ts", "ts", 0)
