@@ -1534,3 +1534,73 @@ def temperature_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "source_lang_profile",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(n) AS n_docs FROM per GROUP BY source),
+    ranked AS (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, lang
+               ) AS rn
+        FROM per
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(COUNT(p.lang) AS BIGINT) AS n_langs,
+           ROUND(-SUM((p.n / CAST(t.n_docs AS DOUBLE))
+                      * ln(p.n / CAST(t.n_docs AS DOUBLE))), 6) AS lang_entropy,
+           MAX(r.lang) AS top_lang
+    FROM per p
+    JOIN tot t ON p.source = t.source
+    JOIN ranked r ON r.source = p.source AND r.rn = 1
+    GROUP BY t.source, t.n_docs
+    ORDER BY t.source
+    """,
+)
+def source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language profile: doc count, distinct languages,
+    Shannon entropy of the language mix, and the modal language
+    (deterministic tie-break). The agg-of-agg shape — per-(source,
+    lang) counts reduced again per source — keeps both shuffles
+    map-side-combinable; entropy is a plain expression over the
+    second aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    p = F.col("n") / F.col("n_docs")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.collect_list(F.when(F.col("rn") == 1, F.col("lang"))).alias("__top"),
+            F.collect_list(F.struct("n")).alias("__ns"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.round(
+                -F.aggregate(
+                    F.col("__ns"),
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x["n"] / F.col("n_docs"))
+                    * F.log(x["n"] / F.col("n_docs")),
+                ),
+                6,
+            ).alias("lang_entropy"),
+            F.element_at("__top", 1).alias("top_lang"),
+        )
+        .orderBy("source")
+    )
