@@ -242,3 +242,61 @@ class TestGapfill:
         df = spark.range(1).selectExpr("current_timestamp() AS ts")
         with _pytest.raises(ValueError):
             range_join_binned(df, df, "ts", "ts", 0)
+
+
+class TestScd2CrossOperatorConsistency:
+    def test_snapshot_at_end_equals_destructive_apply(self, spark, sf_dir):
+        """The SCD2 history and the destructive apply are two views of
+        the SAME event stream: time travel to the end of the stream
+        must reproduce the apply operator's final table exactly (on the
+        real customer fixture, full column set)."""
+        from pg2any_spark.operators.apply import apply_changes
+        from pg2any_spark.operators.scd2 import scd2_from_events, scd2_snapshot_at
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.fixtures import load_table
+
+        events = synth_customer_events(spark, sf_dir)
+        cust = load_table(spark, "customer", sf_dir)
+        hist = scd2_from_events(events, cust.schema, ["c_custkey"])
+        snap = {
+            tuple(r) for r in scd2_snapshot_at(hist, 1 << 60)
+            .select(*[f.name for f in cust.schema.fields]).collect()
+        }
+        applied = {
+            tuple(r) for r in apply_changes(
+                events, cust.schema, ["c_custkey"], table="customer",
+                scan_for_truncate=False,
+            ).select(*[f.name for f in cust.schema.fields]).collect()
+        }
+        assert snap == applied and len(snap) > 0
+
+    def test_versions_partition_each_key_timeline(self, spark, sf_dir):
+        """Interval sanity on the real fixture: per key, versions are
+        contiguous (each valid_to equals the next valid_from), never
+        overlap, and at most one is open."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.scd2 import scd2_from_events
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.fixtures import load_table
+
+        events = synth_customer_events(spark, sf_dir)
+        cust = load_table(spark, "customer", sf_dir)
+        hist = scd2_from_events(events, cust.schema, ["c_custkey"])
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("c_custkey").orderBy("valid_from_lsn")
+        checked = hist.withColumn("__next_from", F.lead("valid_from_lsn").over(w))
+        # every closed version's valid_to == the next version's start
+        # (a delete closes the last version and its valid_to has no
+        # successor row, so only rows WITH a successor are constrained)
+        bad = checked.filter(
+            F.col("__next_from").isNotNull()
+            & (F.col("valid_to_lsn") != F.col("__next_from"))
+        ).count()
+        assert bad == 0
+        multi_open = (
+            hist.filter("is_current").groupBy("c_custkey").count()
+            .filter("count > 1").count()
+        )
+        assert multi_open == 0
