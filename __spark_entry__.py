@@ -26,10 +26,11 @@ from pg2any_spark.plans import queries as Q
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Queries with a full-pass driver row in CORRECTNESS_r02.json (49 hash
-#: matches + approx_distinct_parts, rows-only by design — it can never
-#: hash-match, so re-checking it spends a slot for no new evidence).
+#: Queries with a full-pass driver row in CORRECTNESS_r02.json or
+#: CORRECTNESS_r03.json. Re-checking one spends a priority slot for no
+#: new evidence, so these are emitted after never-checked queries.
 DRIVER_VERIFIED = {
+    # r01/r02 greens
     "cdc_apply_customer", "cdc_apply_multi_table", "cdc_incremental_agg_view",
     "q1_pricing_summary", "cdc_apply_truncate", "cdc_apply_orders_full_identity",
     "cdc_apply_streaming_tx", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -38,7 +39,7 @@ DRIVER_VERIFIED = {
     "cube_orders_status_priority", "setop_active_both_years",
     "setop_lapsed_customers", "semi_join_urgent_customers",
     "anti_join_unsold_parts", "events_daily_by_type", "events_json_props",
-    "distinct_supplier_part_counts", "approx_distinct_parts",
+    "distinct_supplier_part_counts",
     "topk_customers_by_revenue", "q6_forecast_revenue", "text_stats_documents",
     "doc_fingerprint_rolling", "lang_id_documents", "dedup_exact_recrawl",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -48,7 +49,33 @@ DRIVER_VERIFIED = {
     "media_metadata", "media_image_features", "media_frame_samples",
     "media_resize", "doc_quality_bands", "cdc_envelope_roundtrip",
     "training_pipeline_docs", "dedup_dup_groups", "split_train_eval",
+    # r03 greens (48 hash-matched rows in CORRECTNESS_r03.json)
+    "mix_weighted_sources", "decontaminate_train_split", "top_ngrams_corpus",
+    "tfidf_top_terms_per_doc", "pii_redaction_docs", "doc_repetition_stats",
+    "decontaminate_ngram_overlap", "temperature_mix_by_lang",
+    "source_lang_profile", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q22_idle_rich_customers",
+    "q14_promo_revenue_share", "q12_priority_by_linestatus",
+    "q19_bracketed_revenue", "q13_order_count_distribution",
+    "q7_cross_nation_trade", "full_outer_daily_click_purchase",
+    "pivot_status_by_priority", "grouping_sets_revenue",
+    "percentile_order_value_by_segment", "stats_lineitem_price_qty",
+    "argmax_order_per_customer", "string_funcs_part", "date_funcs_orders",
+    "sessionize_events", "retention_cohorts", "funnel_view_click_purchase",
+    "rolling_7d_revenue", "window_value_distribution",
+    "setop_surplus_1997_orders", "asof_click_before_purchase",
+    "range_band_order_revenue", "interval_join_purchase_errors",
+    "range_join_error_purchase_global", "scd2_customer_history",
+    "scd2_snapshot_time_travel", "timeseries_gapfill_daily_orders",
+    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q15_top_supplier",
+    "q16_supplier_part_counts", "q20_excess_suppliers", "q21_waiting_suppliers",
 }
+
+#: Engine-specific sketch queries with no cross-engine oracle — they can
+#: never hash-match, so they must never occupy a priority slot. Emitted
+#: dead last regardless of verification status.
+NO_ORACLE = {"approx_distinct_parts", "approx_percentile_order_value"}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -57,9 +84,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    unchecked = {n: f for n, f in Q.QUERIES.items() if n not in DRIVER_VERIFIED}
-    checked = {n: f for n, f in Q.QUERIES.items() if n in DRIVER_VERIFIED}
-    return {**unchecked, **checked}
+    def bucket(n: str) -> int:
+        if n in NO_ORACLE:
+            return 2
+        return 1 if n in DRIVER_VERIFIED else 0
+
+    names = sorted(Q.QUERIES, key=lambda n: (bucket(n), list(Q.QUERIES).index(n)))
+    return {n: Q.QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -616,7 +616,7 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs_events",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types_seen,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
            len(list(DISTINCT event_type)) AS n_types,
            CASE WHEN list_contains(list(DISTINCT event_type), 'purchase')
                 THEN 1 ELSE 0 END AS did_purchase
@@ -628,16 +628,22 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface: collect_set → sort → size/contains. The
     per-user distinct-type set is bounded (≤ #event types), so state
-    stays small at any scale."""
+    stays small at any scale.
+
+    The real ARRAY column is built and exercised (sort / size /
+    contains), then serialized with ``array_join`` for the output
+    contract — the driver's cross-engine hasher can't canonicalize
+    Python lists, so both engines emit the same comma-joined string.
+    """
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types_seen"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types_arr"))
         .select(
             "user_id",
-            "types_seen",
-            F.size("types_seen").cast("bigint").alias("n_types"),
-            F.array_contains("types_seen", "purchase").cast("int").alias("did_purchase"),
+            F.array_join("types_arr", ",").alias("types_seen"),
+            F.size("types_arr").cast("bigint").alias("n_types"),
+            F.array_contains("types_arr", "purchase").cast("int").alias("did_purchase"),
         )
         .orderBy("user_id")
     )
