@@ -178,6 +178,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF — the
     corpus-statistics primitive behind keyword extraction and
@@ -185,11 +186,15 @@ def tfidf_top_terms(
 
     Plan shape (all JVM codegen, no Python): explode → per-(doc, term)
     count with map-side partial agg → document frequency as a second
-    small agg over the tf table (|vocab| rows) joined back on term →
-    corpus size as a broadcast 1-row aggregate → per-doc top-k via
-    row_number window. The big shuffles carry (doc, term) pairs and the
-    vocabulary, never the raw token stream; at 100 TB that's the same
-    two-shuffle budget as any word-count.
+    agg over the tf table (map-side-combined down to |vocab| rows) →
+    BROADCAST dfreq back onto tf, so the pair table is shuffled
+    exactly twice: once keyed (doc, term) for the TF count and once
+    keyed doc for the final rank — never re-keyed on term. Broadcast
+    also makes the join immune to stopword skew (a hash join on term
+    would put every "the" pair in one task). Cutover: if the
+    vocabulary outgrows the broadcast budget (web-scale corpora reach
+    1e8+ unique tokens), drop the hint — AQE falls back to a
+    skew-split sort-merge join on term; the query stays correct.
 
     TF-IDF is rounded to 6 decimals BEFORE ranking so the tie-break
     (term ascending) is reproducible across engines — floating ln()
@@ -200,10 +205,18 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # ``materialize`` persists tf before it fans out to dfreq and the
+    # scored join: Catalyst cannot reuse the exchange between the two
+    # consumers (column pruning rewrites the dfreq branch to a
+    # distinct, breaking canonical equality), so without it the whole
+    # explode→pair-shuffle pipeline executes twice — same
+    # double-execution hazard the dedup band table persists against.
+    if materialize:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

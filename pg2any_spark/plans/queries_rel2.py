@@ -125,18 +125,20 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: uncorrelated scalar subquery (global avg) +
     NOT EXISTS anti join (no urgent order — every fixture customer has
     *some* order, which would make the classic form empty). The scalar
-    is computed once and folded into the filter."""
+    stays IN the plan as a broadcast cross-join against the 1-row
+    aggregate — one lazy lineage, no separate driver job."""
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal"))
-        .collect()[0][0]
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -793,35 +795,40 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → first click strictly after it
     → first purchase strictly after that): the event-sequence shape
-    behind product analytics. Each stage is a per-user min over a
-    semi-filtered join — all map-side-combinable aggregates on the
-    user_id shuffle key, reused stage to stage."""
+    behind product analytics.
+
+    Single-shuffle plan: events are partitioned on ``user_id`` ONCE,
+    then three stacked unbounded-frame window aggregates derive the
+    stage times in sequence (each stage's predicate references the
+    previous stage's column, so no joins and no re-shuffle — every
+    Window and the per-user reduce reuse the same hash partitioning).
+    The old form cascaded three groupBy+join stages all keyed on
+    user_id (14 Exchanges); this is the same answer with 2."""
     ev = load_table(spark, "events", sf_dir)
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = Window.partitionBy("user_id")
+    t, typ = F.col("ts"), F.col("event_type")
+    per_ev = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t_view", F.min(F.when(typ == "view", t)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((typ == "click") & (t > F.col("t_view")), t)).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when((typ == "purchase") & (t > F.col("t_click")), t)).over(w),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = per_ev.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
-    )
-    return counts.select(
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    ).select(
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",

@@ -20,10 +20,13 @@ reference's ``/metrics`` endpoint serves.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 
 from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
 
 LIB_VERSION = "0.1.0"
 
@@ -184,14 +187,40 @@ def make_listener(metrics: CdcMetrics):
     """StreamingQueryListener wiring progress events into the registry.
 
     Import is deferred so batch-only deployments never touch the
-    streaming listener machinery.
+    streaming listener machinery. A callback failure must never kill
+    the listener bus, but it must not be silent either — a quiet
+    metrics outage on a long-running pipeline multiplies every other
+    incident — so failures are logged at WARN with the event type and
+    counted in ``pg2any_errors_total{component="metrics_listener"}``.
     """
     from pyspark.sql.streaming import StreamingQueryListener
 
+    def guarded(fn):
+        def wrapper(self, event) -> None:
+            try:
+                fn(self, event)
+            except Exception:
+                logger.warning(
+                    "metrics listener %s failed on %s",
+                    fn.__name__,
+                    type(event).__name__,
+                    exc_info=True,
+                )
+                metrics.inc(
+                    ERRORS_TOTAL,
+                    error_type=fn.__name__,
+                    component="metrics_listener",
+                )
+
+        wrapper.__name__ = fn.__name__
+        return wrapper
+
     class CdcMetricsListener(StreamingQueryListener):
+        @guarded
         def onQueryStarted(self, event) -> None:
             metrics.set(SOURCE_CONNECTION_STATUS, 1)
 
+        @guarded
         def onQueryProgress(self, event) -> None:
             p = event.progress
             metrics.set(EVENTS_RATE, p.processedRowsPerSecond or 0.0)
@@ -204,11 +233,13 @@ def make_listener(metrics: CdcMetrics):
                 destination_type="spark",
             )
 
+        @guarded
         def onQueryTerminated(self, event) -> None:
             metrics.set(SOURCE_CONNECTION_STATUS, 0)
             if getattr(event, "exception", None):
                 metrics.inc(ERRORS_TOTAL, error_type="query", component="consumer")
 
+        @guarded
         def onQueryIdle(self, event) -> None:
             metrics.set(EVENTS_RATE, 0.0)
 

@@ -35,7 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from pg2any_spark.operators.apply import apply_changes
-from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, OP_TRUNCATE
 
 
 def read_event_stream(
@@ -173,20 +173,33 @@ def apply_batch_to_bucketed_parquet(
     old-or-new, never half-written.
 
     TRUNCATE events are not supported on this path (a truncate is a
-    whole-table barrier — use the full-rewrite applier); the truncate
-    scan is disabled accordingly.
+    whole-table barrier, incompatible with touched-bucket pruning) and
+    FAIL LOUDLY — silently dropping one would leave the replica
+    permanently diverged from the source. Use the full-rewrite applier
+    (``apply_batch_to_parquet``) for feeds that can carry truncates.
     """
     _recover_replica(target_path)  # compact_replica crash mid-swap
     if table is not None:
         batch_df = batch_df.filter(F.col("table") == table)
-    touched = [
-        r[0]
-        for r in batch_df.select(
-            _bucket_of(key_cols, n_buckets, schema, from_images=True).alias("b")
+    # One job yields both the touched-bucket list and the truncate
+    # check; truncate events carry NULL key images, so their rows are
+    # flagged (not bucketed) before the distinct.
+    touched_rows = (
+        batch_df.select(
+            _bucket_of(key_cols, n_buckets, schema, from_images=True).alias("b"),
+            (F.col("op") == OP_TRUNCATE).alias("t"),
         )
         .distinct()
         .collect()
-    ]
+    )
+    if any(r["t"] for r in touched_rows):
+        raise ValueError(
+            "TRUNCATE event in batch: the bucketed incremental applier "
+            "cannot express a whole-table barrier as a touched-bucket "
+            "rewrite. Route this table through apply_batch_to_parquet "
+            "(full-rewrite applier), which handles truncates."
+        )
+    touched = [r["b"] for r in touched_rows]
     if not touched:
         return
     base = None
@@ -390,6 +403,7 @@ def scd2_apply_batch(
     history_path: str,
     schema: StructType,
     key_cols: list[str],
+    table: str | None = None,
 ) -> None:
     """One micro-batch of incremental SCD2 history maintenance.
 
@@ -402,10 +416,26 @@ def scd2_apply_batch(
     keeps a 100 TB history maintainable. The touched-key set is a
     per-batch-sized semi/anti join (broadcast-sized in steady state).
 
+    Replay idempotence (foreachBatch is at-least-once): per touched
+    key, batch events at or below the key's high-water LSN already in
+    the history — ``greatest(max(valid_from_lsn), max(valid_to_lsn))``
+    over its versions, the valid_to side covering keys whose last event
+    was a DELETE — are dropped before recomputation. A crash-replayed
+    batch (write done, checkpoint not committed) therefore reduces to
+    the open versions' pseudo-inserts alone and re-derives the history
+    verbatim, the same exactly-once contract as ``start_cdc_apply``'s
+    max-LSN reduction.
+
+    ``table`` filters a multi-table event feed down to one table's
+    events, matching the other appliers' signatures. TRUNCATE events
+    fail loudly (a truncate is not expressible as per-key versioning;
+    rebuild via ``scd2_from_events`` after handling it upstream).
+
     Replica write is the same staged-rename full rewrite as
     ``apply_batch_to_parquet`` (at scale: MERGE INTO Delta/Iceberg,
     identical reduction).
     """
+    from pg2any_spark.operators.apply import _cast_text
     from pg2any_spark.operators.scd2 import (
         open_versions_as_events,
         scd2_from_events,
@@ -413,32 +443,52 @@ def scd2_apply_batch(
     from pg2any_spark.schemas import DML_OPS
 
     _recover_replica(history_path)
+    if table is not None:
+        batch_df = batch_df.filter(F.col("table") == table)
+    # Touched keys + truncate check in one driver-side pass. The same
+    # _cast_text the apply paths use keys the wire text (e.g. boolean
+    # 't'/'f') identically to scd2_from_events — a plain cast would
+    # NULL such keys out of the touched set and leave stale open
+    # versions unretired.
+    key_exprs = [
+        _cast_text(
+            F.coalesce(F.col("after").getItem(k), F.col("before").getItem(k)),
+            schema[k].dataType,
+        ).alias(k)
+        for k in key_cols
+    ]
+    truncs = batch_df.filter(F.col("op") == OP_TRUNCATE)
+    if truncs.limit(1).count():
+        raise ValueError(
+            "TRUNCATE event in batch: SCD2 history maintenance has no "
+            "per-key rendering of a whole-table barrier. Handle the "
+            "truncate upstream, then rebuild with scd2_from_events."
+        )
     ev = batch_df.filter(F.col("op").isin(*DML_OPS[:3])).select(
         "op", "lsn", "before", "after"
     )
     if os.path.exists(history_path):
         hist = spark.read.parquet(history_path)
-        touched = ev.select(
-            *[
-                F.coalesce(
-                    F.col("after").getItem(k), F.col("before").getItem(k)
-                )
-                .cast(schema[k].dataType)
-                .alias(k)
-                for k in key_cols
-            ]
-        ).distinct()
-        open_touched = hist.filter(F.col("is_current")).join(
-            F.broadcast(touched), key_cols, "left_semi"
-        )
+        touched = ev.select(*key_exprs).distinct()
+        hist_touched = hist.join(F.broadcast(touched), key_cols, "left_semi")
+        open_touched = hist_touched.filter(F.col("is_current"))
         carried = hist.join(
             F.broadcast(touched), key_cols, "left_anti"
-        ).unionByName(
-            hist.filter(~F.col("is_current")).join(
-                F.broadcast(touched), key_cols, "left_semi"
-            )
+        ).unionByName(hist_touched.filter(~F.col("is_current")))
+        # per-key high-water mark already reflected in the history
+        hwm = hist_touched.groupBy(*key_cols).agg(
+            F.greatest(
+                F.max("valid_from_lsn"),
+                F.max(F.coalesce("valid_to_lsn", F.lit(0))),
+            ).alias("__hwm")
         )
-        events = open_versions_as_events(open_touched, schema).unionByName(ev)
+        ev_new = (
+            ev.select("op", "lsn", "before", "after", *key_exprs)
+            .join(F.broadcast(hwm), key_cols, "left")
+            .filter(F.col("__hwm").isNull() | (F.col("lsn") > F.col("__hwm")))
+            .select("op", "lsn", "before", "after")
+        )
+        events = open_versions_as_events(open_touched, schema).unionByName(ev_new)
         recomputed = scd2_from_events(events, schema, key_cols)
         final = carried.unionByName(recomputed)
     else:
@@ -454,16 +504,18 @@ def start_scd2_history(
     schema: StructType,
     key_cols: list[str],
     checkpoint_dir: str,
+    table: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Continuously maintain an SCD2 history table from the change-event
     stream — the streaming twin of ``operators.scd2.scd2_from_events``,
     with the same checkpoint/exactly-once/restart contract as
-    ``start_cdc_apply``."""
+    ``start_cdc_apply`` (crash-replayed batches are no-ops via the
+    per-key high-water-mark filter in ``scd2_apply_batch``)."""
     spark = events.sparkSession
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        scd2_apply_batch(spark, batch_df, history_path, schema, key_cols)
+        scd2_apply_batch(spark, batch_df, history_path, schema, key_cols, table)
 
     writer = events.writeStream.foreachBatch(apply_fn).option(
         "checkpointLocation", checkpoint_dir

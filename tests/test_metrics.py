@@ -114,3 +114,33 @@ def test_listener_tracks_stream_progress(spark, tmp_path):
         assert m.get(M.SOURCE_CONNECTION_STATUS) in (0, 1)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_listener_logs_and_counts_poisoned_event(caplog):
+    """A callback failure must be logged at WARN with the event type
+    and counted — never silently swallowed, never propagated to the
+    listener bus."""
+    import logging
+
+    m = M.CdcMetrics()
+    listener = M.make_listener(m)
+
+    class Poisoned:
+        @property
+        def progress(self):
+            raise RuntimeError("boom")
+
+    with caplog.at_level(logging.WARNING, logger="pg2any_spark.streaming.metrics"):
+        listener.onQueryProgress(Poisoned())  # must not raise
+    assert any(
+        "onQueryProgress" in r.message and "Poisoned" in r.message
+        for r in caplog.records
+    )
+    assert (
+        m.get(
+            M.ERRORS_TOTAL,
+            error_type="onQueryProgress",
+            component="metrics_listener",
+        )
+        == 1
+    )

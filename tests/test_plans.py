@@ -103,13 +103,25 @@ def test_window_query_partitions_before_sorting(plans):
     assert "SinglePartition" not in plan
 
 
-def test_funnel_stage_filters_reach_the_scan(plans):
-    """Each funnel stage scans events with its event_type filter
-    PUSHED — three pruned scans, not one full scan re-filtered."""
+def test_funnel_single_shuffle_shape(plans):
+    """The funnel derives all three stage times from ONE user_id
+    partitioning: stacked unbounded windows + a reduce that reuses the
+    same hash partitioning — no per-stage joins, no re-shuffles (the
+    old cascaded groupBy+join form cost 14 Exchanges; this shape
+    survives a 100× scale-up with one pass over events)."""
+    import re
+
     plan = plans("funnel_view_click_purchase")
-    for etype in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{etype})" in plan, etype
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+    # formatted mode prints each node in the outline AND the details
+    # section — count unique node ids, not occurrences
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange\b", plan)))
+    assert n_exchanges <= 4, f"expected <=4 Exchanges, got {n_exchanges}"
+    # one scan of events feeds the whole funnel
+    n_scans = len(set(re.findall(r"\((\d+)\) Scan parquet\b", plan)))
+    assert n_scans == 1, f"expected 1 scan, got {n_scans}"
 
 
 def test_retention_aggregates_stay_hash(plans):

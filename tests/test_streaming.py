@@ -427,6 +427,158 @@ class TestStreamingScd2:
         assert got == want
 
 
+class TestStreamingScd2Replay:
+    """Replay idempotence and feed hygiene for the incremental SCD2
+    applier — foreachBatch is at-least-once, so a crash-replayed batch
+    (history written, checkpoint not committed) must be a no-op."""
+
+    def _hist(self, spark, history):
+        return {
+            (r["id"], r["valid_from_lsn"]): (r["valid_to_lsn"], r["is_current"], r["val"])
+            for r in spark.read.parquet(history).collect()
+        }
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        """Apply the same micro-batch twice (simulated crash-replay):
+        the history must be byte-identical — no duplicate
+        (key, valid_from_lsn) rows, no degenerate [L, L) interval from
+        the LSN tie between the open-version pseudo-insert and the
+        replayed max-LSN event."""
+        from pg2any_spark.streaming.pipeline import scd2_apply_batch
+
+        history = str(tmp_path / "hist")
+        b1 = spark.createDataFrame(
+            [ev("c", 1, t1a(1, 10)), ev("c", 2, t1a(2, 20))], CHANGE_EVENT_SCHEMA
+        )
+        b2 = spark.createDataFrame(
+            [ev("u", 5, t1a(1, 11), {"id": "1"}), ev("d", 6, before={"id": "2"}),
+             ev("c", 7, t1a(3, 30))],
+            CHANGE_EVENT_SCHEMA,
+        )
+        scd2_apply_batch(spark, b1, history, T1_SCHEMA, ["id"])
+        scd2_apply_batch(spark, b2, history, T1_SCHEMA, ["id"])
+        want = self._hist(spark, history)
+        # crash-replay of b2 — includes a delete-closed key (no open
+        # version, the high-water mark must come from valid_to_lsn)
+        scd2_apply_batch(spark, b2, history, T1_SCHEMA, ["id"])
+        assert self._hist(spark, history) == want
+        # and a genuinely-new event after the replay still applies
+        b3 = spark.createDataFrame(
+            [ev("u", 9, t1a(1, 12), {"id": "1"})], CHANGE_EVENT_SCHEMA
+        )
+        scd2_apply_batch(spark, b3, history, T1_SCHEMA, ["id"])
+        got = self._hist(spark, history)
+        assert got[(1, 9)] == (None, True, 12)
+        assert got[(1, 5)] == (9, False, 11)
+
+    def test_restart_no_loss_no_dup(self, spark, tmp_path):
+        """Kill-and-restart with the same checkpoint on the SCD2
+        applier, mirroring TestBucketedApplyRestart: the second
+        incarnation processes only new files and picks up files added
+        while down."""
+        from pg2any_spark.operators.scd2 import scd2_from_events
+        from pg2any_spark.streaming.pipeline import start_scd2_history
+
+        src = str(tmp_path / "events")
+        history = str(tmp_path / "hist")
+        ckpt = str(tmp_path / "ck")
+        batch1 = [ev("c", i, t1a(i, i)) for i in range(1, 21)]
+        write_events(spark, src, batch1, "b1")
+        q = start_scd2_history(
+            read_event_stream(spark, src), history, T1_SCHEMA, ["id"], ckpt
+        )
+        q.awaitTermination(120)
+        assert len(self._hist(spark, history)) == 20
+
+        batch2 = (
+            [ev("u", 100 + i, t1a(i, 1000 + i), {"id": str(i)}) for i in range(1, 6)]
+            + [ev("d", 200 + i, before={"id": str(i)}) for i in range(6, 9)]
+        )
+        write_events(spark, src, batch2, "b2")
+        q2 = start_scd2_history(
+            read_event_stream(spark, src), history, T1_SCHEMA, ["id"], ckpt
+        )
+        q2.awaitTermination(120)
+        got = self._hist(spark, history)
+        want = {
+            (r["id"], r["valid_from_lsn"]): (r["valid_to_lsn"], r["is_current"], r["val"])
+            for r in scd2_from_events(
+                spark.createDataFrame(batch1 + batch2, CHANGE_EVENT_SCHEMA),
+                T1_SCHEMA,
+                ["id"],
+            ).collect()
+        }
+        assert got == want
+
+    def test_boolean_key_touched_set(self, spark, tmp_path):
+        """PG wire booleans render 't'/'f'; the touched-key extraction
+        must type them the same way scd2_from_events does, or the open
+        version is never retired and duplicate current versions
+        accumulate."""
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from pg2any_spark.streaming.pipeline import scd2_apply_batch
+
+        flag_schema = StructType(
+            [StructField("flag", BooleanType()), StructField("n", LongType())]
+        )
+        history = str(tmp_path / "hist")
+
+        def fev(op, lsn, after=None, before=None):
+            return Row(
+                op=op, schema="public", table="flags", txid=1, lsn=lsn,
+                commit_ts=TS, before=before, after=after,
+                key_columns=["flag"], replica_identity="default",
+            )
+
+        b1 = spark.createDataFrame(
+            [fev("c", 1, {"flag": "t", "n": "1"})], CHANGE_EVENT_SCHEMA
+        )
+        b2 = spark.createDataFrame(
+            [fev("u", 2, {"flag": "t", "n": "2"}, {"flag": "t"})],
+            CHANGE_EVENT_SCHEMA,
+        )
+        scd2_apply_batch(spark, b1, history, flag_schema, ["flag"])
+        scd2_apply_batch(spark, b2, history, flag_schema, ["flag"])
+        rows = spark.read.parquet(history).collect()
+        current = [r for r in rows if r["is_current"]]
+        assert len(current) == 1 and current[0]["n"] == 2
+        assert len(rows) == 2  # v1 closed at lsn=2, v2 open
+
+    def test_table_filter_ignores_other_tables(self, spark, tmp_path):
+        """A multi-table feed through the SCD2 applier with table= must
+        not interleave other tables' rows into the history."""
+        from pg2any_spark.streaming.pipeline import scd2_apply_batch
+
+        history = str(tmp_path / "hist")
+        other = Row(
+            op="c", schema="public", table="t2", txid=1, lsn=50, commit_ts=TS,
+            before=None, after={"id": "999", "val": "9", "col1": "x", "col2": "x"},
+            key_columns=["id"], replica_identity="default",
+        )
+        batch = spark.createDataFrame(
+            [ev("c", 1, t1a(1, 10)), other], CHANGE_EVENT_SCHEMA
+        )
+        scd2_apply_batch(spark, batch, history, T1_SCHEMA, ["id"], table="t1")
+        ids = [r["id"] for r in spark.read.parquet(history).collect()]
+        assert ids == [1]
+
+    def test_truncate_raises(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import scd2_apply_batch
+
+        history = str(tmp_path / "hist")
+        batch = spark.createDataFrame(
+            [ev("c", 1, t1a(1, 10)), ev("t", 5)], CHANGE_EVENT_SCHEMA
+        )
+        with pytest.raises(ValueError, match="TRUNCATE"):
+            scd2_apply_batch(spark, batch, history, T1_SCHEMA, ["id"])
+
+
 class TestStreamStreamJoin:
     def test_interval_join_matches_batch(self, spark, sf_dir, tmp_path):
         """Stream-stream bounded interval join (click→purchase within
@@ -630,6 +782,39 @@ class TestCompaction:
             r["id"]: r["val"] for r in read_bucketed_replica(spark, target).collect()
         }
         assert after_state == before_state and len(after_state) == 40
+
+
+class TestBucketedApplyTruncate:
+    def test_truncate_fails_loudly(self, spark, tmp_path):
+        """A TRUNCATE in the feed is unsupported on the touched-bucket
+        path — it must raise, not silently drop and leave the replica
+        diverged (and its NULL-key image must not inject a spurious
+        bucket)."""
+        from pg2any_spark.streaming.pipeline import apply_batch_to_bucketed_parquet
+
+        target = str(tmp_path / "rep")
+        good = spark.createDataFrame(
+            [ev("c", 1, t1a(1, 10))], CHANGE_EVENT_SCHEMA
+        )
+        apply_batch_to_bucketed_parquet(
+            spark, good, target, T1_SCHEMA, ["id"], n_buckets=4
+        )
+        bad = spark.createDataFrame(
+            [ev("u", 2, t1a(1, 11), {"id": "1"}), ev("t", 3)],
+            CHANGE_EVENT_SCHEMA,
+        )
+        with pytest.raises(ValueError, match="TRUNCATE"):
+            apply_batch_to_bucketed_parquet(
+                spark, bad, target, T1_SCHEMA, ["id"], n_buckets=4
+            )
+        # replica untouched by the failed batch
+        from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+        state = {
+            r["id"]: r["val"]
+            for r in read_bucketed_replica(spark, target).collect()
+        }
+        assert state == {1: 10}
 
 
 class TestBucketedApplyRestart:
