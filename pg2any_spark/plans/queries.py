@@ -110,6 +110,79 @@ def cdc_apply_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_multi_table_bucketed",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT 'orders', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 <> 1
+    ORDER BY table_name
+    """,
+)
+def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-publication replication onto BUCKETED replicas: one
+    interleaved customer+orders event stream drained through
+    ``start_multi_table_bucketed_apply`` (three micro-batches, one
+    checkpoint, touched-bucket incremental writes per table), then the
+    per-table row-count/checksum summary of both final states — the
+    same end-state contract as ``cdc_apply_multi_table``, proving the
+    incremental bucketed path matches the batch apply."""
+    import tempfile
+
+    from pg2any_spark.sources.cdc_gen import (
+        synth_customer_events,
+        synth_orders_events,
+    )
+    from pg2any_spark.streaming.pipeline import (
+        read_bucketed_replica,
+        read_event_stream,
+        start_multi_table_bucketed_apply,
+    )
+
+    events = synth_customer_events(spark, sf_dir).unionByName(
+        synth_orders_events(spark, sf_dir)
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    work = tempfile.mkdtemp(prefix="pg2any_mtb_")
+    src = f"{work}/events"
+    # One file per LSN band -> three micro-batches in COMMIT ORDER
+    # (inserts, then updates, then deletes). Batch boundaries must be
+    # monotone in LSN — the O1 ordering contract: the per-batch
+    # max-LSN reduction cannot reorder across batches, so a randomly
+    # split feed would let a later-batch insert resurrect an
+    # earlier-batch delete.
+    for lo, hi in ((0, 10_000_000), (10_000_000, 20_000_000),
+                   (20_000_000, 1 << 60)):
+        events.filter(
+            (F.col("lsn") >= lo) & (F.col("lsn") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = start_multi_table_bucketed_apply(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        {
+            "customer": (f"{work}/customer", cust.schema, ["c_custkey"]),
+            "orders": (f"{work}/orders", orders.schema, ["o_orderkey"]),
+        },
+        checkpoint_dir=f"{work}/ckpt",
+        n_buckets=16,
+    )
+    q.awaitTermination(300)
+    cust_state = read_bucketed_replica(spark, f"{work}/customer")
+    orders_state = read_bucketed_replica(spark, f"{work}/orders")
+    summary = cust_state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "key_sum")
+    summary2 = orders_state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "key_sum")
+    return summary.unionByName(summary2).orderBy("table_name")
+
+
+@query(
     "cdc_incremental_agg_view",
     oracle="""
     SELECT o_orderpriority,

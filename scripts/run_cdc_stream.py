@@ -10,8 +10,9 @@ property (``tests/chaos/scripts/chaos_script.sh``: random
 
 Usage: run_cdc_stream.py SOURCE_DIR TARGET CHECKPOINT_DIR [MAX_FILES_PER_TRIGGER]
 
-TARGET is a parquet replica path, or ``sqlite:<db_path>`` to apply
-through the live SQLite sink (atomic data+progress transactions).
+TARGET is a parquet replica path, ``sqlite:<db_path>`` to apply
+through the live SQLite sink (atomic data+progress transactions), or
+``bucketed:<path>`` for the bucket-partitioned incremental applier.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from pg2any_spark.schemas import T1_SCHEMA  # noqa: E402
 from pg2any_spark.session import get_spark  # noqa: E402
 from pg2any_spark.streaming.pipeline import (  # noqa: E402
     read_event_stream,
+    start_bucketed_cdc_apply,
     start_cdc_apply,
 )
 
@@ -33,6 +35,20 @@ def main() -> None:
     max_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark(app_name="cdc-stream-runner", shuffle_partitions=8)
     events = read_event_stream(spark, src, max_files_per_trigger=max_files)
+    if target.startswith("bucketed:"):
+        query = start_bucketed_cdc_apply(
+            events,
+            target[len("bucketed:"):],
+            T1_SCHEMA,
+            ["id"],
+            ckpt,
+            n_buckets=16,
+            table="t1",
+            available_now=True,
+        )
+        query.awaitTermination()
+        spark.stop()
+        return
     if target.startswith("sqlite:"):
         from pg2any_spark.sinks.sqlite_sink import sqlite_batch_applier
 

@@ -303,6 +303,86 @@ def test_sqlite_sink_hard_kill_restart(spark, tmp_path):
     assert s == n * (n + 1) // 2
 
 
+def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
+    """Reference-scale scenario 5: ONE transaction inserting 1,000,000
+    rows (the reference's scenario5_input.sql does 3M through pgbench;
+    same single-txid shape), streamed in 8 micro-batches through the
+    BUCKETED incremental applier; the runner process group is
+    SIGKILLed mid-stream, restarted on the same checkpoint, and
+    drained. The replica must be exact: count, id checksum, and zero
+    row diff vs the one-shot apply (verify/scenario5_verify.sql polls
+    COUNT(*) — this asserts strictly more)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+    n = 1_000_000
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    _to_events(_insert_events(spark, n, txid=42)).repartition(8).write.parquet(src)
+
+    t0 = time.monotonic()
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src,
+        f"bucketed:{target}", ckpt, "1",
+    ]
+    log1 = open(str(tmp_path / "run1.log"), "wb")
+    p1 = subprocess.Popen(
+        cmd, cwd="/root/repo", start_new_session=True,
+        stdout=log1, stderr=subprocess.STDOUT,
+    )
+    try:
+        # wait for the first COMMITTED batch (checkpoint commit log —
+        # the bucketed dynamic-overwrite write emits no _SUCCESS
+        # marker), then strike mid-stream
+        first_commit = os.path.join(ckpt, "commits", "0")
+        deadline = time.time() + 300
+        while time.time() < deadline and not os.path.exists(first_commit):
+            assert p1.poll() is None, (
+                "runner exited before first batch: "
+                + open(str(tmp_path / "run1.log"), "rb").read().decode(errors="replace")
+            )
+            time.sleep(0.2)
+        assert os.path.exists(first_commit), "no batch committed"
+        time.sleep(1.5)  # land inside a later batch's write/swap window
+    finally:
+        try:
+            os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass  # already dead (crash before the strike)
+        p1.wait()
+        log1.close()
+
+    p2 = subprocess.run(cmd, cwd="/root/repo", timeout=900, capture_output=True)
+    assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
+    wall_s = round(time.monotonic() - t0, 1)
+
+    final = read_bucketed_replica(spark, target)
+    got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
+    assert got["n"] == n, f"row count {got['n']} != {n} after kill/restart"
+    assert got["s"] == n * (n + 1) // 2
+    expected = apply_changes(
+        _insert_events(spark, n, txid=42), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    assert final.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(final).isEmpty()
+    # wall-time artifact for the bench record (rows/s incl. both JVM
+    # startups and the kill window — the honest end-to-end number)
+    with open("/root/repo/CHAOS_1M.json", "w") as f:
+        json.dump(
+            {"rows": n, "wall_seconds": wall_s,
+             "rows_per_second": round(n / wall_s, 1),
+             "scenario": "s5_single_tx_sigkill_bucketed"},
+            f,
+        )
+
+
 def test_s5_single_huge_transaction(spark):
     """S5 (scaled): one transaction inserting 200k rows (the reference
     uses 3M via generate_series) → exact count, exact sum of ids. The

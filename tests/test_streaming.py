@@ -427,6 +427,101 @@ class TestStreamingScd2:
         assert got == want
 
 
+class TestMultiTableBucketedApply:
+    """Whole-publication replication onto bucketed replicas: one
+    stream, one checkpoint, N touched-bucket incremental replicas."""
+
+    def _ev2(self, op, lsn, table, after=None, before=None):
+        return Row(
+            op=op, schema="public", table=table, txid=1, lsn=lsn,
+            commit_ts=TS, before=before, after=after,
+            key_columns=["id"], replica_identity="default",
+        )
+
+    def test_one_stream_two_bucketed_replicas(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import (
+            read_bucketed_replica,
+            start_multi_table_bucketed_apply,
+        )
+
+        src = str(tmp_path / "events")
+        rows = (
+            [self._ev2("c", i, "t1", t1a(i, i)) for i in range(1, 21)]
+            + [self._ev2("c", 100 + i, "t2", t1a(i, 1000 + i)) for i in range(1, 11)]
+            + [self._ev2("d", 200, "t1", before={"id": "3"})]
+        )
+        write_events(spark, src, rows, "b1")
+        q = start_multi_table_bucketed_apply(
+            read_event_stream(spark, src),
+            {
+                "t1": (str(tmp_path / "r1"), T1_SCHEMA, ["id"]),
+                "t2": (str(tmp_path / "r2"), T1_SCHEMA, ["id"]),
+            },
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n_buckets=4,
+        )
+        q.awaitTermination(120)
+        s1 = {r["id"]: r["val"]
+              for r in read_bucketed_replica(spark, str(tmp_path / "r1")).collect()}
+        s2 = {r["id"]: r["val"]
+              for r in read_bucketed_replica(spark, str(tmp_path / "r2")).collect()}
+        assert len(s1) == 19 and 3 not in s1 and s1[5] == 5
+        assert len(s2) == 10 and s2[5] == 1005
+
+    def test_single_table_batch_leaves_other_table_untouched(self, spark, tmp_path):
+        """mtime audit: a batch touching only t1 must not rewrite any
+        of t2's bucket files — per-batch cost is O(touched buckets of
+        touched TABLES), the publication-wide pruning contract."""
+        import os
+
+        from pg2any_spark.streaming.pipeline import (
+            read_bucketed_replica,
+            start_multi_table_bucketed_apply,
+        )
+
+        src = str(tmp_path / "events")
+        tables = {
+            "t1": (str(tmp_path / "r1"), T1_SCHEMA, ["id"]),
+            "t2": (str(tmp_path / "r2"), T1_SCHEMA, ["id"]),
+        }
+        write_events(
+            spark, src,
+            [self._ev2("c", i, "t1", t1a(i, i)) for i in range(1, 11)]
+            + [self._ev2("c", 100 + i, "t2", t1a(i, i)) for i in range(1, 11)],
+            "b1",
+        )
+        q = start_multi_table_bucketed_apply(
+            read_event_stream(spark, src), tables,
+            checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+        )
+        q.awaitTermination(120)
+
+        def snapshot(root):
+            out = {}
+            for r, _d, files in os.walk(root):
+                for f in files:
+                    p = os.path.join(r, f)
+                    out[p] = os.stat(p).st_mtime_ns
+            return out
+
+        t2_before = snapshot(str(tmp_path / "r2"))
+        # second batch: t1-only update
+        write_events(
+            spark, src,
+            [self._ev2("u", 500, "t1", t1a(1, 999), {"id": "1"})],
+            "b2",
+        )
+        q2 = start_multi_table_bucketed_apply(
+            read_event_stream(spark, src), tables,
+            checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+        )
+        q2.awaitTermination(120)
+        assert snapshot(str(tmp_path / "r2")) == t2_before
+        s1 = {r["id"]: r["val"]
+              for r in read_bucketed_replica(spark, str(tmp_path / "r1")).collect()}
+        assert s1[1] == 999 and len(s1) == 10
+
+
 class TestStreamingScd2Replay:
     """Replay idempotence and feed hygiene for the incremental SCD2
     applier — foreachBatch is at-least-once, so a crash-replayed batch
