@@ -441,3 +441,68 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def lexical_semantic_agreement(
+    corpus: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Agreement between lexical (MinHash-LSH) and semantic
+    (embedding-cosine) near-dup detection over a planted-pair corpus
+    (``sources.cdc_gen.synth_paired_neardup_corpus``: columns id,
+    variant, text, embedding; variant ids = original id + k*100000).
+
+    For each planted (original, variant) pair, flags whether the LSH
+    candidate join surfaces it and whether the embedding cosine clears
+    ``threshold``, then aggregates per variant class (+ an ``all``
+    rollup row): pair counts, per-detector counts, and the Jaccard of
+    the two detectors' pair sets. This is the dedup-strategy QA report
+    a training-data pipeline runs before choosing its dedup stack —
+    lexical misses paraphrases, semantic misses meaning-flips; the
+    numbers say how much.
+
+    Cost shape: LSH is the bucketed band join (never all-pairs); the
+    semantic check is pair-restricted (|planted| rows); the rollup is
+    a tiny aggregate. Scales like the LSH operator itself.
+    """
+    from pg2any_spark.operators.similarity import cosine
+
+    lex = lsh_candidate_pairs(
+        corpus.select("id", "text"), "id", "text",
+        num_hashes=num_hashes, bands=bands,
+    ).withColumn("lexical", F.lit(1))
+    planted = corpus.filter(F.col("variant") != "orig").select(
+        (F.col("id") % 100000).alias("id_a"),
+        F.col("id").alias("id_b"),
+        "variant",
+        F.col("embedding").alias("emb_b"),
+    )
+    orig = corpus.filter(F.col("variant") == "orig").select(
+        F.col("id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    flags = (
+        planted.join(orig, "id_a")
+        .withColumn(
+            "semantic",
+            (F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+             >= threshold).cast("int"),
+        )
+        .join(lex.select("id_a", "id_b", "lexical"), ["id_a", "id_b"], "left")
+        .withColumn("lexical", F.coalesce("lexical", F.lit(0)))
+    )
+    agg = flags.rollup("variant").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("lexical").alias("n_lexical"),
+        F.sum("semantic").alias("n_semantic"),
+        F.sum(F.col("lexical") * F.col("semantic")).alias("n_both"),
+    )
+    union_sz = F.col("n_lexical") + F.col("n_semantic") - F.col("n_both")
+    return agg.select(
+        F.coalesce("variant", F.lit("all")).alias("variant"),
+        "n_pairs", "n_lexical", "n_semantic", "n_both",
+        F.when(union_sz > 0,
+               F.round(F.col("n_both").cast("double") / union_sz, 6))
+        .alias("pair_jaccard"),
+    ).orderBy("variant")

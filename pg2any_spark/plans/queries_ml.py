@@ -1604,3 +1604,99 @@ def source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical vs semantic dedup agreement
+# ---------------------------------------------------------------------------
+
+_PAIRED_CORPUS = f"""
+    SELECT d.doc_id AS id, 'orig' AS variant, d.text,
+           e.embedding::DOUBLE[] AS embedding
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    UNION ALL
+    SELECT d.doc_id + 100000, 'both', {_DROP2},
+           list_transform(e.embedding::DOUBLE[], x -> x * 0.5)
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.doc_id % 2 = 0
+    UNION ALL
+    SELECT d.doc_id + 200000, 'semantic_only',
+           array_to_string(list_reverse({_TOKS}), ' '),
+           list_transform(e.embedding::DOUBLE[], x -> x * 0.25)
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.doc_id % 4 = 1
+    UNION ALL
+    SELECT d.doc_id + 300000, 'lexical_only', {_DROP2},
+           list_transform(e.embedding::DOUBLE[], x -> -x)
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.doc_id % 4 = 3
+"""
+
+
+@query(
+    "dedup_lexical_semantic_agreement",
+    oracle=f"""
+    WITH corpus AS ({_PAIRED_CORPUS}),
+    sh AS (
+        SELECT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    hashed AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM sh
+    ),
+    sig AS (
+        SELECT id, {_minhash_sig_sql(12)}
+        FROM hashed GROUP BY id
+    ),
+    bands AS (
+        {_band_sql(4, 3)}
+    ),
+    lex AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    planted AS (
+        SELECT c.id % 100000 AS id_a, c.id AS id_b, c.variant,
+               c.embedding AS emb_b
+        FROM corpus c WHERE c.variant <> 'orig'
+    ),
+    flags AS (
+        SELECT p.variant,
+               CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS lexical,
+               CASE WHEN ROUND(list_cosine_similarity(o.embedding, p.emb_b), 6)
+                         >= 0.95 THEN 1 ELSE 0 END AS semantic
+        FROM planted p
+        JOIN corpus o ON o.id = p.id_a AND o.variant = 'orig'
+        LEFT JOIN lex l ON l.id_a = p.id_a AND l.id_b = p.id_b
+    ),
+    agg AS (
+        SELECT coalesce(variant, 'all') AS variant,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(lexical) AS BIGINT) AS n_lexical,
+               CAST(SUM(semantic) AS BIGINT) AS n_semantic,
+               CAST(SUM(lexical * semantic) AS BIGINT) AS n_both
+        FROM flags GROUP BY ROLLUP(variant)
+    )
+    SELECT variant, n_pairs, n_lexical, n_semantic, n_both,
+           CASE WHEN n_lexical + n_semantic - n_both > 0
+                THEN ROUND(CAST(n_both AS DOUBLE)
+                           / (n_lexical + n_semantic - n_both), 6)
+                END AS pair_jaccard
+    FROM agg ORDER BY variant
+    """,
+)
+def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic dedup agreement over a corpus with planted
+    CONSISTENT text+embedding near-duplicates: per variant class
+    (both / lexical_only / semantic_only / all), how many planted
+    pairs each detector surfaced and the Jaccard of the two pair
+    sets — the end-to-end dedup+similarity QA story (MinHash misses
+    paraphrases, cosine misses meaning-flips; this query quantifies
+    both on ground truth)."""
+    from pg2any_spark.sources.cdc_gen import synth_paired_neardup_corpus
+
+    corpus = synth_paired_neardup_corpus(spark, sf_dir)
+    return D.lexical_semantic_agreement(corpus, num_hashes=12, bands=4)

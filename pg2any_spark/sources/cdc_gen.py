@@ -258,3 +258,59 @@ def synth_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(k % 4 == 1), "d", 11, k + _DELETE_BASE, full_map, null_map
     )
     return inserts.unionByName(deletes)
+
+
+def synth_paired_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with CONSISTENT text and embedding near-duplicates — the
+    ground truth for comparing lexical (MinHash) and semantic
+    (embedding-cosine) dedup. Each variant plants a known relationship:
+
+    - ``both`` (+100000, doc_id%2==0): first-two-words-dropped text
+      (lexically near) + 0.5-scaled embedding (cosine exactly 1) —
+      both detectors should agree;
+    - ``semantic_only`` (+200000, doc_id%4==1): token-REVERSED text
+      (3-gram shingle sets disjoint) + 0.25-scaled embedding — the
+      paraphrase case lexical dedup misses;
+    - ``lexical_only`` (+300000, doc_id%4==3): near-dup text + NEGATED
+      embedding (cosine exactly -1) — surface-similar, semantically
+      opposite.
+
+    All transforms are deterministic and closed-form, so a DuckDB
+    oracle can re-derive both detectors' verdicts exactly.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", dbl.alias("embedding")
+    )
+    drop2 = F.regexp_replace("text", r"^\s*\S+\s+\S+\s+", "")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    reversed_text = F.concat_ws(" ", F.reverse(toks))
+
+    def variant(pred, offset, name, text_col, emb_fn):
+        return base.filter(pred).select(
+            (F.col("doc_id") + offset).alias("id"),
+            F.lit(name).alias("variant"),
+            text_col.alias("text"),
+            F.transform("embedding", emb_fn).alias("embedding"),
+        )
+
+    orig = base.select(
+        F.col("doc_id").alias("id"), F.lit("orig").alias("variant"),
+        "text", "embedding",
+    )
+    return (
+        orig.unionByName(
+            variant(F.col("doc_id") % 2 == 0, 100000, "both", drop2,
+                    lambda x: x * 0.5)
+        )
+        .unionByName(
+            variant(F.col("doc_id") % 4 == 1, 200000, "semantic_only",
+                    reversed_text, lambda x: x * 0.25)
+        )
+        .unionByName(
+            variant(F.col("doc_id") % 4 == 3, 300000, "lexical_only", drop2,
+                    lambda x: -x)
+        )
+    )

@@ -76,3 +76,35 @@ def test_simhash_hamming_pairs(spark):
     fps = D.simhash(df, "id")
     pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_hamming_pairs(fps, "id", max_distance=8).collect()}
     assert (1, 2) in pairs
+
+
+class TestLexicalSemanticAgreement:
+    def test_planted_classes_detected_as_designed(self, spark, sf_dir):
+        """Ground-truth agreement: lexical_only pairs must be invisible
+        to the cosine detector (negated embeddings), semantic_only
+        pairs invisible to LSH (reversed shingles), and 'both' pairs
+        near-fully caught by each; the all-row Jaccard sits strictly
+        between 0 and 1."""
+        from pg2any_spark.operators.dedup import lexical_semantic_agreement
+        from pg2any_spark.sources.cdc_gen import synth_paired_neardup_corpus
+
+        corpus = synth_paired_neardup_corpus(spark, sf_dir)
+        rows = {
+            r["variant"]: r
+            for r in lexical_semantic_agreement(corpus).collect()
+        }
+        both, lex, sem = (
+            rows["both"], rows["lexical_only"], rows["semantic_only"]
+        )
+        assert sem["n_lexical"] == 0 and sem["n_semantic"] == sem["n_pairs"]
+        assert lex["n_semantic"] == 0 and lex["n_lexical"] == lex["n_pairs"]
+        # scaled embeddings have cosine exactly 1 -> all caught;
+        # LSH is probabilistic per banding, so near-full
+        assert both["n_semantic"] == both["n_pairs"]
+        assert both["n_lexical"] >= both["n_pairs"] * 0.9
+        assert both["n_both"] == both["n_lexical"]
+        allr = rows["all"]
+        assert allr["n_pairs"] == (
+            both["n_pairs"] + lex["n_pairs"] + sem["n_pairs"]
+        )
+        assert 0 < allr["pair_jaccard"] < 1
