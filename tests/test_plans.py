@@ -17,6 +17,7 @@ SortAggregate, the same shuffle+sort shape Delta MERGE dedup uses
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pg2any_spark.plans.queries import QUERIES
 
@@ -197,3 +198,71 @@ def test_registry_plan_gate(plans, name):
     if name not in ARROW_STAGE_ALLOWED:
         for node in _PY_NODES:
             assert node not in plan, f"{name}: unexpected Python stage {node}"
+
+
+def test_cbo_column_stats_flip_join_to_broadcast(spark, sf_dir):
+    """Stats-fed cost-based optimization: a selective filter on orders
+    cannot be broadcast without statistics (the planner only sees the
+    ~281 KB file size), but after ANALYZE TABLE ... FOR COLUMNS the
+    CBO estimates the filtered cardinality from min/max and flips the
+    join to BroadcastHashJoin — the plan change that, at 100 TB, is
+    the difference between shuffling the fact table and not."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.sql("DROP TABLE IF EXISTS stats_orders")
+    spark.sql("DROP TABLE IF EXISTS stats_lineitem")
+    try:
+        spark.sql(
+            "CREATE TABLE stats_orders USING parquet "
+            f"LOCATION 'file:{sf_dir}/orders.parquet'"
+        )
+        spark.sql(
+            "CREATE TABLE stats_lineitem USING parquet "
+            f"LOCATION 'file:{sf_dir}/lineitem.parquet'"
+        )
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # threshold sized to the FIXTURE: without stats the filtered
+        # side is estimated at the full file size (filters don't
+        # shrink size-only estimation), so half of it stays above; a
+        # ~21-row estimate from column stats lands far below.
+        import os
+
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(orders_bytes // 2)
+        )
+        # assert on the STATIC plan (AQE could flip it at runtime from
+        # observed shuffle sizes, which is exactly what static stats
+        # make unnecessary)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        def plan():
+            df = (
+                spark.table("stats_orders")
+                .filter("o_orderkey <= 20")
+                .join(
+                    spark.table("stats_lineitem"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+            )
+            return explain(df)
+
+        before = plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+
+        spark.sql(
+            "ANALYZE TABLE stats_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey"
+        )
+        after = plan()
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS stats_orders")
+        spark.sql("DROP TABLE IF EXISTS stats_lineitem")
