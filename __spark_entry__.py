@@ -89,7 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 2
         return 1 if n in DRIVER_VERIFIED else 0
 
-    names = sorted(Q.QUERIES, key=lambda n: (bucket(n), list(Q.QUERIES).index(n)))
+    # sorted() is stable, so registration order is preserved within
+    # each bucket: never-checked first, verified next, no-oracle last
+    names = sorted(Q.QUERIES, key=bucket)
     return {n: Q.QUERIES[n] for n in names}
 
 

@@ -452,7 +452,7 @@ def lexical_semantic_agreement(
     """Agreement between lexical (MinHash-LSH) and semantic
     (embedding-cosine) near-dup detection over a planted-pair corpus
     (``sources.cdc_gen.synth_paired_neardup_corpus``: columns id,
-    variant, text, embedding; variant ids = original id + k*100000).
+    orig_id, variant, text, embedding; ids disjoint by construction).
 
     For each planted (original, variant) pair, flags whether the LSH
     candidate join surfaces it and whether the embedding cosine clears
@@ -474,7 +474,7 @@ def lexical_semantic_agreement(
         num_hashes=num_hashes, bands=bands,
     ).withColumn("lexical", F.lit(1))
     planted = corpus.filter(F.col("variant") != "orig").select(
-        (F.col("id") % 100000).alias("id_a"),
+        (F.col("orig_id") * 4).alias("id_a"),  # the original's corpus id
         F.col("id").alias("id_b"),
         "variant",
         F.col("embedding").alias("emb_b"),

@@ -129,6 +129,9 @@ def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     per-table row-count/checksum summary of both final states — the
     same end-state contract as ``cdc_apply_multi_table``, proving the
     incremental bucketed path matches the batch apply."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from pg2any_spark.sources.cdc_gen import (
@@ -146,7 +149,13 @@ def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     )
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    work = tempfile.mkdtemp(prefix="pg2any_mtb_")
+    # fixed per-sf_dir working dir, wiped at entry: repeated runs
+    # (driver, bench, plan gate) reuse one slot instead of leaking a
+    # fresh mkdtemp of replicas+checkpoint each invocation
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"pg2any_mtb_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
     src = f"{work}/events"
     # One file per LSN band -> three micro-batches in COMMIT ORDER
     # (inserts, then updates, then deletes). Batch boundaries must be
@@ -168,7 +177,12 @@ def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         checkpoint_dir=f"{work}/ckpt",
         n_buckets=16,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "multi-table bucketed apply did not drain within 300s; "
+            "refusing to summarize a partially-applied replica"
+        )
     cust_state = read_bucketed_replica(spark, f"{work}/customer")
     orders_state = read_bucketed_replica(spark, f"{work}/orders")
     summary = cust_state.agg(

@@ -1611,22 +1611,22 @@ def source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PAIRED_CORPUS = f"""
-    SELECT d.doc_id AS id, 'orig' AS variant, d.text,
-           e.embedding::DOUBLE[] AS embedding
+    SELECT d.doc_id * 4 AS id, d.doc_id AS orig_id, 'orig' AS variant,
+           d.text, e.embedding::DOUBLE[] AS embedding
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     UNION ALL
-    SELECT d.doc_id + 100000, 'both', {_DROP2},
+    SELECT d.doc_id * 4 + 1, d.doc_id, 'both', {_DROP2},
            list_transform(e.embedding::DOUBLE[], x -> x * 0.5)
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     WHERE d.doc_id % 2 = 0
     UNION ALL
-    SELECT d.doc_id + 200000, 'semantic_only',
+    SELECT d.doc_id * 4 + 2, d.doc_id, 'semantic_only',
            array_to_string(list_reverse({_TOKS}), ' '),
            list_transform(e.embedding::DOUBLE[], x -> x * 0.25)
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     WHERE d.doc_id % 4 = 1
     UNION ALL
-    SELECT d.doc_id + 300000, 'lexical_only', {_DROP2},
+    SELECT d.doc_id * 4 + 3, d.doc_id, 'lexical_only', {_DROP2},
            list_transform(e.embedding::DOUBLE[], x -> -x)
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     WHERE d.doc_id % 4 = 3
@@ -1659,7 +1659,7 @@ _PAIRED_CORPUS = f"""
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
     ),
     planted AS (
-        SELECT c.id % 100000 AS id_a, c.id AS id_b, c.variant,
+        SELECT c.orig_id * 4 AS id_a, c.id AS id_b, c.variant,
                c.embedding AS emb_b
         FROM corpus c WHERE c.variant <> 'orig'
     ),

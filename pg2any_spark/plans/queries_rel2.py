@@ -808,7 +808,12 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id")
     t, typ = F.col("ts"), F.col("event_type")
     per_ev = (
-        ev.select("user_id", "ts", "event_type")
+        # only funnel-relevant types enter the shuffle (pushed to the
+        # scan as an In filter); other types can never set a stage
+        # time, and users with only such events contribute nothing to
+        # the counts either way
+        ev.filter(typ.isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
         .withColumn("t_view", F.min(F.when(typ == "view", t)).over(w))
         .withColumn(
             "t_click",

@@ -265,18 +265,22 @@ def synth_paired_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth for comparing lexical (MinHash) and semantic
     (embedding-cosine) dedup. Each variant plants a known relationship:
 
-    - ``both`` (+100000, doc_id%2==0): first-two-words-dropped text
+    - ``both`` (slot 1, doc_id%2==0): first-two-words-dropped text
       (lexically near) + 0.5-scaled embedding (cosine exactly 1) —
       both detectors should agree;
-    - ``semantic_only`` (+200000, doc_id%4==1): token-REVERSED text
+    - ``semantic_only`` (slot 2, doc_id%4==1): token-REVERSED text
       (3-gram shingle sets disjoint) + 0.25-scaled embedding — the
       paraphrase case lexical dedup misses;
-    - ``lexical_only`` (+300000, doc_id%4==3): near-dup text + NEGATED
+    - ``lexical_only`` (slot 3, doc_id%4==3): near-dup text + NEGATED
       embedding (cosine exactly -1) — surface-similar, semantically
       opposite.
 
-    All transforms are deterministic and closed-form, so a DuckDB
-    oracle can re-derive both detectors' verdicts exactly.
+    Corpus ids are ``doc_id * 4 + slot`` (slot 0 = original), so
+    originals and variants are disjoint at ANY corpus size — no
+    fixed-offset scheme that collides past 100k documents — and every
+    row carries ``orig_id`` explicitly so downstream never decodes
+    ids. All transforms are deterministic and closed-form, so a
+    DuckDB oracle can re-derive both detectors' verdicts exactly.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
@@ -288,29 +292,32 @@ def synth_paired_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     reversed_text = F.concat_ws(" ", F.reverse(toks))
 
-    def variant(pred, offset, name, text_col, emb_fn):
+    def variant(pred, slot, name, text_col, emb_fn):
         return base.filter(pred).select(
-            (F.col("doc_id") + offset).alias("id"),
+            (F.col("doc_id") * 4 + slot).alias("id"),
+            F.col("doc_id").alias("orig_id"),
             F.lit(name).alias("variant"),
             text_col.alias("text"),
             F.transform("embedding", emb_fn).alias("embedding"),
         )
 
     orig = base.select(
-        F.col("doc_id").alias("id"), F.lit("orig").alias("variant"),
+        (F.col("doc_id") * 4).alias("id"),
+        F.col("doc_id").alias("orig_id"),
+        F.lit("orig").alias("variant"),
         "text", "embedding",
     )
     return (
         orig.unionByName(
-            variant(F.col("doc_id") % 2 == 0, 100000, "both", drop2,
+            variant(F.col("doc_id") % 2 == 0, 1, "both", drop2,
                     lambda x: x * 0.5)
         )
         .unionByName(
-            variant(F.col("doc_id") % 4 == 1, 200000, "semantic_only",
+            variant(F.col("doc_id") % 4 == 1, 2, "semantic_only",
                     reversed_text, lambda x: x * 0.25)
         )
         .unionByName(
-            variant(F.col("doc_id") % 4 == 3, 300000, "lexical_only", drop2,
+            variant(F.col("doc_id") % 4 == 3, 3, "lexical_only", drop2,
                     lambda x: -x)
         )
     )

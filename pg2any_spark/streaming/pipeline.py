@@ -360,6 +360,34 @@ def start_cdc_apply(
     return writer.start()
 
 
+def _start_multi_table(
+    events: DataFrame,
+    tables: dict[str, tuple[str, StructType, list[str]]],
+    checkpoint_dir: str,
+    available_now: bool,
+    apply_one,
+) -> StreamingQuery:
+    """Shared multi-table dispatch scaffolding: one micro-batch is
+    persisted once and fanned out to ``apply_one(batch_df, table,
+    target, schema, key_cols)`` per publication table, all under ONE
+    checkpoint so every replica advances atomically."""
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for table, (target, schema, key_cols) in tables.items():
+                apply_one(batch_df, table, target, schema, key_cols)
+        finally:
+            batch_df.unpersist()
+
+    writer = events.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_multi_table_apply(
     events: DataFrame,
     tables: dict[str, tuple[str, StructType, list[str]]],
@@ -379,22 +407,14 @@ def start_multi_table_apply(
     whole batch for every table, and each apply is idempotent."""
     spark = events.sparkSession
 
-    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            for table, (target, schema, key_cols) in tables.items():
-                apply_batch_to_parquet(
-                    spark, batch_df, target, schema, key_cols, table=table
-                )
-        finally:
-            batch_df.unpersist()
+    def apply_one(batch_df, table, target, schema, key_cols):
+        apply_batch_to_parquet(
+            spark, batch_df, target, schema, key_cols, table=table
+        )
 
-    writer = events.writeStream.foreachBatch(apply_fn).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_multi_table(
+        events, tables, checkpoint_dir, available_now, apply_one
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_multi_table_bucketed_apply(
@@ -420,23 +440,15 @@ def start_multi_table_bucketed_apply(
     """
     spark = events.sparkSession
 
-    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            for table, (target, schema, key_cols) in tables.items():
-                apply_batch_to_bucketed_parquet(
-                    spark, batch_df, target, schema, key_cols,
-                    n_buckets=n_buckets, table=table,
-                )
-        finally:
-            batch_df.unpersist()
+    def apply_one(batch_df, table, target, schema, key_cols):
+        apply_batch_to_bucketed_parquet(
+            spark, batch_df, target, schema, key_cols,
+            n_buckets=n_buckets, table=table,
+        )
 
-    writer = events.writeStream.foreachBatch(apply_fn).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_multi_table(
+        events, tables, checkpoint_dir, available_now, apply_one
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def scd2_apply_batch(
@@ -487,10 +499,9 @@ def scd2_apply_batch(
     _recover_replica(history_path)
     if table is not None:
         batch_df = batch_df.filter(F.col("table") == table)
-    # Touched keys + truncate check in one driver-side pass. The same
-    # _cast_text the apply paths use keys the wire text (e.g. boolean
-    # 't'/'f') identically to scd2_from_events — a plain cast would
-    # NULL such keys out of the touched set and leave stale open
+    # The same _cast_text the apply paths use keys the wire text (e.g.
+    # boolean 't'/'f') identically to scd2_from_events — a plain cast
+    # would NULL such keys out of the touched set and leave stale open
     # versions unretired.
     key_exprs = [
         _cast_text(
@@ -499,13 +510,22 @@ def scd2_apply_batch(
         ).alias(k)
         for k in key_cols
     ]
-    truncs = batch_df.filter(F.col("op") == OP_TRUNCATE)
-    if truncs.limit(1).count():
+    # One probe job per batch: truncate check + DML count. With a
+    # table filter on a multi-table feed, most batches carry zero rows
+    # for this table — skipping them keeps per-batch cost O(batch ∪
+    # touched), never O(history) for other tables' traffic.
+    probe = batch_df.agg(
+        F.max((F.col("op") == OP_TRUNCATE).cast("int")).alias("has_trunc"),
+        F.sum(F.col("op").isin(*DML_OPS[:3]).cast("int")).alias("n_dml"),
+    ).first()
+    if probe["has_trunc"]:
         raise ValueError(
             "TRUNCATE event in batch: SCD2 history maintenance has no "
             "per-key rendering of a whole-table barrier. Handle the "
             "truncate upstream, then rebuild with scd2_from_events."
         )
+    if not probe["n_dml"] and os.path.exists(history_path):
+        return  # nothing for this table in the batch; history stands
     ev = batch_df.filter(F.col("op").isin(*DML_OPS[:3])).select(
         "op", "lsn", "before", "after"
     )
