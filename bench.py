@@ -48,6 +48,10 @@ HEADLINE = [
     # round 3: SCD2 history build; keyless binned range join
     "scd2_customer_history",
     "range_join_error_purchase_global",
+    # round 4: single-shuffle funnel, dieted TF-IDF, dedup-stack QA
+    "funnel_view_click_purchase",
+    "tfidf_top_terms_per_doc",
+    "dedup_lexical_semantic_agreement",
 ]
 
 
@@ -83,15 +87,17 @@ def main() -> None:
     }
     # Chaos headline (reference scenario 5 analogue): measured by
     # tests/test_scenarios.py::test_s5_megarow_single_tx_hard_kill_bucketed
-    # — 1M-row single-transaction feed, SIGKILL mid-stream, restart,
-    # exact-state verify. Carried from its artifact (the run itself
-    # takes ~75 s and two JVMs; re-running it per bench would dwarf
-    # the query suite).
-    chaos_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "CHAOS_1M.json")
-    if os.path.exists(chaos_path):
+    # — 1M-row (3M with PG2ANY_CHAOS_ROWS) single-transaction feed,
+    # SIGKILL mid-stream, restart, exact-state verify. Carried from
+    # its artifact (the run itself takes minutes and two JVMs;
+    # re-running it per bench would dwarf the query suite).
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for chaos_path in sorted(_glob.glob(os.path.join(here, "CHAOS_*M.json"))):
+        key = "chaos_sigkill_" + os.path.basename(chaos_path)[6:-5].lower()
         with open(chaos_path) as f:
-            record["chaos_1m_sigkill"] = json.load(f)
+            record[key] = json.load(f)
     print(json.dumps(record))
 
 

@@ -311,7 +311,10 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
     SIGKILLed mid-stream, restarted on the same checkpoint, and
     drained. The replica must be exact: count, id checksum, and zero
     row diff vs the one-shot apply (verify/scenario5_verify.sql polls
-    COUNT(*) — this asserts strictly more)."""
+    COUNT(*) — this asserts strictly more).
+
+    ``PG2ANY_CHAOS_ROWS=3000000`` runs the full reference-scale 3M
+    case (a one-off validation, ~4 min; the suite default stays 1M)."""
     import json
     import os
     import signal
@@ -321,7 +324,7 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
 
     from pg2any_spark.streaming.pipeline import read_bucketed_replica
 
-    n = 1_000_000
+    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 1_000_000))
     src = str(tmp_path / "events")
     target = str(tmp_path / "replica")
     ckpt = str(tmp_path / "ckpt")
@@ -374,7 +377,7 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
     # wall-time artifact for the bench record (rows/s incl. both JVM
     # startups and the kill window — the honest end-to-end number)
-    with open("/root/repo/CHAOS_1M.json", "w") as f:
+    with open(f"/root/repo/CHAOS_{n // 1_000_000}M.json", "w") as f:
         json.dump(
             {"rows": n, "wall_seconds": wall_s,
              "rows_per_second": round(n / wall_s, 1),
