@@ -255,3 +255,63 @@ def temperature_mix(
         .filter(b < F.col("__thr"))
         .drop("__thr", "__stratum")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style
+    pre-training pack): within each ``group_col`` stream, documents are
+    concatenated in ``id_col`` order and the token stream is split
+    into ``budget``-sized training sequences; a document belongs to
+    the sequence where it STARTS. Returns one row per (group, seq_id):
+    n_docs, first_doc, seq_tokens (tokens of documents starting in the
+    sequence) and fill_ratio.
+
+    Plan shape: ONE shuffle (partition by group for the running-sum
+    window), reused by the per-sequence aggregate — the assignment is
+    a closed-form function of the cumulative token count, never a
+    sequential fold, which is what keeps packing parallel over a
+    100 TB corpus (each group packs independently; groups = sources /
+    shards / languages).
+    """
+    from pyspark.sql import Window
+
+    from pg2any_spark.operators.text import token_count
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        docs.select(group_col, id_col, token_count(F.col(text_col)).alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / F.lit(budget)),
+        )
+    )
+    return (
+        d.groupBy(group_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .select(
+            group_col,
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "seq_tokens",
+            F.round(F.col("seq_tokens").cast("double") / budget, 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy(group_col, "seq_id")
+    )

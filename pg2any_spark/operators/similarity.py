@@ -678,3 +678,138 @@ def ivf_topk_arrow(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: the embedding-storage scale path
+# ---------------------------------------------------------------------------
+
+
+def dim_min_max(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension corpus min/max, as two driver-side lists.
+
+    128 column aggregates (JVM codegen, map-side combined) over one
+    scan — never an explode of |corpus|×dim rows. The result is
+    2×dim scalars: bounded driver data by construction, same class as
+    the IVF centroids.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    row = df.agg(
+        *[F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at(v, i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    return (
+        [float(row[f"mn{i}"]) for i in range(dim)],
+        [float(row[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    mins: list,
+    maxes: list,
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Scalar int8 quantization against per-dimension [min, max]:
+    ``code_i = round((x_i - mn_i) / (mx_i - mn_i) * 255) - 128``,
+    clamped to [-128, 127]; constant dimensions (mx == mn) code to 0.
+
+    This is the 4× embedding-storage compression a 100 TB vector
+    corpus ships with (float32 → int8); reconstruction error is
+    bounded by half a quantization step per dimension. Pure codegen:
+    the corpus stats enter as literal arrays, the transform is a
+    higher-order function — no shuffle, no Python.
+    """
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    mx = F.array(*[F.lit(float(m)) for m in maxes])
+    zipped = F.arrays_zip(F.col(vec_col).alias("x"), mn.alias("mn"), mx.alias("mx"))
+    code = F.transform(
+        zipped,
+        lambda t: F.when(
+            t["mx"] > t["mn"],
+            F.greatest(
+                F.lit(-128),
+                F.least(
+                    F.lit(127),
+                    F.round(
+                        (t["x"] - t["mn"]) / (t["mx"] - t["mn"]) * 255
+                    ).cast("int")
+                    - 128,
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return df.withColumn(code_col, code)
+
+
+def dequantize_int8(
+    df: DataFrame,
+    mins: list,
+    maxes: list,
+    code_col: str = "code",
+    vec_col: str = "embedding_deq",
+) -> DataFrame:
+    """Reconstruct doubles from int8 codes (midpoint of the code's
+    quantization cell): ``x'_i = (code_i + 128) / 255 * (mx - mn) + mn``."""
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    mx = F.array(*[F.lit(float(m)) for m in maxes])
+    zipped = F.arrays_zip(F.col(code_col).alias("c"), mn.alias("mn"), mx.alias("mx"))
+    deq = F.transform(
+        zipped,
+        lambda t: (t["c"] + 128).cast("double") / 255 * (t["mx"] - t["mn"])
+        + t["mn"],
+    )
+    return df.withColumn(vec_col, deq)
+
+
+def quantized_recall_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of int8-quantized ANN vs exact float search — the QA
+    number that decides whether the 4× storage cut is free. Queries
+    are every ``query_mod``-th vector; both searches use the same
+    brute-force ranking (rounded cosine, id tiebreak), so the only
+    difference IS the quantization. Returns one row per query:
+    (query_id, n_overlap, recall_at_k).
+
+    Scale shape: the quantization stats are 2×dim scalars; both
+    searches are the map-side-top-k brute force (the exact baseline
+    operator); the overlap join is k·|Q| rows.
+    """
+    dbl = F.transform(vec_col, lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), dbl.alias(vec_col))
+    mins, maxes = dim_min_max(base, vec_col)
+    deq = dequantize_int8(
+        quantize_int8(base, mins, maxes, vec_col), mins, maxes
+    ).select(id_col, F.col("embedding_deq").alias(vec_col))
+    queries_f = base.filter(F.col(id_col) % query_mod == 0)
+    queries_q = deq.filter(F.col(id_col) % query_mod == 0)
+    exact = brute_force_topk(base, queries_f, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    quant = brute_force_topk(deq, queries_q, id_col, vec_col, k).select(
+        "query_id", F.col("neighbor_id").alias("q_neighbor_id")
+    )
+    overlap = exact.join(
+        quant,
+        (exact.query_id == quant.query_id)
+        & (exact.neighbor_id == quant.q_neighbor_id),
+    ).groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        exact.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / k, 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -1700,3 +1700,128 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
 
     corpus = synth_paired_neardup_corpus(spark, sf_dir)
     return D.lexical_semantic_agreement(corpus, num_hashes=12, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN recall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_int8_recall",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (SELECT UNNEST(range(64)) AS d),
+    longf AS (
+        SELECT b.vec_id, dims.d, b.v[dims.d + 1] AS x FROM base b, dims
+    ),
+    stats AS (
+        SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM longf GROUP BY d
+    ),
+    deq AS (
+        SELECT l.vec_id, l.d,
+               CASE WHEN s.mx > s.mn
+                    THEN CAST(GREATEST(-128, LEAST(127,
+                             CAST(ROUND((l.x - s.mn) / (s.mx - s.mn) * 255)
+                                  AS INT) - 128)) + 128 AS DOUBLE)
+                         / 255 * (s.mx - s.mn) + s.mn
+                    ELSE CAST(128 AS DOUBLE) / 255 * (s.mx - s.mn) + s.mn
+               END AS xq
+        FROM longf l JOIN stats s USING (d)
+    ),
+    deq_vec AS (
+        SELECT vec_id, list(xq ORDER BY d) AS v FROM deq GROUP BY vec_id
+    ),
+    exact_top AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM base q JOIN base c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    quant_top AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM deq_vec q JOIN deq_vec c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    e5 AS (SELECT query_id, neighbor_id FROM exact_top WHERE rnk <= 5),
+    q5 AS (SELECT query_id, neighbor_id FROM quant_top WHERE rnk <= 5),
+    ov AS (
+        SELECT e5.query_id, COUNT(*) AS n_overlap
+        FROM e5 JOIN q5 USING (query_id, neighbor_id)
+        GROUP BY e5.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5, 6)
+               AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM e5) q
+    LEFT JOIN ov USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8 scalar-quantized ANN vs exact float search —
+    the QA gate on the 4× embedding-storage compression (float32 →
+    int8 against per-dimension corpus min/max). Both searches share
+    the exact brute-force ranking, so the report isolates pure
+    quantization loss; per-dim stats are 2×64 scalars (bounded driver
+    data, like IVF centroids)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.quantized_recall_report(emb, query_mod=50, k=5)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tok
+        FROM toks
+    ),
+    assigned AS (
+        SELECT source, doc_id, n_tok,
+               CAST(floor((cum_tok - n_tok) / 2048.0) AS BIGINT) AS seq_id
+        FROM cum
+    )
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / 2048, 6) AS fill_ratio
+    FROM assigned
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (2048-token sequences per source
+    stream): the final assembly step of a pre-training data pipeline —
+    documents concatenate in id order, sequences cut at the budget,
+    each document assigned to the sequence where it starts. One
+    shuffle; packing parallelizes over sources."""
+    docs = load_table(spark, "documents", sf_dir)
+    return SA.pack_sequences(docs, budget=2048)

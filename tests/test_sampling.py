@@ -220,3 +220,44 @@ class TestTemperatureMix:
         kept = temperature_mix(df, "doc_id", "src", alpha=1.0, budget_frac=0.5)
         n_null = kept.filter("src IS NULL").count()
         assert 200 <= n_null <= 300  # ~50% of 500 ± hash noise, never 0
+
+
+class TestPackSequences:
+    def test_contiguous_assignment_and_totals(self, spark):
+        """Every document lands in the sequence where its token stream
+        starts; per-group totals are preserved; sequences are
+        contiguous from 0."""
+        from pg2any_spark.operators.sampling import pack_sequences
+
+        docs = [
+            ("a", i, " ".join(["w"] * 100)) for i in range(1, 11)
+        ] + [("b", 1, " ".join(["w"] * 50)), ("b", 2, "")]
+        df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+        out = pack_sequences(df, budget=256).collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r["source"], []).append(r)
+        # group a: 10 docs x 100 tokens, so doc i starts at offset
+        # 100*i and belongs to sequence floor(start / 256)
+        a = {r["seq_id"]: (r["n_docs"], r["seq_tokens"]) for r in by_group["a"]}
+        starts = [100 * i for i in range(10)]
+        import collections
+        want = collections.Counter(s // 256 for s in starts)
+        assert {k: v[0] for k, v in a.items()} == dict(want)
+        assert sum(v[1] for v in a.values()) == 1000
+        assert min(a) == 0 and max(a) == max(want)
+        b = {r["seq_id"]: r for r in by_group["b"]}
+        assert b[0]["n_docs"] == 2 and b[0]["seq_tokens"] == 50  # empty doc = 0
+
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        """The running-sum window and the per-sequence aggregate share
+        one group partitioning (plus the output sort)."""
+        from pg2any_spark.operators.sampling import pack_sequences
+        from pg2any_spark.sources.fixtures import load_table
+
+        df = pack_sequences(load_table(spark, "documents", sf_dir), budget=2048)
+        sc = df.sparkSession.sparkContext
+        plan = sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan

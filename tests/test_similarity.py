@@ -178,3 +178,65 @@ class TestKmeansRefine:
         assert by_cell[(0, 0)]["n_members"] == 2
         assert by_cell[(0, 0)]["coord"] == 1.0  # mean of two unit-x vectors
         assert by_cell[(2, 2)]["n_members"] == 1
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bounded(self, spark):
+        """Reconstruction error is bounded by half a quantization step
+        per dimension; codes stay in [-128, 127]."""
+        import math
+
+        from pg2any_spark.operators.similarity import (
+            dequantize_int8,
+            dim_min_max,
+            quantize_int8,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(i, [math.sin(i * 7 + d) * (d + 1) for d in range(8)])
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        mins, maxes = dim_min_max(df)
+        assert len(mins) == 8 and all(mins[d] <= maxes[d] for d in range(8))
+        deq = dequantize_int8(quantize_int8(df, mins, maxes), mins, maxes)
+        out = deq.select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(embedding, embedding_deq, (a, b) -> abs(a - b)),"
+                " cast(0.0 as double), (acc, x) -> greatest(acc, x))"
+            ).alias("max_err"),
+            F.expr("aggregate(code, true, (acc, c) -> acc and c >= -128 and c <= 127)")
+            .alias("codes_in_range"),
+        ).collect()
+        for d in range(8):
+            step = (maxes[d] - mins[d]) / 255
+            assert step >= 0
+        max_step = max((maxes[d] - mins[d]) / 255 for d in range(8))
+        assert all(r["codes_in_range"] for r in out)
+        assert all(r["max_err"] <= max_step / 2 + 1e-9 for r in out)
+
+    def test_constant_dimension_codes_to_zero(self, spark):
+        from pg2any_spark.operators.similarity import (
+            dim_min_max,
+            quantize_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        mins, maxes = dim_min_max(df)
+        codes = {r["vec_id"]: r["code"]
+                 for r in quantize_int8(df, mins, maxes).collect()}
+        assert codes[1][0] == 0 and codes[2][0] == 0  # constant dim
+        assert codes[1][1] == -128 and codes[2][1] == 127  # full range
+
+    def test_recall_report_bounds(self, spark, sf_dir):
+        from pg2any_spark.operators.similarity import quantized_recall_report
+        from pg2any_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        rows = quantized_recall_report(emb, query_mod=20, k=5).collect()
+        assert rows and all(0 <= r["recall_at_k"] <= 1 for r in rows)
+        # int8 against 64 dims should barely lose neighbors
+        assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.8
