@@ -816,3 +816,78 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+@query(
+    "cdc_streaming_agg_view",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey % 4 <> 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def cdc_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS incremental materialized-view maintenance: the same
+    delta fold as ``cdc_incremental_agg_view``, but run through the
+    streaming pipeline — three micro-batches in LSN order, one
+    checkpoint, batch-id replay protection — and read back from the
+    maintained view. Event-sourced continuous maintenance must equal
+    state aggregation exactly."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pg2any_spark.sources.cdc_gen import synth_orders_events
+    from pg2any_spark.streaming.pipeline import (
+        read_event_stream,
+        start_incremental_agg_view,
+    )
+
+    ev = synth_orders_events(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"pg2any_aggview_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    src = f"{work}/events"
+    # one file per LSN band -> micro-batches in commit order
+    for lo, hi in ((0, 10_000_000), (10_000_000, 20_000_000),
+                   (20_000_000, 1 << 60)):
+        ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def delta_fn(batch_df: DataFrame) -> DataFrame:
+        img = F.when(F.col("op") == "c", F.col("after")).otherwise(
+            F.col("before")
+        )
+        sign = F.when(F.col("op") == "c", F.lit(1)).otherwise(F.lit(-1))
+        return batch_df.filter(F.col("op").isin("c", "d")).select(
+            img["o_orderpriority"].alias("o_orderpriority"),
+            sign.cast("bigint").alias("n_orders"),
+            (sign * img["o_totalprice"].cast("double")).alias("total_price"),
+        )
+
+    q = start_incremental_agg_view(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        view_path=f"{work}/view",
+        delta_fn=delta_fn,
+        group_cols=["o_orderpriority"],
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("agg-view stream did not drain within 300s")
+    return (
+        spark.read.parquet(f"{work}/view")
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("total_price", 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

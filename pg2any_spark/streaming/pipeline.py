@@ -451,6 +451,89 @@ def start_multi_table_bucketed_apply(
     )
 
 
+#: Marker file inside an aggregate-view directory recording the last
+#: applied micro-batch id (leading underscore → invisible to parquet
+#: directory reads). Written inside the staging dir BEFORE the atomic
+#: rename, so view data and replay cursor commit together.
+AGG_VIEW_BATCH_MARKER = "_LAST_BATCH"
+
+
+def agg_view_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    view_path: str,
+    delta_fn,
+    group_cols: list[str],
+) -> None:
+    """Fold one micro-batch of ADDITIVE deltas into a grouped
+    aggregate view, exactly-once.
+
+    ``delta_fn(batch_df)`` renders events as view deltas (group
+    columns + additive numeric columns — +1/−1 counts, signed sums);
+    the fold is ``(old view ∪ deltas) groupBy sum``. Deltas are NOT
+    idempotent under foreachBatch's at-least-once replay (re-adding a
+    delta double-counts, unlike the appliers' max-LSN reduction), so
+    the view directory carries the last applied batch id in
+    ``_LAST_BATCH``, committed atomically with the data by the same
+    staged-rename swap the appliers use: a replayed batch id is a
+    no-op, a crash between write and checkpoint replays into the skip.
+
+    Per-batch cost is O(|deltas| + |view|); a view is
+    group-cardinality-sized by definition, which is what makes
+    continuous maintenance viable when the base table is 100 TB — the
+    reference's FULL replica identity exists precisely so delete
+    deltas need no base-table lookup (``sql_renderer.rs:353-369``).
+    """
+    _recover_replica(view_path)
+    marker = os.path.join(view_path, AGG_VIEW_BATCH_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-folded batch
+    deltas = delta_fn(batch_df)
+    num_cols = [c for c in deltas.columns if c not in group_cols]
+    if os.path.exists(view_path):
+        folded = spark.read.parquet(view_path).unionByName(deltas)
+    else:
+        folded = deltas
+    view = folded.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in num_cols]
+    )
+    staging = view_path + f".staging-{uuid.uuid4().hex[:8]}"
+    view.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, AGG_VIEW_BATCH_MARKER), "w") as f:
+        f.write(str(batch_id))
+    _atomic_replace(staging, view_path)
+
+
+def start_incremental_agg_view(
+    events: DataFrame,
+    view_path: str,
+    delta_fn,
+    group_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain a grouped aggregate view from the change
+    stream — the streaming twin of the batch ``cdc_incremental_agg_view``
+    fold, with the checkpoint/restart contract of the appliers and
+    batch-id replay protection from ``agg_view_apply_batch``."""
+    spark = events.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        agg_view_apply_batch(
+            spark, batch_df, batch_id, view_path, delta_fn, group_cols
+        )
+
+    writer = events.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def scd2_apply_batch(
     spark: SparkSession,
     batch_df: DataFrame,
