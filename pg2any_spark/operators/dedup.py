@@ -474,16 +474,20 @@ def lexical_semantic_agreement(
         num_hashes=num_hashes, bands=bands,
     ).withColumn("lexical", F.lit(1))
     planted = corpus.filter(F.col("variant") != "orig").select(
-        (F.col("orig_id") * 4).alias("id_a"),  # the original's corpus id
+        "orig_id",
         F.col("id").alias("id_b"),
         "variant",
         F.col("embedding").alias("emb_b"),
     )
+    # join on the explicit orig_id — the original's corpus id comes
+    # from ITS row, so nothing here depends on the id encoding
     orig = corpus.filter(F.col("variant") == "orig").select(
-        F.col("id").alias("id_a"), F.col("embedding").alias("emb_a")
+        "orig_id",
+        F.col("id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
     )
     flags = (
-        planted.join(orig, "id_a")
+        planted.join(orig, "orig_id")
         .withColumn(
             "semantic",
             (F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)

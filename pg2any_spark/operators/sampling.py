@@ -14,9 +14,12 @@ so that re-runs, backfills, and the DuckDB oracle all agree:
   hash thresholds — downsample over-represented sources (the
   Common-Crawl-vs-Wikipedia mix knob) in one narrow pass.
 
-Scale (100 TB): every operator here is a pure projection/filter — no
-shuffle, no UDF, whole-stage-codegen'd; filters sit directly on the
-scan so Parquet row-group pruning still applies upstream.
+Scale (100 TB): the sampling/splitting/mixing operators are pure
+projections/filters — no shuffle, no UDF, whole-stage-codegen'd;
+filters sit directly on the scan so Parquet row-group pruning still
+applies upstream. The one exception is ``pack_sequences`` (sequence
+assembly, not sampling): it needs a per-group running sum, so it pays
+exactly one partition-by-group shuffle, reused by its aggregate.
 """
 
 from __future__ import annotations

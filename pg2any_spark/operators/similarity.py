@@ -693,7 +693,13 @@ def dim_min_max(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
     2×dim scalars: bounded driver data by construction, same class as
     the IVF centroids.
     """
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"dim_min_max: no non-null '{vec_col}' row to derive the "
+            "dimensionality from (empty corpus?)"
+        )
+    dim = len(head[0])
     v = F.col(vec_col)
     row = df.agg(
         *[F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)],

@@ -34,6 +34,30 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _fresh_workdir(prefix: str) -> str:
+    """Unique working directory for queries that drive a streaming
+    pipeline (events + checkpoint + replicas), with bounded leakage:
+    a fresh mkdtemp guarantees concurrent invocations (driver gate,
+    bench, pytest) never clobber each other's live stream state, and
+    stale siblings from previous invocations are reaped once they are
+    an hour old — any later call cleans up after earlier ones."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    cutoff = time.time() - 3600
+    for p in glob.glob(os.path.join(tmp, prefix + "*")):
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with another reaper or not ours
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 # ---------------------------------------------------------------------------
 # CDC apply (the reference's core capability; SURVEY §2.4 O1/O2, §3.3)
 # ---------------------------------------------------------------------------
@@ -129,11 +153,6 @@ def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     per-table row-count/checksum summary of both final states — the
     same end-state contract as ``cdc_apply_multi_table``, proving the
     incremental bucketed path matches the batch apply."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from pg2any_spark.sources.cdc_gen import (
         synth_customer_events,
         synth_orders_events,
@@ -149,13 +168,7 @@ def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     )
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    # fixed per-sf_dir working dir, wiped at entry: repeated runs
-    # (driver, bench, plan gate) reuse one slot instead of leaking a
-    # fresh mkdtemp of replicas+checkpoint each invocation
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"pg2any_mtb_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    work = _fresh_workdir("pg2any_mtb_")
     src = f"{work}/events"
     # One file per LSN band -> three micro-batches in COMMIT ORDER
     # (inserts, then updates, then deletes). Batch boundaries must be
@@ -836,11 +849,6 @@ def cdc_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint, batch-id replay protection — and read back from the
     maintained view. Event-sourced continuous maintenance must equal
     state aggregation exactly."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from pg2any_spark.sources.cdc_gen import synth_orders_events
     from pg2any_spark.streaming.pipeline import (
         read_event_stream,
@@ -848,10 +856,7 @@ def cdc_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = synth_orders_events(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"pg2any_aggview_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    work = _fresh_workdir("pg2any_aggview_")
     src = f"{work}/events"
     # one file per LSN band -> micro-batches in commit order
     for lo, hi in ((0, 10_000_000), (10_000_000, 20_000_000),

@@ -1659,8 +1659,7 @@ _PAIRED_CORPUS = f"""
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
     ),
     planted AS (
-        SELECT c.orig_id * 4 AS id_a, c.id AS id_b, c.variant,
-               c.embedding AS emb_b
+        SELECT c.orig_id, c.id AS id_b, c.variant, c.embedding AS emb_b
         FROM corpus c WHERE c.variant <> 'orig'
     ),
     flags AS (
@@ -1669,8 +1668,8 @@ _PAIRED_CORPUS = f"""
                CASE WHEN ROUND(list_cosine_similarity(o.embedding, p.emb_b), 6)
                          >= 0.95 THEN 1 ELSE 0 END AS semantic
         FROM planted p
-        JOIN corpus o ON o.id = p.id_a AND o.variant = 'orig'
-        LEFT JOIN lex l ON l.id_a = p.id_a AND l.id_b = p.id_b
+        JOIN corpus o ON o.orig_id = p.orig_id AND o.variant = 'orig'
+        LEFT JOIN lex l ON l.id_a = o.id AND l.id_b = p.id_b
     ),
     agg AS (
         SELECT coalesce(variant, 'all') AS variant,

@@ -476,8 +476,14 @@ def agg_view_apply_batch(
     delta double-counts, unlike the appliers' max-LSN reduction), so
     the view directory carries the last applied batch id in
     ``_LAST_BATCH``, committed atomically with the data by the same
-    staged-rename swap the appliers use: a replayed batch id is a
-    no-op, a crash between write and checkpoint replays into the skip.
+    staged-rename swap the appliers use: a crash between write and
+    checkpoint replays the SAME batch id, which is a no-op. A batch
+    id strictly BELOW the cursor can only mean the checkpoint and the
+    view diverged (checkpoint deleted/repointed while the view
+    survived — Spark restarts ids at 0); silently skipping would drop
+    genuinely new events folded into the restarted id, so that case
+    raises: delete the view with its checkpoint, or keep them
+    together.
 
     Per-batch cost is O(|deltas| + |view|); a view is
     group-cardinality-sized by definition, which is what makes
@@ -489,8 +495,18 @@ def agg_view_apply_batch(
     marker = os.path.join(view_path, AGG_VIEW_BATCH_MARKER)
     if os.path.exists(marker):
         with open(marker) as f:
-            if batch_id <= int(f.read().strip()):
-                return  # crash-replay of an already-folded batch
+            last = int(f.read().strip())
+        if batch_id == last:
+            return  # crash-replay of the last folded batch
+        if batch_id < last:
+            raise ValueError(
+                f"aggregate view at {view_path} has batch cursor {last} "
+                f"but the stream delivered batch {batch_id}: the "
+                "checkpoint and the view have diverged (restarted "
+                "checkpoint against a surviving view?). Folding would "
+                "silently drop or double-count deltas — rebuild the "
+                "view together with its checkpoint."
+            )
     deltas = delta_fn(batch_df)
     num_cols = [c for c in deltas.columns if c not in group_cols]
     if os.path.exists(view_path):

@@ -376,8 +376,11 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
     assert final.exceptAll(expected).isEmpty()
     assert expected.exceptAll(final).isEmpty()
     # wall-time artifact for the bench record (rows/s incl. both JVM
-    # startups and the kill window — the honest end-to-end number)
-    with open(f"/root/repo/CHAOS_{n // 1_000_000}M.json", "w") as f:
+    # startups and the kill window — the honest end-to-end number);
+    # exact-row label for non-1M-multiples so odd runs never overwrite
+    # the canonical 1M/3M artifacts
+    label = f"{n // 1_000_000}M" if n % 1_000_000 == 0 and n > 0 else str(n)
+    with open(f"/root/repo/CHAOS_{label}.json", "w") as f:
         json.dump(
             {"rows": n, "wall_seconds": wall_s,
              "rows_per_second": round(n / wall_s, 1),

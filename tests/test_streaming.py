@@ -575,6 +575,21 @@ class TestIncrementalAggView:
         agg_view_apply_batch(spark, b3, 2, *args)
         assert self._view(spark, view) == {"u": (3, 125.0)}
 
+    def test_diverged_cursor_raises(self, spark, tmp_path):
+        """A batch id BELOW the view's cursor means the checkpoint was
+        restarted against a surviving view — silently skipping would
+        drop the new events folded into the restarted id, so it must
+        raise."""
+        from pg2any_spark.streaming.pipeline import agg_view_apply_batch
+
+        view = str(tmp_path / "view")
+        b = spark.createDataFrame([ev("c", 1, t1a(1, 10))], CHANGE_EVENT_SCHEMA)
+        args = (view, self._delta_fn, ["grp"])
+        agg_view_apply_batch(spark, b, 0, *args)
+        agg_view_apply_batch(spark, b, 1, *args)
+        with pytest.raises(ValueError, match="diverged"):
+            agg_view_apply_batch(spark, b, 0, *args)
+
     def test_stream_restart_no_double_fold(self, spark, tmp_path):
         """Kill-and-restart with the same checkpoint: the view equals
         the one-shot aggregation of all events, with no double-folded
