@@ -240,3 +240,41 @@ class TestInt8Quantization:
         assert rows and all(0 <= r["recall_at_k"] <= 1 for r in rows)
         # int8 against 64 dims should barely lose neighbors
         assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.8
+
+
+class TestInt8NumpyParity:
+    @staticmethod
+    def _np_codes(mat, mins, maxes):
+        import numpy as np
+
+        mn, mx = np.asarray(mins), np.asarray(maxes)
+        span = mx - mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = (mat - mn) / span * 255
+        # numpy rounds half-to-even; the engine contract is half-up,
+        # so emulate it explicitly
+        codes = np.floor(scaled + 0.5).astype("int64") - 128
+        codes = np.clip(codes, -128, 127)
+        codes[:, span == 0] = 0
+        return codes
+
+    def test_spark_codes_match_numpy_reference(self, spark):
+        """Spark's codegen quantization must agree cell-for-cell with
+        an independent numpy implementation across random data with
+        negatives, constants, and extreme magnitudes."""
+        import numpy as np
+
+        from pg2any_spark.operators.similarity import dim_min_max, quantize_int8
+
+        rng = np.random.default_rng(7)
+        mat = rng.normal(0, 100, (50, 6))
+        mat[:, 2] = 3.25  # constant dimension
+        mat[:, 4] *= 1e6  # extreme magnitudes
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        mins, maxes = dim_min_max(df)
+        assert mins == [float(m) for m in mat.min(axis=0)]
+        want = self._np_codes(mat, mins, maxes)
+        got = {r["vec_id"]: r["code"] for r in quantize_int8(df, mins, maxes).collect()}
+        for i in range(50):
+            assert got[i] == list(want[i]), f"row {i}: {got[i]} != {list(want[i])}"
