@@ -195,6 +195,70 @@ def lsh_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted LSH index
+# ---------------------------------------------------------------------------
+
+
+def lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) index table for a corpus.
+
+    This is the *stored artifact* incremental dedup joins new batches
+    against: ``bands`` short rows per document, no text — a few
+    hundred bytes/doc, so a 100 TB corpus indexes into low-TB parquet
+    partitioned by ``band_key`` prefix. Built once, appended per
+    ingest batch; never recomputed.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return lsh_band_keys(sigs, id_col, num_hashes, bands)
+
+
+def incremental_lsh_matches(
+    index: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an existing corpus index.
+
+    Returns distinct ``(incoming_id, corpus_id)`` pairs sharing ≥1 LSH
+    band. Only the incoming batch is shingled/hashed — per-batch cost
+    is O(|batch|) + one join keyed on (band_idx, band_key), never a
+    corpus re-scan and never all-pairs. This is the shape a continuous
+    ingest pipeline needs: the index table is the accumulated state,
+    each micro-batch probes it and then appends its own band keys
+    (appending is idempotent for matching purposes — band rows are
+    deterministic and matches are DISTINCT pairs).
+
+    Skewed band buckets (boilerplate-heavy shingle sets) split via AQE
+    skew-join handling, same as ``lsh_candidate_pairs``.
+    """
+    inc = lsh_index(incoming, id_col, text_col, num_hashes, bands, shingle_n)
+    return (
+        inc.alias("i")
+        .join(
+            index.alias("x"),
+            (F.col("i.band_idx") == F.col("x.band_idx"))
+            & (F.col("i.band_key") == F.col("x.band_key")),
+        )
+        .select(
+            F.col(f"i.{id_col}").alias("incoming_id"),
+            F.col(f"x.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -819,3 +819,49 @@ def quantized_recall_report(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote labeling
+# ---------------------------------------------------------------------------
+
+
+def knn_label(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Label each query vector by majority vote of its k cosine-nearest
+    labeled corpus vectors — the standard kNN classifier / weak-labeler
+    shape a curation pipeline uses to propagate labels (or quality
+    tiers) from a small annotated set onto an unlabeled corpus.
+
+    Returns (query_id, pred_label, votes). Ties break to the smallest
+    label, and the vote count is over the deterministic top-k from
+    ``brute_force_topk_arrow`` (rounded sims, id tiebreak), so the
+    output is engine-reproducible. The neighbor→label join carries
+    |Q|·k rows against the corpus label table keyed on id; AQE
+    broadcasts whichever side fits (at corpus scale the |Q|·k side is
+    the small one). Swap in ``ivf_topk_arrow`` for the same vote logic
+    at corpus scale where exact top-k is too hot.
+    """
+    knn = brute_force_topk_arrow(corpus, queries, id_col, vec_col, k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        knn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"), "votes")
+    )

@@ -309,3 +309,124 @@ def repetition_stats(grams: Column) -> dict[str, Column]:
             F.coalesce(top / safe_total, F.lit(0.0)), 6
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained bigram LM quality scoring (CCNet-style filter signal)
+# ---------------------------------------------------------------------------
+
+
+def lm_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-k
+    smoothed bigram LM trained on the corpus itself — the classic
+    perplexity-style quality signal (CCNet buckets web text by LM
+    score; here the LM is self-trained so the operator is closed over
+    its input and fully oracle-able).
+
+    P(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V), with c(w1) summed over
+    bigram histories and V = corpus vocabulary size. Docs with < 2
+    tokens carry no bigrams and are excluded.
+
+    Plan shape (all JVM codegen): ONE explode of per-doc bigram
+    strings feeds (a) the bigram-count aggregate and (b) the scoring
+    join; history counts c(w1) reduce from the bigram-count table
+    (|bigram vocab| rows, not the occurrence stream), and V is a
+    broadcast 1-row crossJoin (lazy — no eager .collect()). The big
+    shuffles are the bigram-keyed count and the final per-doc mean,
+    both map-side combinable. The count tables join back by hash on
+    the bigram/history key — at web scale those tables are far smaller
+    than the occurrence stream, and AQE picks broadcast when they fit.
+    """
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    occ = base.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    )
+    if materialize:
+        occ = occ.persist()
+    bg_counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    hist = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    vocab = (
+        base.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        occ.join(bg_counts, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("c_bg") + F.lit(alpha))
+                / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law corpus curve)
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 20,
+) -> DataFrame:
+    """Vocabulary growth curve: new and cumulative distinct words per
+    ordered corpus chunk (``buckets`` equal id-range chunks).
+
+    The scale-correct factoring of "cumulative distinct" — a naive
+    running-distinct window would funnel the whole corpus through one
+    partition. Instead: each word reduces to its FIRST document
+    (map-side-combinable ``min``), first-docs bucket into fixed
+    id-range chunks, and the cumulative sum runs over ``buckets`` rows
+    (a constant-size window regardless of corpus size). The id-range
+    bound is a lazy broadcast scalar, not an eager collect.
+    """
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    bound = base.agg((F.max(id_col) + 1).alias("id_bound"))
+    first_doc = (
+        base.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min(id_col).alias("first_doc"))
+    )
+    bucket_of = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") * buckets / F.col("id_bound")
+    ).cast("int")
+    new_words = (
+        first_doc.crossJoin(F.broadcast(bound))
+        .groupBy(bucket_of("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    docs_per = (
+        base.crossJoin(F.broadcast(bound))
+        .groupBy(bucket_of(id_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(new_words, "bucket", "left")
+        .withColumn("new_words", F.coalesce("new_words", F.lit(0)))
+        .withColumn("cum_vocab", F.sum("new_words").over(w))
+        .select("bucket", "n_docs", "new_words", "cum_vocab")
+    )

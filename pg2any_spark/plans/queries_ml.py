@@ -1824,3 +1824,232 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; packing parallelizes over sources."""
     docs = load_table(spark, "documents", sf_dir)
     return SA.pack_sequences(docs, budget=2048)
+
+
+# ---------------------------------------------------------------------------
+# round 4 additions: incremental dedup index, LM quality scoring,
+# kNN label propagation, vocabulary growth
+# ---------------------------------------------------------------------------
+
+_REV_TEXT = f"array_to_string(list_reverse({_TOKS}), ' ')"
+
+
+def _side_band_sql(bands: int, rows: int) -> str:
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
+        parts.append(
+            f"SELECT id, side, {b} AS band_idx, "
+            f"md5(concat_ws('|', {cols})) AS band_key FROM sig"
+        )
+    return "\n    UNION ALL ".join(parts)
+
+
+@query(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH allc AS (
+        SELECT doc_id AS id, 'cor' AS side, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS id, 'inc' AS side, {_DROP2} AS text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS id, 'inc' AS side, {_REV_TEXT} AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    sh AS (
+        SELECT id, side, unnest({_SHINGLE_SQL}) AS shingle FROM allc
+    ),
+    hashed AS (
+        SELECT id, side,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM sh
+    ),
+    sig AS (
+        SELECT id, side, {_minhash_sig_sql(12)}
+        FROM hashed GROUP BY id, side
+    ),
+    bands AS (
+        {_side_band_sql(4, 3)}
+    )
+    SELECT DISTINCT i.id AS incoming_id, x.id AS corpus_id
+    FROM bands i JOIN bands x
+      ON i.band_idx = x.band_idx AND i.band_key = x.band_key
+    WHERE i.side = 'inc' AND x.side = 'cor'
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest batch against the corpus's
+    persisted LSH band index: near-dup mutations (first two words
+    dropped) should match their originals; token-reversed docs mostly
+    shouldn't. Only the incoming batch is hashed — per-batch cost
+    O(|batch|), never a corpus re-scan (operators.dedup.lsh_index /
+    incremental_lsh_matches)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.selectExpr("doc_id AS id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    incoming = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.regexp_replace("text", r"^\s*\S+\s+\S+\s+", "").alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("id"),
+                F.array_join(F.reverse(toks), " ").alias("text"),
+            )
+        )
+    )
+    index = D.lsh_index(corpus, "id", "text", num_hashes=12, bands=4)
+    return D.incremental_lsh_matches(
+        index, incoming, "id", "text", num_hashes=12, bands=4
+    )
+
+
+@query(
+    "lm_bigram_perplexity",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len({_TOKS}) - 1),
+                      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS bg
+        FROM base WHERE len({_TOKS}) >= 2
+    ),
+    bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
+    hist AS (
+        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+        FROM bgc GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest({_TOKS}) AS tok FROM base
+        ) WHERE tok <> ''
+    )
+    SELECT o.doc_id,
+           count(*) AS n_bigrams,
+           ROUND(AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 4) AS avg_nll
+    FROM occ o
+    JOIN bgc ON o.bg = bgc.bg
+    JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
+    CROSS JOIN voc
+    GROUP BY o.doc_id
+    """,
+)
+def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus-trained
+    add-k bigram LM — the CCNet-style perplexity quality signal
+    (operators.text.lm_bigram_scores): one bigram explode feeds both
+    the count tables and the scoring join, all codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.lm_bigram_scores(docs, "doc_id", "text", alpha=0.5)
+
+
+@query(
+    "knn_label_embeddings",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               label AS nbr_label
+        FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id, nbr_label,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT query_id, nbr_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rnk
+        FROM sims
+    ),
+    votes AS (
+        SELECT query_id, nbr_label, count(*) AS votes
+        FROM ranked WHERE rnk <= 5 GROUP BY query_id, nbr_label
+    ),
+    pred AS (
+        SELECT query_id, nbr_label AS pred_label, votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY votes DESC, nbr_label
+               ) AS rn
+        FROM votes
+    )
+    SELECT p.query_id, p.pred_label, p.votes, q.true_label,
+           CAST(p.pred_label = q.true_label AS INT) AS correct
+    FROM pred p JOIN q ON q.query_id = p.query_id
+    WHERE p.rn = 1
+    """,
+)
+def knn_label_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label propagation: every 10th vector is held
+    out and labeled by its 5 cosine-nearest labeled neighbors
+    (operators.similarity.knn_label), with per-query accuracy against
+    the true label — the weak-labeling / label-QA shape of a curation
+    pipeline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    held = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    pred = S.knn_label(corpus, held, k=5)
+    truth = held.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+    ),
+    bound AS (SELECT MAX(doc_id) + 1 AS id_bound FROM base),
+    first_doc AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM base
+        ) WHERE tok <> '' GROUP BY tok
+    ),
+    new_words AS (
+        SELECT CAST(FLOOR(CAST(first_doc AS DOUBLE) * 20 / id_bound) AS INT)
+                   AS bucket,
+               count(*) AS new_words
+        FROM first_doc, bound GROUP BY 1
+    ),
+    docs_per AS (
+        SELECT CAST(FLOOR(CAST(doc_id AS DOUBLE) * 20 / id_bound) AS INT)
+                   AS bucket,
+               count(*) AS n_docs
+        FROM base, bound GROUP BY 1
+    )
+    SELECT d.bucket, d.n_docs,
+           COALESCE(w.new_words, 0) AS new_words,
+           CAST(SUM(COALESCE(w.new_words, 0)) OVER (
+               ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_vocab
+    FROM docs_per d LEFT JOIN new_words w ON w.bucket = d.bucket
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 20 ordered corpus chunks
+    (operators.text.vocab_growth): each word reduces to its first
+    document map-side, so 'cumulative distinct' never funnels the
+    corpus through one partition — the constant-size window runs over
+    20 bucket rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.vocab_growth(docs, "doc_id", "text", buckets=20)

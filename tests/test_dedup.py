@@ -108,3 +108,71 @@ class TestLexicalSemanticAgreement:
             both["n_pairs"] + lex["n_pairs"] + sem["n_pairs"]
         )
         assert 0 < allr["pair_jaccard"] < 1
+
+
+class TestIncrementalIndex:
+    def test_incoming_matches_corpus_duplicate(self, spark):
+        corpus = docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different text about spark engines here"),
+            ],
+        )
+        incoming = docs(
+            spark,
+            [
+                (101, "the quick brown fox jumps over the lazy dog"),
+                (102, "nothing like anything in the corpus at all zebra"),
+            ],
+        )
+        index = D.lsh_index(corpus, "id")
+        out = {
+            (r["incoming_id"], r["corpus_id"])
+            for r in D.incremental_lsh_matches(index, incoming, "id").collect()
+        }
+        assert (101, 1) in out
+        assert all(a == 101 for a, _ in out)
+
+    def test_incoming_never_pairs_with_itself(self, spark):
+        corpus = docs(spark, [(1, "a b c d e f g h")])
+        incoming = docs(
+            spark,
+            [(101, "x y z w v u t s"), (102, "x y z w v u t s")],
+        )
+        index = D.lsh_index(corpus, "id")
+        # identical incoming docs match each other lexically, but the
+        # incremental probe only reports incoming-vs-INDEX matches
+        assert D.incremental_lsh_matches(index, incoming, "id").count() == 0
+
+    def test_index_probe_equals_full_selfjoin_restriction(self, spark):
+        """Probing the index must equal the corpus∪incoming self-join
+        restricted to cross pairs — the incremental path is an
+        optimization, not a semantics change."""
+        corpus = docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+            ],
+        )
+        incoming = docs(
+            spark,
+            [
+                (101, "alpha beta gamma delta epsilon zeta"),
+                (102, "one two three four five six seven eight"),
+            ],
+        )
+        index = D.lsh_index(corpus, "id")
+        inc = {
+            (r["incoming_id"], r["corpus_id"])
+            for r in D.incremental_lsh_matches(index, incoming, "id").collect()
+        }
+        full = {
+            (r["id_b"], r["id_a"])
+            for r in D.lsh_candidate_pairs(
+                corpus.unionByName(incoming), "id"
+            ).collect()
+            if r["id_a"] <= 2 and r["id_b"] >= 101
+        }
+        assert inc == full

@@ -171,6 +171,7 @@ ARROW_STAGE_ALLOWED = {
     "ann_lsh_topk",
     "embedding_near_dup",
     "ivf_kmeans_refined_centroids",
+    "knn_label_embeddings",
     "media_frame_samples",
     "media_image_features",
     "media_resize",

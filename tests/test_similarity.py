@@ -278,3 +278,45 @@ class TestInt8NumpyParity:
         got = {r["vec_id"]: r["code"] for r in quantize_int8(df, mins, maxes).collect()}
         for i in range(50):
             assert got[i] == list(want[i]), f"row {i}: {got[i]} != {list(want[i])}"
+
+
+class TestKnnLabel:
+    def test_majority_vote_and_tiebreak(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.similarity import knn_label
+
+        # 3 corpus vectors near +x with label 1, 2 near +y with label 0;
+        # query on +x must take label 1 by 3-2 vote
+        corpus = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0], label=1),
+                Row(vec_id=2, embedding=[0.9, 0.1], label=1),
+                Row(vec_id=3, embedding=[0.8, 0.2], label=1),
+                Row(vec_id=4, embedding=[0.0, 1.0], label=0),
+                Row(vec_id=5, embedding=[0.1, 0.9], label=0),
+            ]
+        )
+        q = spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 0.05], label=9)])
+        out = knn_label(corpus, q, k=5).collect()
+        assert len(out) == 1
+        assert out[0]["pred_label"] == 1
+        assert out[0]["votes"] == 3
+
+    def test_tie_breaks_to_smaller_label(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.similarity import knn_label
+
+        corpus = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0], label=7),
+                Row(vec_id=2, embedding=[0.0, 1.0], label=3),
+            ]
+        )
+        q = spark.createDataFrame(
+            [Row(vec_id=100, embedding=[1.0, 1.0], label=0)]
+        )
+        out = knn_label(corpus, q, k=2).collect()[0]
+        assert out["votes"] == 1
+        assert out["pred_label"] == 3

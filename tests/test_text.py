@@ -170,3 +170,74 @@ class TestRepetitionStats:
         assert got["a b a b a b"] == (round(3 / 5, 6), round(3 / 5, 6))
         assert got["w x y z"] == (0.0, round(1 / 3, 6))
         assert got[""] == (0.0, 0.0)
+
+
+class TestLmBigramScores:
+    def test_uniform_text_scores_lower_than_rare(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import lm_bigram_scores
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b a b a b a b"),
+                Row(doc_id=2, text="a b a b a b a b"),
+                Row(doc_id=3, text="q r s t u v w x"),
+            ]
+        )
+        out = {r["doc_id"]: r for r in lm_bigram_scores(df).collect()}
+        assert out[1]["n_bigrams"] == 7
+        # the repeated "a b" pattern is high-probability; the one-off
+        # rare-bigram doc must score a strictly higher mean NLL
+        assert out[3]["avg_nll"] > out[1]["avg_nll"]
+        assert out[1]["avg_nll"] == out[2]["avg_nll"]
+
+    def test_short_docs_excluded(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import lm_bigram_scores
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="solo"), Row(doc_id=2, text="two tokens here")]
+        )
+        ids = {r["doc_id"] for r in lm_bigram_scores(df).collect()}
+        assert ids == {2}
+
+    def test_matches_handcomputed_probability(self, spark):
+        import math
+
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import lm_bigram_scores
+
+        # corpus: one doc "x y x y" -> bigrams: x y (2), y x (1)
+        # V = 2, alpha=0.5; c(x)=2, c(y)=1 as histories
+        df = spark.createDataFrame([Row(doc_id=1, text="x y x y")])
+        row = lm_bigram_scores(df).collect()[0]
+        p_xy = (2 + 0.5) / (2 + 0.5 * 2)
+        p_yx = (1 + 0.5) / (1 + 0.5 * 2)
+        expected = -(2 * math.log(p_xy) + math.log(p_yx)) / 3
+        assert abs(row["avg_nll"] - round(expected, 4)) < 1e-9
+
+
+class TestVocabGrowth:
+    def test_counts_new_words_once(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import vocab_growth
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="a b c"),
+                Row(doc_id=1, text="a b d"),
+                Row(doc_id=2, text="a e"),
+                Row(doc_id=3, text="a"),
+            ]
+        )
+        out = {r["bucket"]: r for r in vocab_growth(df, buckets=4).collect()}
+        assert out[0]["new_words"] == 3
+        assert out[1]["new_words"] == 1
+        assert out[2]["new_words"] == 1
+        assert out[3]["new_words"] == 0
+        assert out[3]["cum_vocab"] == 5
+        assert all(out[b]["n_docs"] == 1 for b in range(4))
