@@ -889,3 +889,153 @@ def streaming_daily_counts(
             F.col("win.start").alias("day"), "event_type", "n_events", "total_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous near-dup detection: streaming LSH index maintenance
+# ---------------------------------------------------------------------------
+
+#: Partition column of the streaming dedup index / match log. Each
+#: micro-batch owns exactly one partition, which is what makes replay
+#: idempotent (dynamic partition overwrite rewrites the same partition
+#: with the same deterministic rows).
+INGEST_BATCH_COL = "ingest_batch"
+
+
+def dedup_index_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    matches_path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    within_batch: bool = True,
+) -> None:
+    """One micro-batch of continuous near-dup detection.
+
+    Per batch: (1) compute the batch's LSH band keys — the ONLY
+    hashing work, O(|batch|); (2) probe the accumulated index for
+    cross-batch matches and (optionally) self-join the batch's own
+    bands for within-batch pairs; (3) write the matches and append the
+    band keys, both under ``ingest_batch=<id>`` partitions via dynamic
+    partition overwrite.
+
+    Exactly-once: band keys and matches are deterministic functions of
+    the batch content, and each batch writes only its own partition —
+    a crash-replayed batch overwrites that partition with identical
+    rows (the probe filters the index to ``ingest_batch < batch_id``,
+    so a replay that already appended its own bands cannot self-match).
+    No marker file needed, unlike the additive agg view: overwrite of
+    a deterministic partition is naturally idempotent.
+
+    At scale the index grows ``bands`` short rows per document and is
+    the only state; periodic compaction (``compact_replica``-style
+    re-layout by band_key prefix) keeps probe scans pruned. The probe
+    join is keyed on (band_idx, band_key) — AQE splits skewed
+    boilerplate buckets, same as the batch operator.
+    """
+    from pg2any_spark.operators.dedup import lsh_index
+
+    if batch_df.limit(1).count() == 0:
+        return
+    bands_df = lsh_index(
+        batch_df, id_col, text_col, num_hashes, bands, shingle_n
+    ).persist()
+    try:
+        cross = None
+        if os.path.exists(index_path):
+            idx = spark.read.parquet(index_path).filter(
+                F.col(INGEST_BATCH_COL) < batch_id
+            )
+            cross = (
+                bands_df.alias("i")
+                .join(
+                    idx.alias("x"),
+                    (F.col("i.band_idx") == F.col("x.band_idx"))
+                    & (F.col("i.band_key") == F.col("x.band_key")),
+                )
+                .select(
+                    F.col(f"i.{id_col}").alias("incoming_id"),
+                    F.col(f"x.{id_col}").alias("corpus_id"),
+                )
+            )
+        if within_batch:
+            a = bands_df.alias("a")
+            b = bands_df.alias("b")
+            self_pairs = a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"b.{id_col}").alias("incoming_id"),
+                F.col(f"a.{id_col}").alias("corpus_id"),
+            )
+            cross = self_pairs if cross is None else cross.unionByName(self_pairs)
+        matches = (
+            cross.distinct()
+            .withColumn(INGEST_BATCH_COL, F.lit(batch_id))
+            .persist()
+        )
+        # an all-empty write would create a schema-less parquet dir
+        # (unreadable until the first real partition lands) — skip it;
+        # idempotence is unaffected, an empty batch writes nothing on
+        # replay too
+        if matches.limit(1).count() > 0:
+            (
+                matches.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(INGEST_BATCH_COL)
+                .parquet(matches_path)
+            )
+        matches.unpersist()
+        (
+            bands_df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(INGEST_BATCH_COL)
+            .parquet(index_path)
+        )
+    finally:
+        bands_df.unpersist()
+
+
+def start_streaming_dedup_index(
+    docs: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **kwargs,
+) -> StreamingQuery:
+    """Continuously flag near-duplicate documents in an ingest stream
+    against everything seen so far — the streaming twin of
+    ``operators.dedup.incremental_lsh_matches``, with the appliers'
+    checkpoint/restart contract (replayed batches rewrite their own
+    deterministic partitions, see ``dedup_index_apply_batch``)."""
+    spark = docs.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_index_apply_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_path,
+            matches_path,
+            id_col,
+            text_col,
+            **kwargs,
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

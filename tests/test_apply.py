@@ -247,3 +247,38 @@ class TestRandomizedReplay:
             for k, v in replica.items()
         }
         assert got == want
+
+
+class TestSchemaDrift:
+    """The MAP<STRING,STRING> envelope carries whatever columns the
+    publisher sends (the reference's RowData is schema-dynamic per
+    event, SURVEY §1.3) — the apply boundary must tolerate columns
+    appearing mid-stream: unknown keys are ignored under the old
+    destination schema and surface as typed values (NULL for
+    pre-drift rows) once the destination schema is widened."""
+
+    def _drift_events(self, spark):
+        pre = ev("c", 1, t1_after(1, 10))
+        post = Row(
+            op="c", schema="public", table="t1", txid=2, lsn=2, commit_ts=TS,
+            before=None,
+            after={"id": "2", "val": "20", "col1": "u1", "col2": "u2",
+                   "extra": "99"},
+            key_columns=["id"], replica_identity="default",
+        )
+        return make_events(spark, [pre, post])
+
+    def test_unknown_column_ignored_under_old_schema(self, spark):
+        out = apply_changes(self._drift_events(spark), T1_SCHEMA, ["id"])
+        assert set(out.columns) == {"id", "val", "col1", "col2"}
+        assert state(out) == {1: (10, "u1", "u2"), 2: (20, "u1", "u2")}
+
+    def test_widened_schema_backfills_null(self, spark):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        widened = StructType(
+            list(T1_SCHEMA.fields) + [StructField("extra", IntegerType(), True)]
+        )
+        out = apply_changes(self._drift_events(spark), widened, ["id"])
+        got = {r["id"]: r["extra"] for r in out.collect()}
+        assert got == {1: None, 2: 99}

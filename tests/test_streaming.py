@@ -1095,3 +1095,104 @@ class TestBucketedApplyCanonicalKeys:
         }
         assert state[42] == 4242
         assert len(state) == 50  # nothing lost from any bucket
+
+
+class TestStreamingDedupIndex:
+    """Continuous near-dup detection: each micro-batch probes the
+    accumulated LSH band index, emits matches, then appends its own
+    bands — all under per-batch partitions so replays are idempotent."""
+
+    D1 = [(1, "the quick brown fox jumps over the lazy dog"),
+          (2, "completely different text about spark engines here")]
+    D2 = [(10, "the quick brown fox jumps over the lazy dog"),
+          (11, "yet another unrelated document about nothing at all")]
+    D3 = [(20, "completely different text about spark engines here"),
+          (21, "completely different text about spark engines here")]
+
+    def _docs(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(id=i, text=t) for i, t in rows], "id long, text string"
+        )
+
+    def _matches(self, spark, path):
+        import os
+
+        if not os.path.exists(path):
+            return set()
+        return {
+            (r["incoming_id"], r["corpus_id"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def test_batches_accumulate_and_flag(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import dedup_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        dedup_index_apply_batch(spark, self._docs(spark, self.D1), 0, idx, m)
+        assert self._matches(spark, m) == set()
+        dedup_index_apply_batch(spark, self._docs(spark, self.D2), 1, idx, m)
+        assert self._matches(spark, m) == {(10, 1)}
+        # batch 3: one doc duplicates the INDEX (doc 2), and its two
+        # docs duplicate EACH OTHER (within-batch pair)
+        dedup_index_apply_batch(spark, self._docs(spark, self.D3), 2, idx, m)
+        assert self._matches(spark, m) == {(10, 1), (20, 2), (21, 2), (21, 20)}
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """Crash-replay (write done, checkpoint not committed) re-runs
+        the same batch id: the probe excludes the batch's own bands and
+        the partition overwrite rewrites identical rows — no duplicate
+        matches, no index growth."""
+        from pg2any_spark.streaming.pipeline import dedup_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        dedup_index_apply_batch(spark, self._docs(spark, self.D1), 0, idx, m)
+        dedup_index_apply_batch(spark, self._docs(spark, self.D2), 1, idx, m)
+        before_rows = spark.read.parquet(idx).count()
+        want = self._matches(spark, m)
+        dedup_index_apply_batch(spark, self._docs(spark, self.D2), 1, idx, m)
+        assert self._matches(spark, m) == want
+        assert spark.read.parquet(idx).count() == before_rows
+
+    def test_streaming_end_to_end_with_restart(self, spark, tmp_path):
+        import time
+
+        from pg2any_spark.streaming.pipeline import start_streaming_dedup_index
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        ckpt = str(tmp_path / "ckpt")
+
+        def land(rows, name):
+            self._docs(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / ("stage_" + name))
+            )
+            import shutil
+
+            staged = next(
+                (tmp_path / ("stage_" + name)).glob("*.parquet")
+            )
+            shutil.copy(staged, src / (name + ".parquet"))
+
+        stream = (
+            spark.readStream.schema("id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        land(self.D1, "b1")
+        time.sleep(0.05)
+        land(self.D2, "b2")
+        q = start_streaming_dedup_index(stream, idx, m, ckpt)
+        q.awaitTermination(120)
+        assert self._matches(spark, m) == {(10, 1)}
+        # restart the query on the same checkpoint with a new file:
+        # only the new batch processes, accumulated state persists
+        land(self.D3, "b3")
+        q2 = start_streaming_dedup_index(stream, idx, m, ckpt)
+        q2.awaitTermination(120)
+        assert self._matches(spark, m) == {(10, 1), (20, 2), (21, 2), (21, 20)}
