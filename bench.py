@@ -52,6 +52,10 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "tfidf_top_terms_per_doc",
     "dedup_lexical_semantic_agreement",
+    # round 4b: incremental dedup probe, LM quality scoring, filter funnel
+    "dedup_incremental_index",
+    "lm_bigram_perplexity",
+    "corpus_filter_funnel",
 ]
 
 

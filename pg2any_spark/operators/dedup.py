@@ -150,6 +150,42 @@ def lsh_band_keys(
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
+def join_band_tables(
+    probe: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    out_probe: str = "incoming_id",
+    out_index: str = "corpus_id",
+    index_lt_probe: bool = False,
+) -> DataFrame:
+    """The ONE (band_idx, band_key)-keyed equi-join all LSH matching
+    paths share (batch self-join, incremental probe, streaming probe) —
+    band-key semantics changes (skew hints, key-prefix columns) land
+    here once.
+
+    ``index_lt_probe=True`` is the self-join form: only pairs with
+    index id < probe id survive (each unordered pair once, never a
+    self-pair). ``False`` is the cross-probe form: ids must differ, so
+    a document redelivered by an at-least-once source is never
+    reported as a near-duplicate of itself.
+    """
+    cond = (F.col("i.band_idx") == F.col("x.band_idx")) & (
+        F.col("i.band_key") == F.col("x.band_key")
+    )
+    if index_lt_probe:
+        cond = cond & (F.col(f"x.{id_col}") < F.col(f"i.{id_col}"))
+    else:
+        cond = cond & (F.col(f"i.{id_col}") != F.col(f"x.{id_col}"))
+    return (
+        probe.alias("i")
+        .join(index.alias("x"), cond)
+        .select(
+            F.col(f"i.{id_col}").alias(out_probe),
+            F.col(f"x.{id_col}").alias(out_index),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,18 +214,12 @@ def lsh_candidate_pairs(
     bands_df = lsh_band_keys(sigs, id_col, num_hashes, bands)
     if materialize:
         bands_df = bands_df.persist()
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        join_band_tables(
+            bands_df, bands_df, id_col,
+            out_probe="id_b", out_index="id_a", index_lt_probe=True,
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -237,25 +267,15 @@ def incremental_lsh_matches(
     ingest pipeline needs: the index table is the accumulated state,
     each micro-batch probes it and then appends its own band keys
     (appending is idempotent for matching purposes — band rows are
-    deterministic and matches are DISTINCT pairs).
+    deterministic and matches are DISTINCT pairs). A document
+    redelivered with the id it was indexed under is NOT reported as
+    its own duplicate (ids must differ in the probe join).
 
     Skewed band buckets (boilerplate-heavy shingle sets) split via AQE
     skew-join handling, same as ``lsh_candidate_pairs``.
     """
     inc = lsh_index(incoming, id_col, text_col, num_hashes, bands, shingle_n)
-    return (
-        inc.alias("i")
-        .join(
-            index.alias("x"),
-            (F.col("i.band_idx") == F.col("x.band_idx"))
-            & (F.col("i.band_key") == F.col("x.band_key")),
-        )
-        .select(
-            F.col(f"i.{id_col}").alias("incoming_id"),
-            F.col(f"x.{id_col}").alias("corpus_id"),
-        )
-        .distinct()
-    )
+    return join_band_tables(inc, index, id_col).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -159,18 +159,29 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     """Array of word n-grams over whitespace tokens (empty array when
     the text has fewer than ``n`` tokens). Pure codegen'd higher-order
     functions — the corpus-statistics primitive behind contamination
-    screens and boilerplate detection."""
+    screens and boilerplate detection.
+
+    The token array is bound ONCE as a lambda variable (``transform``
+    over a single-element array) before the per-gram ``element_at``
+    references — inlining ``split()`` into the lambda would re-split
+    the text for every gram element (measured 8× slower at sf0.1; the
+    same re-derivation hazard ``repetition_stats`` documents)."""
     toks = tokens(text)
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ),
+        1,
+    )
     return F.when(
         (F.trim(text) == "") | (F.size(toks) < n), F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        )
-    )
+    ).otherwise(grams)
 
 
 def tfidf_top_terms(
@@ -333,24 +344,39 @@ def lm_bigram_scores(
     bigram histories and V = corpus vocabulary size. Docs with < 2
     tokens carry no bigrams and are excluded.
 
-    Plan shape (all JVM codegen): ONE explode of per-doc bigram
-    strings feeds (a) the bigram-count aggregate and (b) the scoring
-    join; history counts c(w1) reduce from the bigram-count table
-    (|bigram vocab| rows, not the occurrence stream), and V is a
-    broadcast 1-row crossJoin (lazy — no eager .collect()). The big
-    shuffles are the bigram-keyed count and the final per-doc mean,
-    both map-side combinable. The count tables join back by hash on
-    the bigram/history key — at web scale those tables are far smaller
-    than the occurrence stream, and AQE picks broadcast when they fit.
+    Plan shape (all JVM codegen): the exploded occurrence stream
+    reduces IMMEDIATELY to per-(doc, bigram) counts — the only shuffle
+    that carries corpus-sized data. Corpus bigram counts, history
+    counts, and V all derive from that table (map-side-combined down
+    to |bigram vocab| rows), join back by BROADCAST (a bigram-keyed
+    hash join would route every "of the" pair through one task — same
+    stopword-skew argument as ``tfidf_top_terms``; if the bigram vocab
+    outgrows the broadcast budget at web scale, drop the hint and AQE
+    falls back to a skew-split sort-merge join), and V is a broadcast
+    1-row crossJoin (lazy — no eager .collect()). Per-doc means are
+    count-weighted over the doc-bigram table, identical to averaging
+    over occurrences.
     """
     base = df.filter(F.trim(F.col(text_col)) != "")
-    occ = base.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    docbg = (
+        base.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    # docbg fans out to the count tables AND the scoring join;
+    # Catalyst evaluates the lineage once per consumer, so without the
+    # persist the corpus is scanned and exploded three times. Locally
+    # the cache build costs more than the re-derivation (4.5 s vs
+    # 1.7 s at sf0.1 — the fixture is overhead-bound), but at corpus
+    # scale two extra full scans dwarf caching a table that is far
+    # smaller than the text it came from; the default persists, same
+    # call as tfidf_top_terms. materialize=False for small ad-hoc use.
     if materialize:
-        occ = occ.persist()
-    bg_counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+        docbg = docbg.persist()
+    bg_counts = docbg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
     hist = (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
         .groupBy("w1")
@@ -362,9 +388,9 @@ def lm_bigram_scores(
         .agg(F.countDistinct("tok").alias("v"))
     )
     scored = (
-        occ.join(bg_counts, "bg")
+        docbg.join(F.broadcast(bg_counts), "bg")
         .withColumn("w1", F.substring_index("bg", " ", 1))
-        .join(hist, "w1")
+        .join(F.broadcast(hist), "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nll",
@@ -375,8 +401,8 @@ def lm_bigram_scores(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 4).alias("avg_nll"),
     )
 
 

@@ -185,12 +185,15 @@ def _minhash_sig_sql(k: int) -> str:
     )
 
 
-def _band_sql(bands: int, rows: int) -> str:
+def _band_sql(bands: int, rows: int, extra_cols: str = "") -> str:
+    """Band-key table SQL over a ``sig`` CTE; ``extra_cols`` carries
+    side-channel columns (e.g. ``"side, "``) through the bands."""
     parts = []
     for b in range(bands):
         cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
         parts.append(
-            f"SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_key FROM sig"
+            f"SELECT id, {extra_cols}{b} AS band_idx, "
+            f"md5(concat_ws('|', {cols})) AS band_key FROM sig"
         )
     return "\n    UNION ALL ".join(parts)
 
@@ -1834,17 +1837,6 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REV_TEXT = f"array_to_string(list_reverse({_TOKS}), ' ')"
 
 
-def _side_band_sql(bands: int, rows: int) -> str:
-    parts = []
-    for b in range(bands):
-        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
-        parts.append(
-            f"SELECT id, side, {b} AS band_idx, "
-            f"md5(concat_ws('|', {cols})) AS band_key FROM sig"
-        )
-    return "\n    UNION ALL ".join(parts)
-
-
 @query(
     "dedup_incremental_index",
     oracle=f"""
@@ -1871,7 +1863,7 @@ def _side_band_sql(bands: int, rows: int) -> str:
         FROM hashed GROUP BY id, side
     ),
     bands AS (
-        {_side_band_sql(4, 3)}
+        {_band_sql(4, 3, extra_cols="side, ")}
     )
     SELECT DISTINCT i.id AS incoming_id, x.id AS corpus_id
     FROM bands i JOIN bands x
@@ -2053,3 +2045,274 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 bucket rows."""
     docs = load_table(spark, "documents", sf_dir)
     return T.vocab_growth(docs, "doc_id", "text", buckets=20)
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 0.5 * least((CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len({_TOKS}) END) / 50.0, 1.0)
+               + 0.3 * least(5.0 * len(list_filter({_TOKS},
+                              t -> list_contains(['the','a','is','and','of'], t)))
+                             / greatest(len({_TOKS}), 1), 1.0)
+               + 0.2 * (1 - least(5.0 * (length(text)
+                              - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                             / greatest(length(text), 1), 1.0)), 6) AS quality
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t
+              FROM documents WHERE trim(text) <> '') toks,
+             UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    rep AS (
+        SELECT doc_id,
+               ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
+                   AS dup_frac
+        FROM per GROUP BY doc_id
+    ),
+    langp AS (
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (
+            SELECT doc_id,
+                   {_lang_score_sql("de")} AS s_de,
+                   {_lang_score_sql("en")} AS s_en,
+                   {_lang_score_sql("es")} AS s_es,
+                   {_lang_score_sql("fr")} AS s_fr
+            FROM documents
+        )
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len({_TOKS}) - 1),
+                      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS bg
+        FROM documents WHERE trim(text) <> '' AND len({_TOKS}) >= 2
+    ),
+    bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
+    hist AS (
+        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+        FROM bgc GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest({_TOKS}) AS tok FROM documents
+            WHERE trim(text) <> ''
+        ) WHERE tok <> ''
+    ),
+    lm AS (
+        SELECT o.doc_id,
+               ROUND(AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 4) AS avg_nll
+        FROM occ o
+        JOIN bgc ON o.bg = bgc.bg
+        JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
+        CROSS JOIN voc
+        GROUP BY o.doc_id
+    ),
+    flags AS (
+        SELECT d.source,
+               CAST(q.quality < 0.4 AS INT) AS fq,
+               CAST(COALESCE(rep.dup_frac, 0) > 0.2 AS INT) AS fr,
+               CAST(langp.lang_pred <> d.lang AS INT) AS fl,
+               CAST(COALESCE(lm.avg_nll > 3.42, FALSE) AS INT) AS fm
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN rep ON rep.doc_id = d.doc_id
+        JOIN langp ON langp.doc_id = d.doc_id
+        LEFT JOIN lm ON lm.doc_id = d.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(fq) AS fail_quality, SUM(fr) AS fail_repetition,
+           SUM(fl) AS fail_lang, SUM(fm) AS fail_lm,
+           SUM(CASE WHEN fq + fr + fl + fm = 0 THEN 1 ELSE 0 END) AS kept
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability report: per source, how many docs
+    each pretraining filter (quality heuristic, repetition screen,
+    language-ID mismatch, bigram-LM perplexity band) would drop, and
+    how many survive all four — the daily accounting query of a
+    curation pipeline. Per-row filters are pure codegen; the only
+    joins carry the per-doc LM score back by doc_id."""
+    docs = load_table(spark, "documents", sf_dir)
+    stats = T.repetition_stats(F.col("__grams"))
+    flags = (
+        docs.withColumn("__grams", T.word_ngrams(F.col("text"), 2))
+        .select(
+            "doc_id",
+            "source",
+            (T.quality_score(F.col("text")) < 0.4).cast("int").alias("fq"),
+            (stats["dup_ngram_frac"] > 0.2).cast("int").alias("fr"),
+            (T.lang_id(F.col("text")) != F.col("lang")).cast("int").alias("fl"),
+        )
+        .join(
+            T.lm_bigram_scores(docs).select("doc_id", "avg_nll"),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "fm",
+            F.coalesce(F.col("avg_nll") > 3.42, F.lit(False)).cast("int"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fq").alias("fail_quality"),
+            F.sum("fr").alias("fail_repetition"),
+            F.sum("fl").alias("fail_lang"),
+            F.sum("fm").alias("fail_lm"),
+            F.sum(
+                (
+                    (F.col("fq") + F.col("fr") + F.col("fl") + F.col("fm")) == 0
+                ).cast("int")
+            ).alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH corpus AS ({_MUTATED_CORPUS}),
+    sh AS (
+        SELECT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    hashed AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM sh
+    ),
+    sig AS (
+        SELECT id, {_minhash_sig_sql(12)}
+        FROM hashed GROUP BY id
+    ),
+    bands AS (
+        {_band_sql(4, 3)}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.id < b.id
+    ),
+    dsh AS (SELECT DISTINCT id, shingle FROM sh),
+    sizes AS (SELECT id, count(*) AS set_size FROM dsh GROUP BY id),
+    planted AS (
+        SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM cand
+        UNION
+        SELECT id_a, id_b FROM planted
+    ),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN dsh a ON a.id = p.id_a
+        JOIN dsh b ON b.id = p.id_b AND b.shingle = a.shingle
+        GROUP BY p.id_a, p.id_b
+    ),
+    jac AS (
+        SELECT p.id_a, p.id_b,
+               ROUND(COALESCE(i.n_inter, 0) /
+                     (sa.set_size + sb.set_size - COALESCE(i.n_inter, 0)),
+                     6) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes sa ON sa.id = p.id_a
+        JOIN sizes sb ON sb.id = p.id_b
+    ),
+    cand_j AS (
+        SELECT c.id_a, c.id_b, j.jaccard FROM cand c
+        JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    ),
+    truth AS (
+        SELECT p.id_a, p.id_b FROM planted p
+        JOIN jac j ON j.id_a = p.id_a AND j.id_b = p.id_b
+        WHERE j.jaccard >= 0.6
+    )
+    SELECT
+        (SELECT COUNT(*) FROM cand) AS n_candidates,
+        ROUND((SELECT COUNT(*) FROM cand_j WHERE jaccard >= 0.6)
+              / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 6)
+            AS candidate_precision,
+        (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+        ROUND((SELECT COUNT(*) FROM truth t
+               JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+              / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6)
+            AS lsh_recall
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA report for the dedup stack: LSH candidate PRECISION (share of
+    candidate pairs whose exact 3-gram Jaccard ≥ 0.6) and RECALL
+    against the planted near-dup ground truth (mutated copies with
+    Jaccard ≥ 0.6) — the measurement that tunes bands×rows before a
+    corpus-scale run, exactly as ``ann_int8_recall`` QAs quantization.
+    Jaccard is computed for candidate∪planted pairs only, never
+    all-pairs."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    cand = D.lsh_candidate_pairs(corpus, "id", "text", num_hashes=12, bands=4)
+    planted = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    # one flagged pair table feeding both the jaccard verify (which
+    # references it twice internally) and the final join — persisted
+    # so the band self-join + union + flag-groupBy runs once, not 3×
+    # (same convention as lsh_candidate_pairs' band table)
+    pairs = (
+        cand.select("id_a", "id_b", F.lit(1).alias("is_cand"), F.lit(0).alias("is_planted"))
+        .unionByName(
+            planted.select(
+                "id_a", "id_b", F.lit(0).alias("is_cand"), F.lit(1).alias("is_planted")
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("is_cand").alias("is_cand"),
+            F.max("is_planted").alias("is_planted"),
+        )
+        .persist()
+    )
+    jac = D.ngram_jaccard(
+        corpus, pairs.select("id_a", "id_b"), "id", "text", n=3
+    )
+    scored = pairs.join(jac, ["id_a", "id_b"]).withColumn(
+        "is_true", (F.col("jaccard") >= 0.6).cast("long")
+    )
+    agg = scored.agg(
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum(F.col("is_cand") * F.col("is_true")).alias("n_good"),
+        F.sum(F.col("is_planted") * F.col("is_true")).alias("n_true_pairs"),
+        F.sum(
+            F.col("is_cand") * F.col("is_planted") * F.col("is_true")
+        ).alias("n_hits"),
+    )
+    return agg.select(
+        "n_candidates",
+        F.round(
+            F.col("n_good") / F.col("n_candidates").cast("double"), 6
+        ).alias("candidate_precision"),
+        "n_true_pairs",
+        F.round(
+            F.col("n_hits") / F.col("n_true_pairs").cast("double"), 6
+        ).alias("lsh_recall"),
+    )

@@ -938,7 +938,7 @@ def dedup_index_apply_batch(
     join is keyed on (band_idx, band_key) — AQE splits skewed
     boilerplate buckets, same as the batch operator.
     """
-    from pg2any_spark.operators.dedup import lsh_index
+    from pg2any_spark.operators.dedup import join_band_tables, lsh_index
 
     if batch_df.limit(1).count() == 0:
         return
@@ -951,48 +951,32 @@ def dedup_index_apply_batch(
             idx = spark.read.parquet(index_path).filter(
                 F.col(INGEST_BATCH_COL) < batch_id
             )
-            cross = (
-                bands_df.alias("i")
-                .join(
-                    idx.alias("x"),
-                    (F.col("i.band_idx") == F.col("x.band_idx"))
-                    & (F.col("i.band_key") == F.col("x.band_key")),
-                )
-                .select(
-                    F.col(f"i.{id_col}").alias("incoming_id"),
-                    F.col(f"x.{id_col}").alias("corpus_id"),
-                )
-            )
+            cross = join_band_tables(bands_df, idx, id_col)
         if within_batch:
-            a = bands_df.alias("a")
-            b = bands_df.alias("b")
-            self_pairs = a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            ).select(
-                F.col(f"b.{id_col}").alias("incoming_id"),
-                F.col(f"a.{id_col}").alias("corpus_id"),
+            self_pairs = join_band_tables(
+                bands_df, bands_df, id_col, index_lt_probe=True
             )
             cross = self_pairs if cross is None else cross.unionByName(self_pairs)
-        matches = (
-            cross.distinct()
-            .withColumn(INGEST_BATCH_COL, F.lit(batch_id))
-            .persist()
-        )
-        # an all-empty write would create a schema-less parquet dir
-        # (unreadable until the first real partition lands) — skip it;
-        # idempotence is unaffected, an empty batch writes nothing on
-        # replay too
-        if matches.limit(1).count() > 0:
-            (
-                matches.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(INGEST_BATCH_COL)
-                .parquet(matches_path)
+        if cross is not None:
+            matches = (
+                cross.distinct()
+                .withColumn(INGEST_BATCH_COL, F.lit(batch_id))
+                .persist()
             )
-        matches.unpersist()
+            try:
+                # an all-empty write would create a schema-less parquet
+                # dir (unreadable until the first real partition lands)
+                # — skip it; idempotence is unaffected, an empty batch
+                # writes nothing on replay too
+                if matches.limit(1).count() > 0:
+                    (
+                        matches.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy(INGEST_BATCH_COL)
+                        .parquet(matches_path)
+                    )
+            finally:
+                matches.unpersist()
         (
             bands_df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
             .write.mode("overwrite")

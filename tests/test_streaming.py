@@ -1196,3 +1196,37 @@ class TestStreamingDedupIndex:
         q2 = start_streaming_dedup_index(stream, idx, m, ckpt)
         q2.awaitTermination(120)
         assert self._matches(spark, m) == {(10, 1), (20, 2), (21, 2), (21, 20)}
+
+    def test_first_batch_without_within_batch_matching(self, spark, tmp_path):
+        """within_batch=False on a fresh index must still index the
+        batch (regression: first batch crashed on the empty probe)."""
+        from pg2any_spark.streaming.pipeline import dedup_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        dedup_index_apply_batch(
+            spark, self._docs(spark, self.D3), 0, idx, m, within_batch=False
+        )
+        # D3's two identical docs are NOT reported (within-batch off)...
+        assert self._matches(spark, m) == set()
+        # ...but the batch was indexed: a later duplicate still matches
+        dedup_index_apply_batch(
+            spark,
+            self._docs(
+                spark,
+                [(30, "completely different text about spark engines here")],
+            ),
+            1, idx, m, within_batch=False,
+        )
+        assert self._matches(spark, m) == {(30, 20), (30, 21)}
+
+    def test_redelivered_id_is_not_its_own_duplicate(self, spark, tmp_path):
+        """An at-least-once source redelivering an already-indexed id
+        must not report (id, id) as a near-dup pair."""
+        from pg2any_spark.streaming.pipeline import dedup_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        dedup_index_apply_batch(spark, self._docs(spark, self.D1), 0, idx, m)
+        dedup_index_apply_batch(spark, self._docs(spark, self.D1), 1, idx, m)
+        assert self._matches(spark, m) == set()
