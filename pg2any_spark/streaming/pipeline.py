@@ -902,6 +902,20 @@ def streaming_daily_counts(
 INGEST_BATCH_COL = "ingest_batch"
 
 
+def _overwrite_ingest_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write rows under their ``ingest_batch=<id>`` partition via
+    dynamic partition overwrite — the idempotence primitive of the
+    streaming dedup indexes (deterministic rows + own-partition-only
+    writes ⇒ replays rewrite identical data)."""
+    (
+        df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(INGEST_BATCH_COL)
+        .parquet(path)
+    )
+
+
 def dedup_index_apply_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -958,32 +972,17 @@ def dedup_index_apply_batch(
             )
             cross = self_pairs if cross is None else cross.unionByName(self_pairs)
         if cross is not None:
-            matches = (
-                cross.distinct()
-                .withColumn(INGEST_BATCH_COL, F.lit(batch_id))
-                .persist()
-            )
+            matches = cross.distinct().persist()
             try:
                 # an all-empty write would create a schema-less parquet
                 # dir (unreadable until the first real partition lands)
                 # — skip it; idempotence is unaffected, an empty batch
                 # writes nothing on replay too
                 if matches.limit(1).count() > 0:
-                    (
-                        matches.write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .partitionBy(INGEST_BATCH_COL)
-                        .parquet(matches_path)
-                    )
+                    _overwrite_ingest_partition(matches, matches_path, batch_id)
             finally:
                 matches.unpersist()
-        (
-            bands_df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(INGEST_BATCH_COL)
-            .parquet(index_path)
-        )
+        _overwrite_ingest_partition(bands_df, index_path, batch_id)
     finally:
         bands_df.unpersist()
 
@@ -1018,6 +1017,130 @@ def start_streaming_dedup_index(
         )
 
     writer = docs.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_index_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    matches_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    threshold: float = 0.95,
+    within_batch: bool = True,
+) -> None:
+    """One micro-batch of continuous SEMANTIC near-dup detection — the
+    embedding twin of ``dedup_index_apply_batch``.
+
+    The stored index holds (id, SRP bucket, unit vector) per document:
+    a few hundred bytes/vector, partitioned by ingest batch. Per
+    batch: one Arrow pass tags+normalizes the incoming vectors, the
+    probe joins the index on ``bucket`` (candidates only — the
+    random-hyperplane bucket join replaces the |batch|·|corpus| cross
+    product) and keeps pairs with exact cosine ≥ ``threshold``;
+    within-batch pairs come from the same bucket self-join. Matches
+    and index rows land under the batch's own partition, giving the
+    same replay idempotence as the lexical applier (deterministic
+    rows + own-partition overwrite; probe excludes own/later batches;
+    redelivered ids never self-match).
+
+    Recall < 1.0 by design (same-bucket candidates only — SRP-LSH);
+    raise ``num_planes`` fidelity or probe neighboring buckets for
+    higher recall, the ``lsh_topk`` trade. Hot buckets (embedding-
+    collapsed corpora) split under AQE skew handling.
+    """
+    from pg2any_spark.operators.similarity import _bucketed_normalized, dot
+
+    if batch_df.limit(1).count() == 0:
+        return
+    tagged = _bucketed_normalized(
+        batch_df, id_col, "id", vec_col, "vec", dim, num_planes
+    ).persist()
+    try:
+        as_index = lambda df, name: df.select(  # noqa: E731
+            F.col("id").alias(name), "bucket", F.col("vec").alias("x_vec")
+        )
+
+        def scored(pairs: DataFrame) -> DataFrame:
+            return (
+                pairs.withColumn(
+                    "cos_sim", F.round(dot(F.col("vec"), F.col("x_vec")), 6)
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .select(
+                    F.col("id").alias("incoming_id"), "corpus_id", "cos_sim"
+                )
+            )
+
+        cross = None
+        if os.path.exists(index_path):
+            idx = as_index(
+                spark.read.parquet(index_path).filter(
+                    F.col(INGEST_BATCH_COL) < batch_id
+                ),
+                "corpus_id",
+            )
+            cross = scored(
+                tagged.join(idx, "bucket").filter(
+                    F.col("id") != F.col("corpus_id")
+                )
+            )
+        if within_batch:
+            self_pairs = scored(
+                tagged.join(as_index(tagged, "corpus_id"), "bucket").filter(
+                    F.col("corpus_id") < F.col("id")
+                )
+            )
+            cross = self_pairs if cross is None else cross.unionByName(self_pairs)
+        if cross is not None:
+            matches = cross.distinct().persist()
+            try:
+                if matches.limit(1).count() > 0:
+                    _overwrite_ingest_partition(matches, matches_path, batch_id)
+            finally:
+                matches.unpersist()
+        _overwrite_ingest_partition(tagged, index_path, batch_id)
+    finally:
+        tagged.unpersist()
+
+
+def start_streaming_embedding_dedup(
+    vectors: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    **kwargs,
+) -> StreamingQuery:
+    """Continuously flag semantically near-duplicate embeddings in an
+    ingest stream against everything seen so far — the semantic twin
+    of ``start_streaming_dedup_index``, same checkpoint/replay
+    contract (``embedding_index_apply_batch``)."""
+    spark = vectors.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_index_apply_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_path,
+            matches_path,
+            id_col,
+            vec_col,
+            **kwargs,
+        )
+
+    writer = vectors.writeStream.foreachBatch(apply_fn).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

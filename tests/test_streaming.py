@@ -1230,3 +1230,103 @@ class TestStreamingDedupIndex:
         dedup_index_apply_batch(spark, self._docs(spark, self.D1), 0, idx, m)
         dedup_index_apply_batch(spark, self._docs(spark, self.D1), 1, idx, m)
         assert self._matches(spark, m) == set()
+
+
+class TestStreamingEmbeddingDedup:
+    """Semantic twin of TestStreamingDedupIndex: SRP-bucket candidate
+    join + exact cosine threshold against the accumulated vector
+    index, per-batch partitions for replay idempotence."""
+
+    V1 = [1.0, 0.0, 0.0, 0.0]
+    V2 = [0.0, 1.0, 0.0, 0.0]
+    KW = dict(dim=4, num_planes=4, threshold=0.95)
+
+    def _vecs(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    def _matches(self, spark, path):
+        import os
+
+        if not os.path.exists(path):
+            return set()
+        return {
+            (r["incoming_id"], r["corpus_id"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    def test_batches_accumulate_and_flag(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import embedding_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        near_v1 = [0.99, 0.01, 0.0, 0.0]
+        near_v2 = [0.01, 0.99, 0.0, 0.0]
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(1, self.V1), (2, self.V2)]), 0, idx, m,
+            **self.KW,
+        )
+        assert self._matches(spark, m) == set()
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(10, near_v1)]), 1, idx, m, **self.KW
+        )
+        assert self._matches(spark, m) == {(10, 1)}
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(20, near_v2), (21, self.V2)]), 2, idx,
+            m, **self.KW,
+        )
+        assert self._matches(spark, m) == {(10, 1), (20, 2), (21, 2), (21, 20)}
+
+    def test_replay_and_redelivery_idempotent(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import embedding_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        b0 = self._vecs(spark, [(1, self.V1), (2, self.V2)])
+        embedding_index_apply_batch(spark, b0, 0, idx, m, **self.KW)
+        # crash-replay of batch 0: identical partition, no self-matches
+        embedding_index_apply_batch(spark, b0, 0, idx, m, **self.KW)
+        assert self._matches(spark, m) == set()
+        # at-least-once REDELIVERY as a new batch: ids equal -> no
+        # (1,1)/(2,2) pairs reported
+        embedding_index_apply_batch(spark, b0, 1, idx, m, **self.KW)
+        assert self._matches(spark, m) == set()
+        assert spark.read.parquet(idx).count() == 4  # 2 ids x 2 batches
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import shutil
+        import time
+
+        from pg2any_spark.streaming.pipeline import (
+            start_streaming_embedding_dedup,
+        )
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+
+        def land(rows, name):
+            self._vecs(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / ("stage_" + name))
+            )
+            staged = next((tmp_path / ("stage_" + name)).glob("*.parquet"))
+            shutil.copy(staged, src / (name + ".parquet"))
+
+        land([(1, self.V1), (2, self.V2)], "b1")
+        time.sleep(0.05)
+        land([(10, [0.99, 0.01, 0.0, 0.0])], "b2")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_embedding_dedup(
+            stream, idx, m, str(tmp_path / "ckpt"), **self.KW
+        )
+        q.awaitTermination(120)
+        assert self._matches(spark, m) == {(10, 1)}
