@@ -456,3 +456,85 @@ def vocab_growth(
         .withColumn("cum_vocab", F.sum("new_words").over(w))
         .select("bucket", "n_docs", "new_words", "cum_vocab")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training on the word-count dictionary)
+# ---------------------------------------------------------------------------
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 5,
+) -> DataFrame:
+    """Learn the first ``rounds`` byte-pair-encoding merges from the
+    corpus — tokenizer induction, the step that precedes tokenization
+    in a pretraining pipeline.
+
+    Industrial BPE trainers never iterate over the corpus: they train
+    on the WORD-COUNT DICTIONARY. So does this operator — the corpus
+    collapses to (word, count) with one map-side-combinable aggregate,
+    and every merge round is O(|vocabulary|) work on that table:
+    adjacent-symbol pair counts (weighted by word frequency), argmax
+    with a deterministic tie-break (count desc, pair asc), then the
+    merge applied to every word. The ONLY driver transfer is one row
+    per round (the chosen pair) — bounded by ``rounds``, never by data.
+
+    Symbols are encoded as ``<sym>.`` runs (terminator dot, dots never
+    occur inside symbols), so applying a merge is a literal
+    non-overlapping left-to-right ``replace("x.y.", "xy.")`` — the one
+    string primitive whose semantics agree exactly across engines,
+    which is what makes the whole iteration DuckDB-oracle-able.
+
+    Returns (merge_round, pair, new_symbol, n_occurrences); pair
+    occurrences count every adjacent position (overlapping, the common
+    convention).
+    """
+    spark = df.sparkSession
+    # dot-bearing tokens would make the dotted encoding ambiguous —
+    # excluded (none exist in normal word tokens; a production trainer
+    # would byte-escape instead)
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").contains("."))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("sym", F.regexp_replace("w", "(.)", "$1."))
+    )
+    merges: list[tuple] = []
+    wt = words
+    # symbol array from the dotted encoding (drop the trailing ''),
+    # then adjacent pairs — materialized as columns so the split isn't
+    # re-derived per element (the word_ngrams lesson)
+    syms_expr = F.expr(r"slice(split(sym, '\\.'), 1, size(split(sym, '\\.')) - 1)")
+    pairs_expr = F.expr(
+        "zip_with(slice(__syms, 1, size(__syms) - 1),"
+        "         slice(__syms, 2, size(__syms) - 1),"
+        "         (x, y) -> concat(x, '.', y))"
+    )
+    for r in range(1, rounds + 1):
+        best = (
+            wt.withColumn("__syms", syms_expr)
+            .select(F.explode(pairs_expr).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        new_sym = pair.replace(".", "")
+        merges.append((r, pair, new_sym, cnt))
+        wt = wt.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(pair + "."), F.lit(new_sym + ".")
+            ),
+        ).persist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, pair string, new_symbol string, n_occurrences long",
+    )

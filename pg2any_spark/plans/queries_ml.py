@@ -2316,3 +2316,53 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits") / F.col("n_true_pairs").cast("double"), 6
         ).alias("lsh_recall"),
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """K chained CTE blocks, one per merge round — the oracle twin of
+    ``text.learn_bpe_merges``'s driver loop (same pair statistics,
+    same argmax tie-break, same literal-replace merge)."""
+    ctes = [
+        f"""w0 AS (
+        SELECT w, count(*) AS n,
+               regexp_replace(w, '(.)', '\\1.', 'g') AS sym
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> '' AND w NOT LIKE '%.%' GROUP BY w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""p{r} AS (
+        SELECT z AS pair, SUM(n) AS cnt FROM (
+            SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+                    i -> s[i] || '.' || s[i+1])) AS z
+            FROM (SELECT n, list_filter(string_split(sym, '.'),
+                                        x -> x <> '') AS s FROM {prev})
+        ) GROUP BY z
+    )""")
+        ctes.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(f"""w{r} AS (
+        SELECT w.w, w.n,
+               replace(w.sym, b.pair || '.',
+                       replace(b.pair, '.', '') || '.') AS sym
+        FROM {prev} w CROSS JOIN b{r} b
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, replace(pair, '.', '') AS new_symbol, "
+        f"CAST(cnt AS BIGINT) AS n_occurrences FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals + "\n    ORDER BY merge_round"
+
+
+@query("bpe_merges_corpus", oracle=_bpe_oracle(5))
+def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 BPE merges learned from the corpus — tokenizer
+    induction as a bounded iterative Spark algorithm
+    (operators.text.learn_bpe_merges): the corpus collapses once to
+    the word-count dictionary, every round is O(|vocabulary|), and the
+    driver sees one row per round."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.learn_bpe_merges(docs, "text", rounds=5)

@@ -241,3 +241,47 @@ class TestVocabGrowth:
         assert out[3]["new_words"] == 0
         assert out[3]["cum_vocab"] == 5
         assert all(out[b]["n_docs"] == 1 for b in range(4))
+
+
+class TestLearnBpeMerges:
+    def test_handcomputed_merge_sequence(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import learn_bpe_merges
+
+        # words: aaab x2, ab x1
+        # r1: (a,a)=4 beats (a,b)=3 -> aa
+        # r2: aaab=[aa,a,b]: (aa,a)=2, (a,b)=2; ab: (a,b)=1 -> a.b wins 3
+        # r3: aaab=[aa,ab], ab=[ab]: (aa,ab)=2 -> aaab fully merges
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="aaab aaab"), Row(doc_id=2, text="ab")]
+        )
+        got = [
+            (r["merge_round"], r["pair"], r["new_symbol"], r["n_occurrences"])
+            for r in learn_bpe_merges(df, rounds=3).collect()
+        ]
+        assert got == [
+            (1, "a.a", "aa", 4),
+            (2, "a.b", "ab", 3),
+            (3, "aa.ab", "aaab", 2),
+        ]
+
+    def test_stops_when_no_pairs_remain(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import learn_bpe_merges
+
+        df = spark.createDataFrame([Row(doc_id=1, text="ab")])
+        got = learn_bpe_merges(df, rounds=5).collect()
+        assert len(got) == 1
+        assert (got[0]["pair"], got[0]["n_occurrences"]) == ("a.b", 1)
+
+    def test_tie_breaks_to_lexically_smaller_pair(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import learn_bpe_merges
+
+        # xy and ab both occur once -> a.b < x.y lexically
+        df = spark.createDataFrame([Row(doc_id=1, text="xy ab")])
+        got = learn_bpe_merges(df, rounds=1).collect()
+        assert got[0]["pair"] == "a.b"
