@@ -538,3 +538,50 @@ def learn_bpe_merges(
         merges,
         "merge_round int, pair string, new_symbol string, n_occurrences long",
     )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize text with an ordered list of learned BPE merge pairs
+    (``"x.y"`` strings from ``learn_bpe_merges``) — the apply side of
+    tokenizer induction.
+
+    Each word becomes its dotted symbol encoding, the merges replay in
+    training order as chained literal replaces (pure codegen column
+    expressions — the merge list is a driver-side constant of size K,
+    broadcast with the plan, never a join), and the result explodes
+    back to per-document token counts. Adds ``n_chars_tok`` (summed
+    word lengths) and ``n_bpe_tokens``; compression = chars/tokens is
+    the standard fertility metric watched when sizing a tokenizer.
+    """
+    toks = tokens(F.col(text_col))
+    word_syms = F.transform(
+        toks,
+        lambda w: F.regexp_replace(w, "(.)", "$1."),
+    )
+    merged = word_syms
+    for pair in merges:
+        merged = F.transform(
+            merged,
+            lambda s: F.replace(
+                s, F.lit(pair + "."), F.lit(pair.replace(".", "") + ".")
+            ),
+        )
+    n_tokens = F.aggregate(
+        F.transform(
+            merged, lambda s: F.size(F.split(s, r"\.")) - 1
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("n_chars_tok", n_chars).withColumn(
+        "n_bpe_tokens", n_tokens
+    )

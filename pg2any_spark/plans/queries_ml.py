@@ -2318,7 +2318,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_ctes(rounds: int) -> list[str]:
     """K chained CTE blocks, one per merge round — the oracle twin of
     ``text.learn_bpe_merges``'s driver loop (same pair statistics,
     same argmax tie-break, same literal-replace merge)."""
@@ -2349,12 +2349,50 @@ def _bpe_oracle(rounds: int) -> str:
                        replace(b.pair, '.', '') || '.') AS sym
         FROM {prev} w CROSS JOIN b{r} b
     )""")
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
     finals = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_round, pair, replace(pair, '.', '') AS new_symbol, "
         f"CAST(cnt AS BIGINT) AS n_occurrences FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals + "\n    ORDER BY merge_round"
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(rounds))
+        + "\n    " + finals + "\n    ORDER BY merge_round"
+    )
+
+
+def _bpe_tokenize_oracle(rounds: int) -> str:
+    """Apply the learned merges back to every document (chained
+    literal replaces with the b{r} pairs) and report per-doc BPE token
+    counts + compression."""
+    sym = "regexp_replace(w, '(.)', '\\1.', 'g')"
+    for r in range(1, rounds + 1):
+        sym = (
+            f"replace({sym}, b{r}.pair || '.', "
+            f"replace(b{r}.pair, '.', '') || '.')"
+        )
+    joins = " ".join(f"CROSS JOIN b{r}" for r in range(1, rounds + 1))
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(rounds))
+        + f""",
+    words AS (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, length(w) AS n_chars_w,
+               len(string_split({sym}, '.')) - 1 AS n_tok_w
+        FROM words {joins}
+    )
+    SELECT doc_id,
+           CAST(SUM(n_chars_w) AS INT) AS n_chars_tok,
+           CAST(SUM(n_tok_w) AS INT) AS n_bpe_tokens,
+           ROUND(SUM(n_chars_w) / CAST(SUM(n_tok_w) AS DOUBLE), 4)
+               AS compression
+    FROM tok GROUP BY doc_id"""
+    )
 
 
 @query("bpe_merges_corpus", oracle=_bpe_oracle(5))
@@ -2366,3 +2404,22 @@ def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver sees one row per round."""
     docs = load_table(spark, "documents", sf_dir)
     return T.learn_bpe_merges(docs, "text", rounds=5)
+
+
+@query("bpe_tokenize_docs", oracle=_bpe_tokenize_oracle(5))
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply tokenizer loop: the 5 merges learned by
+    ``learn_bpe_merges`` replay over every document as chained literal
+    replaces (driver-side constant of size K, pure codegen — no join),
+    reporting per-document BPE token counts and the chars/token
+    compression ratio a tokenizer is sized by."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [r["pair"] for r in T.learn_bpe_merges(docs, "text", rounds=5).collect()]
+    return T.apply_bpe_merges(docs, merges).select(
+        "doc_id",
+        "n_chars_tok",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_chars_tok") / F.col("n_bpe_tokens").cast("double"), 4
+        ).alias("compression"),
+    )

@@ -285,3 +285,23 @@ class TestLearnBpeMerges:
         df = spark.createDataFrame([Row(doc_id=1, text="xy ab")])
         got = learn_bpe_merges(df, rounds=1).collect()
         assert got[0]["pair"] == "a.b"
+
+    def test_apply_merges_roundtrip(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import (
+            apply_bpe_merges,
+            learn_bpe_merges,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="aaab aaab"), Row(doc_id=2, text="ab")]
+        )
+        merges = [r["pair"] for r in learn_bpe_merges(df, rounds=3).collect()]
+        out = {
+            r["doc_id"]: (r["n_chars_tok"], r["n_bpe_tokens"])
+            for r in apply_bpe_merges(df, merges).collect()
+        }
+        # after [a.a, a.b, aa.ab]: aaab -> 1 token, ab -> 1 token
+        assert out[1] == (8, 2)
+        assert out[2] == (2, 1)
