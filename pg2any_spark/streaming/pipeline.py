@@ -1146,3 +1146,51 @@ def start_streaming_embedding_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: Base partition id for compacted dedup-index state: strictly below
+#: every real micro-batch id, so the probe filter
+#: ``ingest_batch < batch_id`` always includes it.
+INGEST_BASE_PARTITION = -1
+
+
+def compact_ingest_index(spark: SparkSession, index_path: str) -> int:
+    """Fold a streaming dedup index's accumulated per-batch partitions
+    into one base partition (``ingest_batch=-1``).
+
+    The per-batch layout exists for replay idempotence, but a
+    long-running stream accretes one partition per micro-batch — the
+    small-files problem, on directories this time. Folding into the
+    base partition preserves probe semantics exactly: every live probe
+    filters ``ingest_batch < batch_id`` and -1 is below every real
+    batch id. Rows are ``distinct``-ed while folding (band/vector rows
+    are deterministic, so any duplicates are replay artifacts, never
+    information).
+
+    Run it with the stream STOPPED (maintenance window), like
+    ``compact_replica``: a batch whose checkpoint has committed can no
+    longer replay, so folding committed partitions is safe; the
+    staged-rename swap keeps a crash mid-compaction from losing the
+    original. Returns the folded row count. At 100 TB you fold ranges
+    of batch ids on a schedule (and re-sort by band-key prefix for
+    probe-scan pruning), never the world at once.
+    """
+    _recover_replica(index_path)
+    df = spark.read.parquet(index_path)
+    folded = (
+        df.withColumn(INGEST_BATCH_COL, F.lit(INGEST_BASE_PARTITION))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = folded.count()
+        staging = index_path + f".staging-{uuid.uuid4().hex[:8]}"
+        (
+            folded.write.mode("overwrite")
+            .partitionBy(INGEST_BATCH_COL)
+            .parquet(staging)
+        )
+        _atomic_replace(staging, index_path)
+    finally:
+        folded.unpersist()
+    return n

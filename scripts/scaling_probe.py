@@ -35,6 +35,9 @@ DEFAULT = [
     "scd2_customer_history",       # window over event stream
     "range_join_error_purchase_global",  # binned range join
     "tfidf_top_terms_per_doc",     # two-level agg + window
+    "lm_bigram_perplexity",        # bigram-count tables + scoring join
+    "dedup_incremental_index",     # batch-vs-index band probe
+    "corpus_filter_funnel",        # composed per-row filters + LM join
 ]
 
 

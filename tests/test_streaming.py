@@ -1330,3 +1330,33 @@ class TestStreamingEmbeddingDedup:
         )
         q.awaitTermination(120)
         assert self._matches(spark, m) == {(10, 1)}
+
+    def test_compaction_preserves_probe_semantics(self, spark, tmp_path):
+        """Folding per-batch partitions into the ingest_batch=-1 base
+        keeps rows and keeps the probe finding pre-compaction docs."""
+        import os
+
+        from pg2any_spark.streaming.pipeline import (
+            compact_ingest_index,
+            embedding_index_apply_batch,
+        )
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(1, self.V1)]), 0, idx, m, **self.KW
+        )
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(2, self.V2)]), 1, idx, m, **self.KW
+        )
+        before = spark.read.parquet(idx).count()
+        n = compact_ingest_index(spark, idx)
+        assert n == before
+        parts = {d for d in os.listdir(idx) if d.startswith("ingest_batch=")}
+        assert parts == {"ingest_batch=-1"}
+        # a post-compaction batch still matches a pre-compaction doc
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(10, [0.99, 0.01, 0.0, 0.0])]), 2, idx,
+            m, **self.KW,
+        )
+        assert self._matches(spark, m) == {(10, 1)}
