@@ -874,9 +874,9 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = f"""
-    SELECT doc_id, lang,
-           ROUND(
+#: The quality-score arithmetic as a bare SQL expression over a
+#: column named ``text`` — shared by every oracle that scores quality.
+_QUALITY_EXPR = f"""ROUND(
              0.5 * least((CASE WHEN trim(text) = '' THEN 0
                                ELSE len({_TOKS}) END) / 50.0, 1.0)
            + 0.3 * least(5.0 * len(list_filter({_TOKS},
@@ -884,7 +884,10 @@ _QUALITY_SQL = f"""
                          / greatest(len({_TOKS}), 1), 1.0)
            + 0.2 * (1 - least(5.0 * (length(text)
                           - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                         / greatest(length(text), 1), 1.0)), 6) AS quality
+                         / greatest(length(text), 1), 1.0)), 6)"""
+
+_QUALITY_SQL = f"""
+    SELECT doc_id, lang, {_QUALITY_EXPR} AS quality
     FROM documents
 """
 
@@ -2423,3 +2426,60 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars_tok") / F.col("n_bpe_tokens").cast("double"), 4
         ).alias("compression"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+    q AS (SELECT id, {_QUALITY_EXPR} AS quality FROM corpus),
+    g AS (
+        SELECT q.id, COALESCE(c.component, q.id) AS group_id, q.quality
+        FROM q LEFT JOIN comp c ON c.id = q.id
+    )
+    SELECT id, group_id, quality,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY group_id ORDER BY quality DESC, id) = 1 AS INT)
+               AS keep
+    FROM g
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RETENTION policy: after pair generation and transitive
+    group resolution, keep the highest-QUALITY member of each
+    duplicate group (quality desc, id asc tie-break) instead of the
+    naive min-id — the canonical-document selection a curation
+    pipeline actually ships (drop-2-word mutations score slightly
+    lower on the length term, so originals win their groups).
+    Singletons form their own group and keep themselves. One window
+    over groups; everything upstream is the bucketed SimHash pair
+    path."""
+    from pyspark.sql import Window
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, "id", "text", bits=32)
+    pairs = D.simhash_hamming_pairs(fps, "id", max_distance=3).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    quality = corpus.select(
+        "id", T.quality_score(F.col("text")).alias("quality")
+    )
+    g = quality.join(comp, "id", "left").withColumn(
+        "group_id", F.coalesce("component", "id")
+    )
+    w = Window.partitionBy("group_id").orderBy(F.col("quality").desc(), "id")
+    return g.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    ).select("id", "group_id", "quality", "keep")
