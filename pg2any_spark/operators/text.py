@@ -463,6 +463,33 @@ def vocab_growth(
 # ---------------------------------------------------------------------------
 
 
+def _merge_pair_fold(syms, x: str, y: str):
+    """Greedy left-to-right application of ONE merge (x, y) to a
+    symbol ARRAY: fold that replaces the accumulator's last element
+    with x+y when (last, current) == (x, y), else appends. Operating
+    on whole symbols makes cross-boundary matches impossible — a
+    substring replace on a delimited encoding would merge "a.b"
+    inside "ca.b" (left element matching a SUFFIX of the previous
+    symbol), silently corrupting the word table."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, e: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(x))
+            & (e == F.lit(y)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(x + y)),
+            ),
+        ).otherwise(F.concat(acc, F.array(e))),
+    )
+
+
+#: Char-split regex: between-character boundaries (no empties).
+_CHAR_SPLIT = r"(?!^)(?=.)"
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -478,45 +505,37 @@ def learn_bpe_merges(
     and every merge round is O(|vocabulary|) work on that table:
     adjacent-symbol pair counts (weighted by word frequency), argmax
     with a deterministic tie-break (count desc, pair asc), then the
-    merge applied to every word. The ONLY driver transfer is one row
-    per round (the chosen pair) — bounded by ``rounds``, never by data.
+    merge applied to every word via ``_merge_pair_fold`` (symbol-array
+    fold — exact greedy semantics, no cross-boundary matches). The
+    ONLY driver transfer is one row per round (the chosen pair) —
+    bounded by ``rounds``, never by data. Each round's word table is
+    persisted, materialized, and the previous round's cache released,
+    so storage holds ONE copy of the (tiny) dictionary, not K.
 
-    Symbols are encoded as ``<sym>.`` runs (terminator dot, dots never
-    occur inside symbols), so applying a merge is a literal
-    non-overlapping left-to-right ``replace("x.y.", "xy.")`` — the one
-    string primitive whose semantics agree exactly across engines,
-    which is what makes the whole iteration DuckDB-oracle-able.
-
-    Returns (merge_round, pair, new_symbol, n_occurrences); pair
-    occurrences count every adjacent position (overlapping, the common
-    convention).
+    Returns (merge_round, pair, new_symbol, n_occurrences); ``pair``
+    is ``"x.y"`` (symbols never contain dots — dot-bearing tokens are
+    excluded up front, a production trainer would byte-escape). Pair
+    occurrences count every adjacent position (overlapping, the
+    common convention).
     """
     spark = df.sparkSession
-    # dot-bearing tokens would make the dotted encoding ambiguous —
-    # excluded (none exist in normal word tokens; a production trainer
-    # would byte-escape instead)
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter((F.col("w") != "") & ~F.col("w").contains("."))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("sym", F.regexp_replace("w", "(.)", "$1."))
+        .withColumn("syms", F.split("w", _CHAR_SPLIT))
     )
-    merges: list[tuple] = []
-    wt = words
-    # symbol array from the dotted encoding (drop the trailing ''),
-    # then adjacent pairs — materialized as columns so the split isn't
-    # re-derived per element (the word_ngrams lesson)
-    syms_expr = F.expr(r"slice(split(sym, '\\.'), 1, size(split(sym, '\\.')) - 1)")
     pairs_expr = F.expr(
-        "zip_with(slice(__syms, 1, size(__syms) - 1),"
-        "         slice(__syms, 2, size(__syms) - 1),"
+        "zip_with(slice(syms, 1, size(syms) - 1),"
+        "         slice(syms, 2, size(syms) - 1),"
         "         (x, y) -> concat(x, '.', y))"
     )
+    merges: list[tuple] = []
+    wt, cached = words, None
     for r in range(1, rounds + 1):
         best = (
-            wt.withColumn("__syms", syms_expr)
-            .select(F.explode(pairs_expr).alias("pair"), "n")
+            wt.select(F.explode(pairs_expr).alias("pair"), "n")
             .groupBy("pair")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
@@ -526,14 +545,18 @@ def learn_bpe_merges(
         if not best:
             break
         pair, cnt = best[0]["pair"], best[0]["cnt"]
-        new_sym = pair.replace(".", "")
-        merges.append((r, pair, new_sym, cnt))
-        wt = wt.withColumn(
-            "sym",
-            F.replace(
-                F.col("sym"), F.lit(pair + "."), F.lit(new_sym + ".")
-            ),
-        ).persist()
+        x, y = pair.split(".")
+        merges.append((r, pair, x + y, cnt))
+        if r < rounds:
+            new_wt = wt.withColumn(
+                "syms", _merge_pair_fold(F.col("syms"), x, y)
+            ).persist()
+            new_wt.count()  # materialize BEFORE dropping the parent cache
+            if cached is not None:
+                cached.unpersist()
+            wt, cached = new_wt, new_wt
+    if cached is not None:
+        cached.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_round int, pair string, new_symbol string, n_occurrences long",
@@ -549,31 +572,30 @@ def apply_bpe_merges(
     (``"x.y"`` strings from ``learn_bpe_merges``) — the apply side of
     tokenizer induction.
 
-    Each word becomes its dotted symbol encoding, the merges replay in
-    training order as chained literal replaces (pure codegen column
-    expressions — the merge list is a driver-side constant of size K,
-    broadcast with the plan, never a join), and the result explodes
-    back to per-document token counts. Adds ``n_chars_tok`` (summed
-    word lengths) and ``n_bpe_tokens``; compression = chars/tokens is
-    the standard fertility metric watched when sizing a tokenizer.
+    Each word splits to its character symbols and the merges replay in
+    training order as chained ``_merge_pair_fold`` passes (pure
+    codegen column expressions — the merge list is a driver-side
+    constant of size K, broadcast with the plan, never a join). Adds
+    ``n_chars_tok`` (summed word lengths) and ``n_bpe_tokens``;
+    compression = chars/tokens is the standard fertility metric
+    watched when sizing a tokenizer. Dot-bearing words are excluded
+    from both counts — the same exclusion the trainer applies, so
+    train and apply agree on the symbol model.
     """
-    toks = tokens(F.col(text_col))
-    word_syms = F.transform(
-        toks,
-        lambda w: F.regexp_replace(w, "(.)", "$1."),
+    toks = F.filter(
+        tokens(F.col(text_col)),
+        lambda w: (w != "") & ~w.contains("."),
     )
-    merged = word_syms
-    for pair in merges:
-        merged = F.transform(
-            merged,
-            lambda s: F.replace(
-                s, F.lit(pair + "."), F.lit(pair.replace(".", "") + ".")
-            ),
-        )
+
+    def tokenize_word(w):
+        merged = F.split(w, _CHAR_SPLIT)
+        for pair in merges:
+            x, y = pair.split(".")
+            merged = _merge_pair_fold(merged, x, y)
+        return merged
+
     n_tokens = F.aggregate(
-        F.transform(
-            merged, lambda s: F.size(F.split(s, r"\.")) - 1
-        ),
+        F.transform(toks, lambda w: F.size(tokenize_word(w))),
         F.lit(0),
         lambda acc, x: acc + x,
     )

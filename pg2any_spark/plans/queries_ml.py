@@ -2054,16 +2054,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_filter_funnel",
     oracle=f"""
     WITH q AS (
-        SELECT doc_id,
-               ROUND(
-                 0.5 * least((CASE WHEN trim(text) = '' THEN 0
-                                   ELSE len({_TOKS}) END) / 50.0, 1.0)
-               + 0.3 * least(5.0 * len(list_filter({_TOKS},
-                              t -> list_contains(['the','a','is','and','of'], t)))
-                             / greatest(len({_TOKS}), 1), 1.0)
-               + 0.2 * (1 - least(5.0 * (length(text)
-                              - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                             / greatest(length(text), 1), 1.0)), 6) AS quality
+        SELECT doc_id, {_QUALITY_EXPR} AS quality
         FROM documents
     ),
     g AS (
@@ -2321,10 +2312,33 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fold_sql(inner_sym: str, pair_ref: str) -> str:
+    """Boundary-aware greedy merge of one pair over a dotted symbol
+    string (SQL twin of ``text._merge_pair_fold``): fold the symbol
+    list with a dot-prefixed accumulator, so the left element only
+    matches a WHOLE trailing symbol (``ends_with(acc, '.x.')``) —
+    never a suffix of a longer one. The sentinel empty pair ("" from
+    an exhausted round) can never match a non-empty symbol, so it
+    folds as a no-op."""
+    x = f"split_part({pair_ref}, '.', 1)"
+    y = f"split_part({pair_ref}, '.', 2)"
+    return f"""substr(list_reduce(
+        list_prepend('.', list_filter(string_split({inner_sym}, '.'),
+                                      s -> s <> '')),
+        (acc, e) -> CASE
+            WHEN ends_with(acc, '.' || {x} || '.') AND e = {y}
+            THEN substr(acc, 1, length(acc) - length({x}) - 1)
+                 || {x} || {y} || '.'
+            ELSE acc || e || '.' END
+    ), 2)"""
+
+
 def _bpe_ctes(rounds: int) -> list[str]:
     """K chained CTE blocks, one per merge round — the oracle twin of
     ``text.learn_bpe_merges``'s driver loop (same pair statistics,
-    same argmax tie-break, same literal-replace merge)."""
+    same argmax tie-break, same fold-based merge). Each ``b{r}`` CTE
+    carries a zero-count sentinel so an exhausted corpus yields a
+    no-op round instead of an empty cross join."""
     ctes = [
         f"""w0 AS (
         SELECT w, count(*) AS n,
@@ -2343,13 +2357,15 @@ def _bpe_ctes(rounds: int) -> list[str]:
                                         x -> x <> '') AS s FROM {prev})
         ) GROUP BY z
     )""")
-        ctes.append(
-            f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
-        )
+        ctes.append(f"""b{r} AS (
+        SELECT pair, cnt FROM (
+            SELECT pair, cnt FROM p{r}
+            UNION ALL SELECT '' AS pair, CAST(0 AS BIGINT) AS cnt
+        ) ORDER BY cnt DESC, pair LIMIT 1
+    )""")
         ctes.append(f"""w{r} AS (
         SELECT w.w, w.n,
-               replace(w.sym, b.pair || '.',
-                       replace(b.pair, '.', '') || '.') AS sym
+               {_bpe_fold_sql("w.sym", "b.pair")} AS sym
         FROM {prev} w CROSS JOIN b{r} b
     )""")
     return ctes
@@ -2358,25 +2374,23 @@ def _bpe_ctes(rounds: int) -> list[str]:
 def _bpe_oracle(rounds: int) -> str:
     finals = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_round, pair, replace(pair, '.', '') AS new_symbol, "
-        f"CAST(cnt AS BIGINT) AS n_occurrences FROM b{r}"
+        f"CAST(cnt AS BIGINT) AS n_occurrences FROM b{r} WHERE cnt > 0"
         for r in range(1, rounds + 1)
     )
     return (
         "WITH " + ",\n    ".join(_bpe_ctes(rounds))
-        + "\n    " + finals + "\n    ORDER BY merge_round"
+        + "\n    SELECT * FROM (\n    " + finals + "\n    ) ORDER BY merge_round"
     )
 
 
 def _bpe_tokenize_oracle(rounds: int) -> str:
-    """Apply the learned merges back to every document (chained
-    literal replaces with the b{r} pairs) and report per-doc BPE token
-    counts + compression."""
+    """Apply the learned merges back to every document (chained folds
+    with the b{r} pairs) and report per-doc BPE token counts +
+    compression. Dot-bearing words are excluded exactly as the
+    trainer and the Spark apply side exclude them."""
     sym = "regexp_replace(w, '(.)', '\\1.', 'g')"
     for r in range(1, rounds + 1):
-        sym = (
-            f"replace({sym}, b{r}.pair || '.', "
-            f"replace(b{r}.pair, '.', '') || '.')"
-        )
+        sym = _bpe_fold_sql(sym, f"b{r}.pair")
     joins = " ".join(f"CROSS JOIN b{r}" for r in range(1, rounds + 1))
     return (
         "WITH " + ",\n    ".join(_bpe_ctes(rounds))
@@ -2386,8 +2400,10 @@ def _bpe_tokenize_oracle(rounds: int) -> str:
     ),
     tok AS (
         SELECT doc_id, length(w) AS n_chars_w,
-               len(string_split({sym}, '.')) - 1 AS n_tok_w
+               len(list_filter(string_split({sym}, '.'), s -> s <> ''))
+                   AS n_tok_w
         FROM words {joins}
+        WHERE w <> '' AND w NOT LIKE '%.%'
     )
     SELECT doc_id,
            CAST(SUM(n_chars_w) AS INT) AS n_chars_tok,

@@ -954,6 +954,11 @@ def dedup_index_apply_batch(
     """
     from pg2any_spark.operators.dedup import join_band_tables, lsh_index
 
+    # roll back a compaction swap interrupted mid-rename — otherwise a
+    # missing index dir silently skips the probe AND the next
+    # compaction's recovery would delete the parked .old-* state
+    _recover_replica(index_path)
+    _recover_replica(matches_path)
     if batch_df.limit(1).count() == 0:
         return
     bands_df = lsh_index(
@@ -1059,6 +1064,8 @@ def embedding_index_apply_batch(
     """
     from pg2any_spark.operators.similarity import _bucketed_normalized, dot
 
+    _recover_replica(index_path)  # see dedup_index_apply_batch
+    _recover_replica(matches_path)
     if batch_df.limit(1).count() == 0:
         return
     tagged = _bucketed_normalized(

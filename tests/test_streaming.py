@@ -1360,3 +1360,24 @@ class TestStreamingEmbeddingDedup:
             m, **self.KW,
         )
         assert self._matches(spark, m) == {(10, 1)}
+
+    def test_applier_recovers_interrupted_compaction(self, spark, tmp_path):
+        """A SIGKILL between compaction's two renames leaves the index
+        parked in .old-*; the next batch must roll it back, not
+        silently recreate an empty index (which would skip the probe
+        and let the following compaction delete the parked state)."""
+        import os
+
+        from pg2any_spark.streaming.pipeline import embedding_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(1, self.V1)]), 0, idx, m, **self.KW
+        )
+        os.rename(idx, idx + ".old-deadbeef")  # crash mid-swap
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(10, [0.99, 0.01, 0.0, 0.0])]), 1, idx,
+            m, **self.KW,
+        )
+        assert self._matches(spark, m) == {(10, 1)}

@@ -305,3 +305,36 @@ class TestLearnBpeMerges:
         # after [a.a, a.b, aa.ab]: aaab -> 1 token, ab -> 1 token
         assert out[1] == (8, 2)
         assert out[2] == (2, 1)
+
+    def test_merge_never_crosses_symbol_boundary(self, spark):
+        """Regression: pair (a,b) must not match inside [ca, b] — a
+        substring replace on the delimited encoding merged 'a.b'
+        against the SUFFIX of symbol 'ca', corrupting the dictionary
+        and hiding round 3's true merge."""
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import (
+            apply_bpe_merges,
+            learn_bpe_merges,
+        )
+
+        df = spark.createDataFrame([Row(doc_id=1, text="ca ca ca cab ab")])
+        got = [
+            (r["merge_round"], r["pair"], r["n_occurrences"])
+            for r in learn_bpe_merges(df, rounds=4).collect()
+        ]
+        assert got == [(1, "c.a", 4), (2, "a.b", 1), (3, "ca.b", 1)]
+        out = apply_bpe_merges(df, [p for _, p, _ in got]).collect()[0]
+        # cab -> [ca, b] -> merge 3 -> [cab]; ab -> [ab]; ca -> [ca]
+        assert (out["n_chars_tok"], out["n_bpe_tokens"]) == (11, 5)
+
+    def test_dot_words_excluded_from_token_counts(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.text import apply_bpe_merges
+
+        df = spark.createDataFrame([Row(doc_id=1, text="ab u.s. cd")])
+        out = apply_bpe_merges(df, []).collect()[0]
+        # u.s. is untokenizable under the dot-free symbol model: both
+        # counts cover only 'ab' and 'cd'
+        assert (out["n_chars_tok"], out["n_bpe_tokens"]) == (4, 4)
