@@ -2499,3 +2499,71 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumn(
         "keep", (F.row_number().over(w) == 1).cast("int")
     ).select("id", "group_id", "quality", "keep")
+
+
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH cl AS (
+        SELECT label, CAST(r.i AS INTEGER) AS pos,
+               ROUND(CAST(SUM(CAST(e.embedding[r.i + 1] AS DECIMAL(28,12)))
+                          AS DOUBLE) / COUNT(*), 6) AS coord
+        FROM embeddings e, UNNEST(range(len(e.embedding))) AS r(i)
+        GROUP BY label, pos
+    ),
+    ex AS (
+        SELECT e.vec_id, e.label, CAST(r.i AS INTEGER) AS pos,
+               CAST(e.embedding[r.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, UNNEST(range(len(e.embedding))) AS r(i)
+    ),
+    s AS (
+        SELECT ex.vec_id, ex.label,
+               SUM(ex.x * cl.coord) AS dot,
+               SQRT(SUM(ex.x * ex.x)) AS nv,
+               SQRT(SUM(cl.coord * cl.coord)) AS nc
+        FROM ex JOIN cl ON cl.label = ex.label AND cl.pos = ex.pos
+        GROUP BY ex.vec_id, ex.label
+    )
+    SELECT vec_id, label,
+           ROUND(dot / (nv * nc), 6) AS cos_centroid
+    FROM s WHERE ROUND(dot / (nv * nc), 6) < 0.0
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality QA: vectors whose cosine to their OWN label's
+    centroid is negative — the standard mislabeled/outlier screen run
+    before training on weakly-labeled embeddings. The centroid table
+    is labels × dims (broadcast), the vector side reduces per vec_id
+    with map-side combine — the corpus is shuffled once, in long form.
+    Centroid coords round through the same DECIMAL(28,12) path as
+    ``embedding_centroids_by_label`` so both engines score against
+    identical prototypes."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cl = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coord")
+        )
+    )
+    s = (
+        ex.join(F.broadcast(cl), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("coord")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sqrt(F.sum(F.col("coord") * F.col("coord"))).alias("nc"),
+        )
+    )
+    cos = F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6)
+    return s.withColumn("cos_centroid", cos).filter(
+        F.col("cos_centroid") < 0.0
+    ).select("vec_id", "label", "cos_centroid")
