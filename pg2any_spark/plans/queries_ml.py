@@ -2567,3 +2567,58 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("cos_centroid", cos).filter(
         F.col("cos_centroid") < 0.0
     ).select("vec_id", "label", "cos_centroid")
+
+
+@query(
+    "cross_source_duplication",
+    oracle="""
+    WITH corpus AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+        UNION ALL
+        SELECT 'recrawl-' || source AS source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    d AS (SELECT DISTINCT fp, source FROM corpus)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_docs
+    FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance matrix: how many exact-duplicate documents
+    each PAIR of sources shares (fingerprint = md5 of normalized
+    text), over the corpus plus a planted partial recrawl. The join is
+    keyed on fingerprint — one row per distinct (fp, source), never
+    all-pairs of documents — so the matrix costs one dedup shuffle
+    plus a fingerprint-bucket join at any corpus size. The report that
+    decides which overlapping crawls to drop before training."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ).alias("fp")
+    corpus = docs.select("source", fp).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("recrawl-"), F.col("source")).alias("source"), fp
+        )
+    )
+    d = corpus.distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+        .orderBy("source_a", "source_b")
+    )
