@@ -70,6 +70,15 @@ DRIVER_VERIFIED = {
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_part_counts", "q20_excess_suppliers", "q21_waiting_suppliers",
+    # r04 greens (49 hash-matched rows in CORRECTNESS_r04.json; the one
+    # red, corpus_filter_funnel, stays OUT so round 5 re-checks it first)
+    "ann_int8_recall", "array_funcs_events", "bpe_merges_corpus",
+    "bpe_tokenize_docs", "cdc_apply_multi_table_bucketed",
+    "cdc_streaming_agg_view", "cross_source_duplication",
+    "dedup_incremental_index", "dedup_keep_best",
+    "dedup_lexical_semantic_agreement", "dedup_lsh_recall_report",
+    "embedding_outliers", "knn_label_embeddings", "lm_bigram_perplexity",
+    "pack_sequences_budget", "vocab_growth_curve",
 }
 
 #: Engine-specific sketch queries with no cross-engine oracle — they can

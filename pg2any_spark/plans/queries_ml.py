@@ -876,7 +876,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: The quality-score arithmetic as a bare SQL expression over a
 #: column named ``text`` — shared by every oracle that scores quality.
-_QUALITY_EXPR = f"""ROUND(
+_QUALITY_RAW = f"""
              0.5 * least((CASE WHEN trim(text) = '' THEN 0
                                ELSE len({_TOKS}) END) / 50.0, 1.0)
            + 0.3 * least(5.0 * len(list_filter({_TOKS},
@@ -884,7 +884,8 @@ _QUALITY_EXPR = f"""ROUND(
                          / greatest(len({_TOKS}), 1), 1.0)
            + 0.2 * (1 - least(5.0 * (length(text)
                           - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                         / greatest(length(text), 1), 1.0)), 6)"""
+                         / greatest(length(text), 1), 1.0))"""
+_QUALITY_EXPR = f"ROUND({_QUALITY_RAW}, 6)"
 
 _QUALITY_SQL = f"""
     SELECT doc_id, lang, {_QUALITY_EXPR} AS quality
@@ -1027,7 +1028,7 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline over a re-crawled (2x
     duplicated) corpus: exact dedup -> language ID -> quality filter
-    (>= 0.4, known language) -> per-language token/quality accounting.
+    (>= 0.25, known language) -> per-language token/quality accounting.
     The composition is what a pretraining data job runs before
     tokenization; every stage is JVM-side expressions, and the dedup
     survivor set flows into the scorer via a key join (broadcast-able
@@ -2120,7 +2121,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(q.quality < 0.4 AS INT) AS fq,
                CAST(COALESCE(rep.dup_frac, 0) > 0.2 AS INT) AS fr,
                CAST(langp.lang_pred <> d.lang AS INT) AS fl,
-               CAST(COALESCE(lm.avg_nll > 3.42, FALSE) AS INT) AS fm
+               CAST(COALESCE(lm.avg_nll > 3.595, FALSE) AS INT) AS fm
         FROM documents d
         JOIN q ON q.doc_id = d.doc_id
         LEFT JOIN rep ON rep.doc_id = d.doc_id
@@ -2140,7 +2141,17 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-ID mismatch, bigram-LM perplexity band) would drop, and
     how many survive all four — the daily accounting query of a
     curation pipeline. Per-row filters are pure codegen; the only
-    joins carry the per-doc LM score back by doc_id."""
+    joins carry the per-doc LM score back by doc_id.
+
+    Threshold provenance (round 5): the LM cut 3.595 was chosen by
+    measuring every achievable 4dp avg_nll at sf0.001/0.01/0.1 —
+    nearest score is 0.0044 away (44x the rounding quantum), and the
+    flag still fires at every SF. The round-4 cut (3.42) sat 2e-4
+    from two documents' scores; see tests/test_threshold_margins.py,
+    which pins the margin for every thresholded literal in the
+    registry. ``fr`` coalesces to False like the oracle's
+    COALESCE(dup_frac, 0) so <2-token docs (NULL dup_frac in Spark,
+    absent from the oracle's gram CTE) flag identically."""
     docs = load_table(spark, "documents", sf_dir)
     stats = T.repetition_stats(F.col("__grams"))
     flags = (
@@ -2149,7 +2160,9 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             (T.quality_score(F.col("text")) < 0.4).cast("int").alias("fq"),
-            (stats["dup_ngram_frac"] > 0.2).cast("int").alias("fr"),
+            F.coalesce(stats["dup_ngram_frac"] > 0.2, F.lit(False))
+            .cast("int")
+            .alias("fr"),
             (T.lang_id(F.col("text")) != F.col("lang")).cast("int").alias("fl"),
         )
         .join(
@@ -2159,7 +2172,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "fm",
-            F.coalesce(F.col("avg_nll") > 3.42, F.lit(False)).cast("int"),
+            F.coalesce(F.col("avg_nll") > 3.595, F.lit(False)).cast("int"),
         )
     )
     return (
