@@ -150,6 +150,23 @@ def lsh_band_keys(
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
+def hot_band_keys(index: DataFrame, cap: int) -> DataFrame:
+    """(band_idx, band_key, n_ids) for every band bucket with more than
+    ``cap`` members — the boilerplate report that accompanies a capped
+    LSH join, so a cap is never silent.
+
+    By construction this table is tiny (a key needs > ``cap`` docs to
+    appear), so callers can aggregate or even collect it: at web scale
+    the hot keys are licence headers, cookie banners, and navigation
+    boilerplate — template families, not document near-duplicates.
+    """
+    return (
+        index.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > cap)
+    )
+
+
 def join_band_tables(
     probe: DataFrame,
     index: DataFrame,
@@ -157,6 +174,7 @@ def join_band_tables(
     out_probe: str = "incoming_id",
     out_index: str = "corpus_id",
     index_lt_probe: bool = False,
+    hot_key_cap: int | None = None,
 ) -> DataFrame:
     """The ONE (band_idx, band_key)-keyed equi-join all LSH matching
     paths share (batch self-join, incremental probe, streaming probe) —
@@ -168,7 +186,26 @@ def join_band_tables(
     self-pair). ``False`` is the cross-probe form: ids must differ, so
     a document redelivered by an at-least-once source is never
     reported as a near-duplicate of itself.
+
+    ``hot_key_cap`` is the structural defense against boilerplate band
+    keys: a bucket shared by c documents emits O(c^2) pairs, and AQE
+    skew-splitting only spreads that output over tasks — it cannot
+    shrink it. A band key exceeding the cap is a template family
+    (licence header, cookie banner), not a near-dup neighborhood, so
+    BOTH join sides drop it before the join: the hot-key set is tiny
+    by construction (count > cap each), aggregated from the index side
+    and applied as a broadcast anti-join — one small shuffle, no
+    corpus-sized state. Pair output per key is then bounded by cap^2.
+    Callers MUST surface ``hot_band_keys(index, cap)`` alongside the
+    capped pairs (see ``dedup_lsh_hot_cap``) — capping is a reported
+    policy, never a silent truncation.
     """
+    if hot_key_cap is not None:
+        hot = F.broadcast(
+            hot_band_keys(index, hot_key_cap).select("band_idx", "band_key")
+        )
+        index = index.join(hot, ["band_idx", "band_key"], "left_anti")
+        probe = probe.join(hot, ["band_idx", "band_key"], "left_anti")
     cond = (F.col("i.band_idx") == F.col("x.band_idx")) & (
         F.col("i.band_key") == F.col("x.band_key")
     )
@@ -194,12 +231,16 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     materialize: bool = True,
+    hot_key_cap: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
 
     The join is per (band_idx, band_key) bucket — never all-pairs.
     Skewed buckets (very common shingle sets) are handled by AQE's
-    skew-join splitting at scale.
+    skew-join splitting at scale; ``hot_key_cap`` additionally drops
+    buckets whose PAIR OUTPUT would be quadratic in members (see
+    ``join_band_tables`` — report the dropped keys via
+    ``hot_band_keys`` when capping).
 
     ``materialize=True`` persists the band-key table before the
     self-join. Catalyst does not reuse the exchange across the two
@@ -218,6 +259,7 @@ def lsh_candidate_pairs(
         join_band_tables(
             bands_df, bands_df, id_col,
             out_probe="id_b", out_index="id_a", index_lt_probe=True,
+            hot_key_cap=hot_key_cap,
         )
         .select("id_a", "id_b")
         .distinct()
@@ -257,6 +299,7 @@ def incremental_lsh_matches(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    hot_key_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against an existing corpus index.
 
@@ -275,7 +318,7 @@ def incremental_lsh_matches(
     skew-join handling, same as ``lsh_candidate_pairs``.
     """
     inc = lsh_index(incoming, id_col, text_col, num_hashes, bands, shingle_n)
-    return join_band_tables(inc, index, id_col).distinct()
+    return join_band_tables(inc, index, id_col, hot_key_cap=hot_key_cap).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -231,6 +231,130 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(corpus, "id", "text", num_hashes=12, bands=4)
 
 
+#: Synthetic boilerplate planted into the hot-band-key query: 30 ids
+#: carrying the identical template (a licence-header stand-in) — one
+#: LSH bucket per band with 30 members, the quadratic-pair-output
+#: pathology the cap exists for.
+_BOILERPLATE_TEXT = (
+    "this page is provided under the standard terms of use and all "
+    "rights are reserved by the site operator"
+)
+_BOILERPLATE_COPIES = 30
+_HOT_KEY_CAP = 10
+
+
+@query(
+    "dedup_lsh_hot_cap",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT 900000 + CAST(r.i AS BIGINT), '{_BOILERPLATE_TEXT}'
+        FROM range({_BOILERPLATE_COPIES}) r(i)
+    ),
+    sh AS (
+        SELECT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    hashed AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM sh
+    ),
+    sig AS (
+        SELECT id, {_minhash_sig_sql(12)}
+        FROM hashed GROUP BY id
+    ),
+    bands AS (
+        {_band_sql(4, 3)}
+    ),
+    cnt AS (
+        SELECT band_idx, band_key, COUNT(*) AS n_ids
+        FROM bands GROUP BY band_idx, band_key
+    ),
+    hot AS (SELECT band_idx, band_key FROM cnt WHERE n_ids > {_HOT_KEY_CAP}),
+    kept AS (
+        SELECT b.id, b.band_idx, b.band_key
+        FROM bands b
+        LEFT JOIN hot h
+          ON h.band_idx = b.band_idx AND h.band_key = b.band_key
+        WHERE h.band_key IS NULL
+    ),
+    capped AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.id < b.id
+    ),
+    uncapped AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.id < b.id
+    )
+    SELECT 'capped_pairs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM capped
+    UNION ALL
+    SELECT 'hot_keys', CAST(COUNT(*) AS BIGINT) FROM hot
+    UNION ALL
+    SELECT 'uncapped_pairs', CAST(COUNT(*) AS BIGINT) FROM uncapped
+    ORDER BY metric
+    """,
+)
+def dedup_lsh_hot_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-band-key capping demo/QA: the corpus plus 30 copies of a
+    boilerplate template (the licence-header pathology). Without the
+    cap the template's four band buckets emit C(30,2) pairs each-ish —
+    quadratic in family size, the one LSH cost AQE skew-splitting
+    cannot shrink because it is OUTPUT, not partitioning. With
+    ``hot_key_cap=10`` both join sides anti-join the (tiny, broadcast)
+    hot-key set first, so pair output per key is bounded by cap^2 and
+    the dropped keys are REPORTED (`hot_keys`), never silently
+    truncated. uncapped_pairs is computed alongside as the QA
+    contrast; real pipelines run only the capped join + the report."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    planted = (
+        spark.range(_BOILERPLATE_COPIES)
+        .select(
+            (F.col("id") + 900000).alias("id"),
+            F.lit(_BOILERPLATE_TEXT).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(planted)
+    idx = D.lsh_index(corpus, "id", "text", num_hashes=12, bands=4).persist()
+    hot_n = D.hot_band_keys(idx, _HOT_KEY_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    )
+    capped_n = (
+        D.join_band_tables(
+            idx, idx, "id", out_probe="id_b", out_index="id_a",
+            index_lt_probe=True, hot_key_cap=_HOT_KEY_CAP,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+    )
+    uncapped_n = (
+        D.join_band_tables(
+            idx, idx, "id", out_probe="id_b", out_index="id_a",
+            index_lt_probe=True,
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+    )
+    return (
+        capped_n.select(F.lit("capped_pairs").alias("metric"), "value")
+        .unionByName(hot_n.select(F.lit("hot_keys").alias("metric"), "value"))
+        .unionByName(
+            uncapped_n.select(F.lit("uncapped_pairs").alias("metric"), "value")
+        )
+        .orderBy("metric")
+    )
+
+
 def _simhash_votes_sql(bits: int) -> str:
     return ",\n               ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

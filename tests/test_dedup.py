@@ -176,3 +176,58 @@ class TestIncrementalIndex:
             if r["id_a"] <= 2 and r["id_b"] >= 101
         }
         assert inc == full
+
+
+class TestHotBandKeyCap:
+    """The boilerplate (hot band key) cap: quadratic pair output from
+    template families is bounded and REPORTED, while genuine near-dup
+    neighborhoods below the cap are untouched."""
+
+    def corpus(self, spark):
+        rows = [(i, f"unique document number {i} talks about topic {i} only") for i in range(20)]
+        rows += [(100 + i, "all rights reserved standard licence header text here") for i in range(15)]
+        # a genuine near-dup pair, bucket size 2 (< cap)
+        rows += [
+            (300, "spark engines process large corpora with partitioned joins"),
+            (301, "spark engines process large corpora with partitioned joins"),
+        ]
+        return docs(spark, rows)
+
+    def test_cap_bounds_pair_output_and_reports(self, spark):
+        df = self.corpus(spark)
+        uncapped = D.lsh_candidate_pairs(df, "id").collect()
+        capped = D.lsh_candidate_pairs(df, "id", hot_key_cap=5).collect()
+        clique = {(a, b) for a, b in
+                  ((100 + i, 100 + j) for i in range(15) for j in range(15))
+                  if a < b}
+        un = {(r["id_a"], r["id_b"]) for r in uncapped}
+        cp = {(r["id_a"], r["id_b"]) for r in capped}
+        # without the cap the template family is quadratic: all 105 pairs
+        assert clique <= un
+        # with the cap every clique pair is gone...
+        assert not (clique & cp)
+        # ...and exactly the clique was dropped — nothing else
+        assert cp == un - clique
+        # the genuine near-dup neighborhood (size 2 < cap) survives
+        assert (300, 301) in cp
+        # and the cap is reported, never silent: every band of the
+        # template family shows up as a hot key with its member count
+        idx = D.lsh_index(df, "id")
+        hot = D.hot_band_keys(idx, 5).collect()
+        assert len(hot) == 4  # one per band (identical texts, 4 bands)
+        assert all(r["n_ids"] == 15 for r in hot)
+
+    def test_incremental_probe_honors_cap(self, spark):
+        df = self.corpus(spark)
+        index = D.lsh_index(df, "id")
+        incoming = docs(
+            spark,
+            [(900, "all rights reserved standard licence header text here"),
+             (901, "spark engines process large corpora with partitioned joins")],
+        )
+        out = D.incremental_lsh_matches(index, incoming, "id", hot_key_cap=5)
+        got = {(r["incoming_id"], r["corpus_id"]) for r in out.collect()}
+        # the boilerplate probe matches nothing (its keys are hot)...
+        assert not any(i == 900 for i, _ in got)
+        # ...the genuine near-dup probe still matches both neighbors
+        assert {(901, 300), (901, 301)} <= got
