@@ -333,6 +333,7 @@ def lm_bigram_scores(
     text_col: str = "text",
     alpha: float = 0.5,
     materialize: bool = True,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under an add-k
     smoothed bigram LM trained on the corpus itself — the classic
@@ -348,14 +349,21 @@ def lm_bigram_scores(
     reduces IMMEDIATELY to per-(doc, bigram) counts — the only shuffle
     that carries corpus-sized data. Corpus bigram counts, history
     counts, and V all derive from that table (map-side-combined down
-    to |bigram vocab| rows), join back by BROADCAST (a bigram-keyed
-    hash join would route every "of the" pair through one task — same
-    stopword-skew argument as ``tfidf_top_terms``; if the bigram vocab
-    outgrows the broadcast budget at web scale, drop the hint and AQE
-    falls back to a skew-split sort-merge join), and V is a broadcast
-    1-row crossJoin (lazy — no eager .collect()). Per-doc means are
-    count-weighted over the doc-bigram table, identical to averaging
-    over occurrences.
+    to |bigram vocab| rows). With ``broadcast_counts=True`` (default;
+    right whenever the bigram vocab fits the broadcast budget) the
+    count tables join back by broadcast — a bigram-keyed hash join
+    would route every "of the" pair through one task, the same
+    stopword-skew argument as ``tfidf_top_terms``. A broadcast HINT is
+    honored regardless of size, so at web scale — where the bigram
+    vocab can reach billions of rows — the default would OOM the
+    driver, not degrade gracefully: pass ``broadcast_counts=False`` to
+    emit hint-free joins, which AQE plans as (skew-split) sort-merge
+    on the bigram key. Both forms are verified result-identical and
+    the no-hint plan is pinned broadcast-free in
+    tests/test_text.py::TestLmBroadcastFallback. V is a broadcast
+    1-row crossJoin either way (lazy — no eager .collect()). Per-doc
+    means are count-weighted over the doc-bigram table, identical to
+    averaging over occurrences.
     """
     base = df.filter(F.trim(F.col(text_col)) != "")
     docbg = (
@@ -387,10 +395,11 @@ def lm_bigram_scores(
         .filter(F.col("tok") != "")
         .agg(F.countDistinct("tok").alias("v"))
     )
+    maybe_bc = F.broadcast if broadcast_counts else (lambda d: d)
     scored = (
-        docbg.join(F.broadcast(bg_counts), "bg")
+        docbg.join(maybe_bc(bg_counts), "bg")
         .withColumn("w1", F.substring_index("bg", " ", 1))
-        .join(F.broadcast(hist), "w1")
+        .join(maybe_bc(hist), "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nll",

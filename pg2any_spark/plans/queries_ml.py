@@ -2568,16 +2568,26 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``learn_bpe_merges`` replay over every document as chained literal
     replaces (driver-side constant of size K, pure codegen — no join),
     reporting per-document BPE token counts and the chars/token
-    compression ratio a tokenizer is sized by."""
+    compression ratio a tokenizer is sized by.
+
+    A document whose words are ALL empty or dot-bearing tokenizes to
+    zero BPE tokens; the oracle's tok CTE has no rows for it (so the
+    doc is absent), while the Spark side would emit it with 0/0 →
+    NULL compression. The n_bpe_tokens > 0 filter pins identical
+    drop-the-doc semantics on both sides (and guards the division)."""
     docs = load_table(spark, "documents", sf_dir)
     merges = [r["pair"] for r in T.learn_bpe_merges(docs, "text", rounds=5).collect()]
-    return T.apply_bpe_merges(docs, merges).select(
-        "doc_id",
-        "n_chars_tok",
-        "n_bpe_tokens",
-        F.round(
-            F.col("n_chars_tok") / F.col("n_bpe_tokens").cast("double"), 4
-        ).alias("compression"),
+    return (
+        T.apply_bpe_merges(docs, merges)
+        .filter(F.col("n_bpe_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_chars_tok",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars_tok") / F.col("n_bpe_tokens").cast("double"), 4
+            ).alias("compression"),
+        )
     )
 
 

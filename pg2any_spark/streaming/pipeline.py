@@ -1161,7 +1161,11 @@ def start_streaming_embedding_dedup(
 INGEST_BASE_PARTITION = -1
 
 
-def compact_ingest_index(spark: SparkSession, index_path: str) -> int:
+def compact_ingest_index(
+    spark: SparkSession,
+    index_path: str,
+    committed_high_water: int | None = None,
+) -> int:
     """Fold a streaming dedup index's accumulated per-batch partitions
     into one base partition (``ingest_batch=-1``).
 
@@ -1174,23 +1178,51 @@ def compact_ingest_index(spark: SparkSession, index_path: str) -> int:
     are deterministic, so any duplicates are replay artifacts, never
     information).
 
+    ONLY COMMITTED batches are folded. The data partition for a batch
+    lands BEFORE its checkpoint offset commits, so after a crash the
+    newest partition may belong to a batch that will replay. If that
+    partition were folded into the base, the replay's cross-probe
+    (``ingest_batch < batch_id``) would see the batch's own band rows
+    in the base and emit both orientations of its within-batch pairs —
+    a superset of the original matches partition, breaking the
+    "replays rewrite identical rows" contract. Pass
+    ``committed_high_water`` (the last batch id known committed, from
+    the checkpoint's offset log) to fold exactly the batches
+    ``<= high_water``; without it the maintenance default folds
+    everything EXCEPT the maximum batch id present — conservative and
+    correct whether or not that batch committed.
+
     Run it with the stream STOPPED (maintenance window), like
-    ``compact_replica``: a batch whose checkpoint has committed can no
-    longer replay, so folding committed partitions is safe; the
-    staged-rename swap keeps a crash mid-compaction from losing the
-    original. Returns the folded row count. At 100 TB you fold ranges
-    of batch ids on a schedule (and re-sort by band-key prefix for
-    probe-scan pruning), never the world at once.
+    ``compact_replica``; the staged-rename swap keeps a crash
+    mid-compaction from losing the original. Returns the folded row
+    count. At 100 TB you fold ranges of batch ids on a schedule (and
+    re-sort by band-key prefix for probe-scan pruning), never the
+    world at once.
     """
     _recover_replica(index_path)
     df = spark.read.parquet(index_path)
+    batch_ids = [
+        r[0]
+        for r in df.select(INGEST_BATCH_COL).distinct().collect()
+        if r[0] != INGEST_BASE_PARTITION
+    ]
+    if committed_high_water is not None:
+        foldable = lambda b: b <= committed_high_water  # noqa: E731
+    else:
+        newest = max(batch_ids, default=None)
+        foldable = lambda b: b != newest  # noqa: E731
+    keep_ids = [b for b in batch_ids if not foldable(b)]
     folded = (
-        df.withColumn(INGEST_BATCH_COL, F.lit(INGEST_BASE_PARTITION))
+        df.filter(~F.col(INGEST_BATCH_COL).isin(keep_ids))
+        .withColumn(INGEST_BATCH_COL, F.lit(INGEST_BASE_PARTITION))
         .distinct()
+        .unionByName(df.filter(F.col(INGEST_BATCH_COL).isin(keep_ids)))
         .persist()
     )
     try:
-        n = folded.count()
+        n = folded.filter(
+            F.col(INGEST_BATCH_COL) == INGEST_BASE_PARTITION
+        ).count()
         staging = index_path + f".staging-{uuid.uuid4().hex[:8]}"
         (
             folded.write.mode("overwrite")

@@ -1350,7 +1350,8 @@ class TestStreamingEmbeddingDedup:
             spark, self._vecs(spark, [(2, self.V2)]), 1, idx, m, **self.KW
         )
         before = spark.read.parquet(idx).count()
-        n = compact_ingest_index(spark, idx)
+        # high-water from the (stopped) stream's checkpoint: both committed
+        n = compact_ingest_index(spark, idx, committed_high_water=1)
         assert n == before
         parts = {d for d in os.listdir(idx) if d.startswith("ingest_batch=")}
         assert parts == {"ingest_batch=-1"}
@@ -1381,3 +1382,56 @@ class TestStreamingEmbeddingDedup:
             m, **self.KW,
         )
         assert self._matches(spark, m) == {(10, 1)}
+
+    def test_compaction_default_spares_newest_batch(self, spark, tmp_path):
+        """Without a committed high-water mark, the newest batch may
+        not have committed its checkpoint yet — the default fold must
+        leave its partition in place so a replay stays idempotent."""
+        import os
+
+        from pg2any_spark.streaming.pipeline import (
+            compact_ingest_index,
+            embedding_index_apply_batch,
+        )
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(1, self.V1)]), 0, idx, m, **self.KW
+        )
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(2, self.V2)]), 1, idx, m, **self.KW
+        )
+        compact_ingest_index(spark, idx)
+        parts = {d for d in os.listdir(idx) if d.startswith("ingest_batch=")}
+        assert parts == {"ingest_batch=-1", "ingest_batch=1"}
+
+    def test_replay_after_compaction_rewrites_identical_matches(
+        self, spark, tmp_path
+    ):
+        """The round-4 hazard: crash after batch N's partitions landed
+        but before its checkpoint committed, maintenance compaction
+        runs, batch N replays. If N's band rows had been folded into
+        the base, the replay's cross-probe would see them and emit
+        both orientations of N's within-batch pairs. The conservative
+        default spares N, so the replay must rewrite IDENTICAL rows."""
+        from pg2any_spark.streaming.pipeline import (
+            compact_ingest_index,
+            embedding_index_apply_batch,
+        )
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        embedding_index_apply_batch(
+            spark, self._vecs(spark, [(1, self.V1)]), 0, idx, m, **self.KW
+        )
+        # batch 1 carries a within-batch near-dup pair (20, 21)
+        b1 = self._vecs(
+            spark, [(20, [0.0, 0.99, 0.01, 0.0]), (21, [0.0, 0.99, 0.0, 0.01])]
+        )
+        embedding_index_apply_batch(spark, b1, 1, idx, m, **self.KW)
+        before = self._matches(spark, m)
+        assert (21, 20) in before
+        compact_ingest_index(spark, idx)  # maintenance before the replay
+        embedding_index_apply_batch(spark, b1, 1, idx, m, **self.KW)  # replay
+        assert self._matches(spark, m) == before

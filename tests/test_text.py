@@ -338,3 +338,72 @@ class TestLearnBpeMerges:
         # u.s. is untokenizable under the dot-free symbol model: both
         # counts cover only 'ab' and 'cd'
         assert (out["n_chars_tok"], out["n_bpe_tokens"]) == (4, 4)
+
+
+class TestLmBroadcastFallback:
+    """broadcast_counts=False is the web-scale form: no broadcast hint
+    on the bigram/history count joins (a hint is honored regardless of
+    size — at billions of bigrams it would OOM the driver), leaving
+    AQE free to plan (skew-split) sort-merge joins. Results must be
+    identical to the broadcast form."""
+
+    def _docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_no_hint_form_respects_broadcast_budget(self, spark):
+        # Past the broadcast budget (simulated with threshold=-1, the
+        # "bigram vocab too big" regime) the hint-free form must plan
+        # sort-merge joins; the hinted form ignores the budget — which
+        # is exactly why it cannot be the only form.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = T.lm_bigram_scores(
+                self._docs(spark), materialize=False, broadcast_counts=False
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "BroadcastHashJoin" not in plan
+            hinted = T.lm_bigram_scores(self._docs(spark), materialize=False)
+            hplan = hinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in hplan  # hint overrides budget
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_no_hint_form_still_broadcasts_when_small(self, spark):
+        # Under the budget Catalyst's size estimate picks broadcast on
+        # its own — dropping the hint does not sacrifice the small case.
+        df = T.lm_bigram_scores(
+            self._docs(spark), materialize=False, broadcast_counts=False
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_fallback_results_identical(self, spark):
+        docs = self._docs(spark)
+        bc = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in T.lm_bigram_scores(docs, materialize=False).collect()
+        }
+        smj = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in T.lm_bigram_scores(
+                docs, materialize=False, broadcast_counts=False
+            ).collect()
+        }
+        assert bc == smj
+
+
+def test_apply_bpe_zero_token_doc_emits_zero_counts(spark):
+    # A doc whose words are all empty or dot-bearing tokenizes to 0
+    # BPE tokens (the operator emits the row with 0/0); consumers that
+    # must match the DuckDB oracle's drop-the-doc semantics filter
+    # n_bpe_tokens > 0 — pinned here so the contract stays visible
+    # (see bpe_tokenize_docs).
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello hello"), Row(doc_id=2, text=". .. a.b")]
+    )
+    out = {r["doc_id"]: r for r in T.apply_bpe_merges(docs, ["l.l"]).collect()}
+    assert out[2]["n_bpe_tokens"] == 0 and out[2]["n_chars_tok"] == 0
+    assert out[1]["n_bpe_tokens"] == 8  # h e ll o  x2
+    assert out[1]["n_chars_tok"] == 10
