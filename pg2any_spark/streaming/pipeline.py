@@ -902,16 +902,51 @@ def streaming_daily_counts(
 INGEST_BATCH_COL = "ingest_batch"
 
 
+#: Second-level partition columns a dedup-index tree may carry for
+#: probe-side pruning (band-key prefix / SRP bucket). Introspected by
+#: the writers and ``compact_ingest_index`` so every write preserves
+#: the layout.
+INGEST_SUB_PARTITION_COLS = ("band_pfx", "bucket")
+
+
+def _ingest_partition_cols(df: DataFrame) -> list[str]:
+    return [INGEST_BATCH_COL] + [
+        c for c in INGEST_SUB_PARTITION_COLS if c in df.columns
+    ]
+
+
+def pruned_index_read(
+    spark: SparkSession,
+    index_path: str,
+    batch_id: int,
+    prune_col: str,
+    prune_values: list,
+) -> DataFrame:
+    """The probe-side index scan both streaming dedup indexes share:
+    earlier-committed-batches filter plus sub-partition pruning on the
+    batch's own key values (band prefixes / SRP buckets). Both
+    conjuncts hit PARTITION columns, so the parquet source prunes
+    whole directories — probe I/O is proportional to the batch's key
+    footprint, not the accumulated index
+    (tests/test_streaming.py audits the file set actually read)."""
+    return spark.read.parquet(index_path).filter(
+        (F.col(INGEST_BATCH_COL) < batch_id)
+        & F.col(prune_col).isin(prune_values)
+    )
+
+
 def _overwrite_ingest_partition(df: DataFrame, path: str, batch_id: int) -> None:
     """Write rows under their ``ingest_batch=<id>`` partition via
     dynamic partition overwrite — the idempotence primitive of the
     streaming dedup indexes (deterministic rows + own-partition-only
-    writes ⇒ replays rewrite identical data)."""
+    writes ⇒ replays rewrite identical data). If the rows carry a
+    probe-prune column (``band_pfx``/``bucket``) it becomes a second
+    partition level, so probes can skip whole directories."""
+    df = df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
     (
-        df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(INGEST_BATCH_COL)
+        .partitionBy(*_ingest_partition_cols(df))
         .parquet(path)
     )
 
@@ -947,10 +982,16 @@ def dedup_index_apply_batch(
     a deterministic partition is naturally idempotent.
 
     At scale the index grows ``bands`` short rows per document and is
-    the only state; periodic compaction (``compact_replica``-style
-    re-layout by band_key prefix) keeps probe scans pruned. The probe
-    join is keyed on (band_idx, band_key) — AQE splits skewed
-    boilerplate buckets, same as the batch operator.
+    the only state. Index rows carry ``band_pfx`` (first 2 hex chars of
+    the band key, forced non-numeric with a ``p`` prefix so partition
+    inference can never coerce it) as a SECOND partition level: the
+    probe collects the batch's distinct prefixes (≤ 256 values — a
+    bounded driver transfer regardless of batch size) and filters the
+    index read with them, so the scan prunes to matching directories
+    instead of reading the whole accumulated index — O(|batch|) probe
+    I/O per micro-batch, not O(corpus). The probe join itself is keyed
+    on (band_idx, band_key) — AQE splits skewed boilerplate buckets,
+    same as the batch operator.
     """
     from pg2any_spark.operators.dedup import join_band_tables, lsh_index
 
@@ -961,14 +1002,21 @@ def dedup_index_apply_batch(
     _recover_replica(matches_path)
     if batch_df.limit(1).count() == 0:
         return
-    bands_df = lsh_index(
-        batch_df, id_col, text_col, num_hashes, bands, shingle_n
-    ).persist()
+    bands_df = (
+        lsh_index(batch_df, id_col, text_col, num_hashes, bands, shingle_n)
+        .withColumn(
+            "band_pfx", F.concat(F.lit("p"), F.substring("band_key", 1, 2))
+        )
+        .persist()
+    )
     try:
         cross = None
         if os.path.exists(index_path):
-            idx = spark.read.parquet(index_path).filter(
-                F.col(INGEST_BATCH_COL) < batch_id
+            batch_pfx = [
+                r[0] for r in bands_df.select("band_pfx").distinct().collect()
+            ]
+            idx = pruned_index_read(
+                spark, index_path, batch_id, "band_pfx", batch_pfx
             )
             cross = join_band_tables(bands_df, idx, id_col)
         if within_batch:
@@ -1046,7 +1094,10 @@ def embedding_index_apply_batch(
     embedding twin of ``dedup_index_apply_batch``.
 
     The stored index holds (id, SRP bucket, unit vector) per document:
-    a few hundred bytes/vector, partitioned by ingest batch. Per
+    a few hundred bytes/vector, partitioned by (ingest batch, bucket) —
+    the bucket level lets each probe prune its index scan to the
+    batch's ≤ 2^planes buckets instead of reading the whole corpus
+    index. Per
     batch: one Arrow pass tags+normalizes the incoming vectors, the
     probe joins the index on ``bucket`` (candidates only — the
     random-hyperplane bucket join replaces the |batch|·|corpus| cross
@@ -1089,9 +1140,15 @@ def embedding_index_apply_batch(
 
         cross = None
         if os.path.exists(index_path):
+            # prune the index scan to the batch's buckets: ≤ 2^planes
+            # distinct values (bounded driver transfer), matching the
+            # bucket partition level laid down by the index writes
+            batch_buckets = [
+                r[0] for r in tagged.select("bucket").distinct().collect()
+            ]
             idx = as_index(
-                spark.read.parquet(index_path).filter(
-                    F.col(INGEST_BATCH_COL) < batch_id
+                pruned_index_read(
+                    spark, index_path, batch_id, "bucket", batch_buckets
                 ),
                 "corpus_id",
             )
@@ -1226,7 +1283,11 @@ def compact_ingest_index(
         staging = index_path + f".staging-{uuid.uuid4().hex[:8]}"
         (
             folded.write.mode("overwrite")
-            .partitionBy(INGEST_BATCH_COL)
+            # preserve the probe-prune layout (band_pfx / bucket): the
+            # folded base keeps the same second partition level, so
+            # pruned probes skip base directories exactly like batch
+            # directories
+            .partitionBy(*_ingest_partition_cols(folded))
             .parquet(staging)
         )
         _atomic_replace(staging, index_path)

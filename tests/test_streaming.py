@@ -1435,3 +1435,92 @@ class TestStreamingEmbeddingDedup:
         compact_ingest_index(spark, idx)  # maintenance before the replay
         embedding_index_apply_batch(spark, b1, 1, idx, m, **self.KW)  # replay
         assert self._matches(spark, m) == before
+
+
+class TestProbePruning:
+    """The streaming dedup indexes' probe scan must read only the
+    directories matching the batch's own keys (band prefixes / SRP
+    buckets) — O(batch) probe I/O, audited on the files actually read
+    through the SAME pruned_index_read the appliers call."""
+
+    def _read_files(self, df):
+        from pyspark.sql import functions as F
+
+        return {
+            r["f"]
+            for r in df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+
+    def test_lexical_probe_reads_only_matching_band_prefixes(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import Row
+
+        from pg2any_spark.streaming.pipeline import (
+            dedup_index_apply_batch,
+            pruned_index_read,
+        )
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        docs = spark.createDataFrame(
+            [Row(id=i, text=f"document number {i} about subject {i} entirely")
+             for i in range(12)],
+            "id long, text string",
+        )
+        dedup_index_apply_batch(spark, docs, 0, idx, m)
+        all_pfx = {
+            r[0]
+            for r in spark.read.parquet(idx).select("band_pfx")
+            .distinct().collect()
+        }
+        assert len(all_pfx) > 1  # the audit needs something to prune
+        keep = sorted(all_pfx)[:1]
+        probe = pruned_index_read(spark, idx, 99, "band_pfx", keep)
+        files = self._read_files(probe)
+        assert files  # the kept prefix has data
+        assert all(f"band_pfx={keep[0]}" in f for f in files)
+        total = self._read_files(
+            pruned_index_read(spark, idx, 99, "band_pfx", sorted(all_pfx))
+        )
+        assert len(files) < len(total)
+
+    def test_embedding_probe_reads_only_matching_buckets(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import Row
+
+        from pg2any_spark.streaming.pipeline import (
+            embedding_index_apply_batch,
+            pruned_index_read,
+        )
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        vecs = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+             Row(vec_id=2, embedding=[-1.0, 0.0, 0.0, 0.0]),
+             Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+             Row(vec_id=4, embedding=[0.0, 0.0, -1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        embedding_index_apply_batch(
+            spark, vecs, 0, idx, m, dim=4, num_planes=4
+        )
+        buckets = {
+            r[0]
+            for r in spark.read.parquet(idx).select("bucket")
+            .distinct().collect()
+        }
+        assert len(buckets) > 1
+        keep = sorted(buckets)[:1]
+        probe = pruned_index_read(spark, idx, 99, "bucket", keep)
+        files = self._read_files(probe)
+        assert files
+        assert all(f"bucket={keep[0]}" in f for f in files)
+        total = self._read_files(
+            pruned_index_read(spark, idx, 99, "bucket", sorted(buckets))
+        )
+        assert len(files) < len(total)
