@@ -405,3 +405,109 @@ def test_s5_single_huge_transaction(spark):
     ).collect()[0]
     n = 200_000
     assert got["n"] == n and got["s"] == n * (n + 1) // 2
+
+
+def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
+    """Reference chaos-script parity (chaos_script.sh:23-60): the
+    container is restarted REPEATEDLY at random intervals, not killed
+    once. One transaction inserting the chaos row count streams in 16
+    micro-batches through the bucketed applier; the runner process
+    group is SIGKILLed after every observed checkpoint-commit advance
+    (random strike offset inside the window), restarted on the same
+    checkpoint, up to 4 kills, then drained. The replica must be
+    exact: count, id checksum, zero row diff — each restart must
+    replay only its interrupted batch, never resurrect or lose one.
+
+    ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
+    (recorded as CHAOS_MULTIKILL_3M.json); suite default 300k keeps
+    the multi-kill loop under ~3 min alongside the 1M single-kill
+    test."""
+    import json
+    import os
+    import random
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
+    kills_max = 4
+    rng = random.Random(42)
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    _to_events(_insert_events(spark, n, txid=42)).repartition(16).write.parquet(src)
+
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src,
+        f"bucketed:{target}", ckpt, "1",
+    ]
+    commits_dir = os.path.join(ckpt, "commits")
+
+    def n_commits():
+        if not os.path.exists(commits_dir):
+            return 0
+        return len([c for c in os.listdir(commits_dir) if not c.startswith(".")])
+
+    t0 = time.monotonic()
+    kills = 0
+    for attempt in range(kills_max):
+        log = open(str(tmp_path / f"run{attempt}.log"), "wb")
+        p = subprocess.Popen(
+            cmd, cwd="/root/repo", start_new_session=True,
+            stdout=log, stderr=subprocess.STDOUT,
+        )
+        try:
+            base = n_commits()
+            deadline = time.time() + 300
+            advanced = False
+            while time.time() < deadline:
+                if n_commits() > base:
+                    advanced = True
+                    break
+                if p.poll() is not None:
+                    break
+                time.sleep(0.2)
+            if p.poll() is not None:
+                # drained everything before we could strike
+                assert p.returncode == 0, (
+                    open(str(tmp_path / f"run{attempt}.log"), "rb")
+                    .read().decode(errors="replace")[-2000:]
+                )
+                break
+            assert advanced, "no checkpoint progress before deadline"
+            time.sleep(rng.uniform(0.3, 2.5))  # random strike offset
+        finally:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                kills += 1
+            except ProcessLookupError:
+                pass
+            p.wait()
+            log.close()
+
+    pf = subprocess.run(cmd, cwd="/root/repo", timeout=900, capture_output=True)
+    assert pf.returncode == 0, pf.stdout.decode(errors="replace")[-2000:]
+    wall_s = round(time.monotonic() - t0, 1)
+    assert kills >= 1, "chaos loop never landed a kill"
+
+    final = read_bucketed_replica(spark, target)
+    got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
+    assert got["n"] == n, f"row count {got['n']} != {n} after {kills} kills"
+    assert got["s"] == n * (n + 1) // 2
+    expected = apply_changes(
+        _insert_events(spark, n, txid=42), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    assert final.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(final).isEmpty()
+    if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
+        label = f"{n // 1_000_000}M"
+        with open(f"/root/repo/CHAOS_MULTIKILL_{label}.json", "w") as f:
+            json.dump(
+                {"rows": n, "wall_seconds": wall_s, "kills": kills,
+                 "rows_per_second": round(n / wall_s, 1),
+                 "scenario": "s5_single_tx_multi_sigkill_bucketed"},
+                f,
+            )
