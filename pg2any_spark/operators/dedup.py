@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from pg2any_spark.operators.text import normalize_text
+from pg2any_spark.operators.text import normalize_text, tokens as tokens_
 
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
@@ -637,3 +637,59 @@ def lexical_semantic_agreement(
                F.round(F.col("n_both").cast("double") / union_sz, 6))
         .alias("pair_jaccard"),
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document line dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_line_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """(id, pos, line) pseudo-line table: consecutive
+    ``words_per_line``-token chunks of each document, in order.
+
+    Web corpora carry real newlines; the fixture text does not, so the
+    line structure is derived deterministically from token positions —
+    the downstream dedup is line-representation-agnostic (feed it real
+    ``split(text, '\\n')`` lines in production). Pure projection +
+    explode, no shuffle."""
+    w = words_per_line
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), tokens_(F.col(text_col)).alias("__t")
+    )
+    n_lines = F.ceil(F.size("__t") / F.lit(float(w))).cast("int")
+    gram = lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i * w + 1, w))  # noqa: E731
+    return base.select(
+        F.col(id_col),
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_lines - 1), gram)).alias(
+            "pos", "line"
+        ),
+    ).select(id_col, "pos", "line")
+
+
+def line_dedup(lines: DataFrame, id_col: str, line_col: str = "line") -> DataFrame:
+    """C4-style cross-document line dedup: a line occurring in more
+    than one document survives only in the minimum-id document (the
+    deterministic stand-in for "first crawled"); every other
+    occurrence is marked ``kept=false``.
+
+    Scale shape: owner resolution is a map-side-combinable ``min``
+    aggregate over line fingerprints — the shuffle carries one row per
+    DISTINCT line — and the verdict join is keyed on the fingerprint
+    with exactly one owner row per key, so a boilerplate footer
+    repeated in a billion documents costs a billion JOIN ROWS (linear,
+    AQE-splittable skew), never a pair explosion. Text never shuffles
+    twice: the fingerprint is 32 hex chars regardless of line length.
+    """
+    with_fp = lines.withColumn("__fp", F.md5(F.col(line_col)))
+    owners = with_fp.groupBy("__fp").agg(F.min(id_col).alias("__owner"))
+    return (
+        with_fp.join(owners, "__fp")
+        .withColumn("kept", F.col(id_col) == F.col("__owner"))
+        .drop("__fp", "__owner")
+    )

@@ -274,3 +274,128 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.round(F.col("duration_ms"), 2).alias("duration_ms"),
         "codec",
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV plumbing + feature extraction
+# ---------------------------------------------------------------------------
+
+#: Arrow schema produced by extract_audio_features / mapInPandas.
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples int, duration_s double, "
+    "rms double, peak int"
+)
+
+AUDIO_SR = 8000
+_AUDIO_AMP = 60000  # sawtooth span before the -30000 offset
+
+
+def _synth_pcm(asset_id: int, label: int):
+    """Deterministic int16 sawtooth: pure INTEGER arithmetic so the
+    closed-form SQL oracle reproduces every sample exactly — no libm
+    sin() whose low bits could differ across engines."""
+    import numpy as np
+
+    n = 4000 + (asset_id % 5) * 2000
+    f = 100 + (label % 8) * 50
+    k = np.arange(n, dtype=np.int64)
+    s = ((k * f) % AUDIO_SR) * _AUDIO_AMP // AUDIO_SR - _AUDIO_AMP // 2
+    return s.astype(np.int16)
+
+
+def _wav_bytes(pcm) -> bytes:
+    """Canonical 44-byte mono 16-bit RIFF/WAVE container."""
+    import struct
+
+    data = pcm.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audio table from the embeddings fixture: one mono
+    16-bit WAV payload per vector (length keyed by vec_id, pitch by
+    label). The container bytes are REAL — the parser below reads them
+    like any other WAV — only the waveform is synthetic, chosen
+    integer-exact so features are closed-form oracle-able. Built batch
+    -wise in ``mapInPandas`` (payloads never pass through a row-Python
+    UDF)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["vec_id"],
+                    "payload": [
+                        _wav_bytes(_synth_pcm(int(a), int(lb)))
+                        for a, lb in zip(pdf["vec_id"], pdf["label"])
+                    ],
+                }
+            )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    return emb.mapInPandas(batches, "asset_id long, payload binary")
+
+
+def parse_wav(payload: bytes):
+    """Parse a canonical mono 16-bit PCM WAV: (sample_rate, samples).
+    Validates the RIFF/WAVE magic and the fmt fields it relies on —
+    a malformed payload raises instead of yielding garbage features."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_size, audio_fmt, n_ch, sr = struct.unpack_from("<IHHI", payload, 16)
+    bits = struct.unpack_from("<H", payload, 34)[0]
+    if (fmt_size, audio_fmt, n_ch, bits) != (16, 1, 1, 16):
+        raise ValueError("only canonical mono 16-bit PCM supported")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (data_len,) = struct.unpack_from("<I", payload, 40)
+    samples = np.frombuffer(payload, dtype="<i2", count=data_len // 2, offset=44)
+    return sr, samples
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """Duration / RMS / peak per audio asset via ``mapInPandas``.
+
+    The sum of squares is accumulated in EXACT int64 (max |sample| =
+    30000 → < 2^53 even at billions of samples per asset), so
+    ``rms = round(sqrt(ss / n), 4)`` is bit-identical to the SQL
+    oracle's integer aggregate — float summation order never enters.
+    Arrow batch sizing notes are the same as images: payloads dominate
+    row size, bound batches with arrow.maxRecordsPerBatch and keep the
+    payload column pruned out of metadata-only consumers."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "asset_id": [], "sample_rate": [], "n_samples": [],
+                "duration_s": [], "rms": [], "peak": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sr, s = parse_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                n = len(s)
+                ss = int(np.dot(s64, s64))
+                out["asset_id"].append(int(aid))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_s"].append(round(n / sr, 4))
+                out["rms"].append(round(math.sqrt(ss / n), 4) if n else 0.0)
+                out["peak"].append(int(np.max(np.abs(s64))) if n else 0)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

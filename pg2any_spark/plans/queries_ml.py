@@ -231,6 +231,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(corpus, "id", "text", num_hashes=12, bands=4)
 
 
+#: Footer line appended (as its own pseudo-line) to every even-id
+#: document in the line-dedup query — the C4 "same line on every page
+#: of a crawl" pathology.
+_FOOTER_LINE = (
+    "copyright this site all rights reserved terms privacy cookies contact"
+)
+
+
+@query(
+    "line_dedup_c4",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    chunk AS (
+        SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+               array_to_string(t[(r.i * 10 + 1):(r.i * 10 + 10)], ' ') AS line
+        FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS r(i)
+    ),
+    lines AS (
+        SELECT * FROM chunk
+        UNION ALL
+        SELECT doc_id, 1000000 AS pos, '{_FOOTER_LINE}' AS line
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    own AS (
+        SELECT md5(line) AS fp, MIN(doc_id) AS owner FROM lines GROUP BY 1
+    ),
+    k AS (
+        SELECT l.doc_id, l.pos, l.line,
+               (l.doc_id = o.owner) AS kept
+        FROM lines l JOIN own o ON md5(l.line) = o.fp
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           SUM(CAST(kept AS INT)) AS n_kept,
+           ROUND(SUM(CAST(kept AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS kept_frac,
+           CASE WHEN SUM(CAST(kept AS INT)) > 0
+                THEN md5(string_agg(line, ' | ' ORDER BY pos)
+                         FILTER (WHERE kept))
+                END AS kept_digest
+    FROM k GROUP BY doc_id
+    """,
+)
+def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup: documents chunk into
+    deterministic 10-token pseudo-lines, a boilerplate footer line is
+    planted on every even-id document, and each distinct line survives
+    only in its minimum-id document. Per doc: line counts, retained
+    fraction, and an md5 digest of the rebuilt (kept, position-ordered)
+    text — the operator a crawl-cleaning pipeline runs before any
+    document-level dedup. Owner resolution shuffles one row per
+    distinct line (map-side-combined min); the verdict join fans out
+    linearly in line count, never quadratically (see
+    operators.dedup.line_dedup)."""
+    docs = load_table(spark, "documents", sf_dir)
+    lines = D.doc_line_table(docs, "doc_id").unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.lit(1000000).alias("pos"),
+            F.lit(_FOOTER_LINE).alias("line"),
+        )
+    )
+    flagged = D.line_dedup(lines, "doc_id")
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "line")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("kept").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("kept_frac"),
+        F.when(
+            F.sum(F.col("kept").cast("int")) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(kept_sorted, lambda s: s["line"]), " | "
+                )
+            ),
+        ).alias("kept_digest"),
+    )
+
+
 #: Synthetic boilerplate planted into the hot-band-key query: 30 ids
 #: carrying the identical template (a licence-header stand-in) — one
 #: LSH bucket per band with 30 members, the quadratic-pair-output
@@ -995,6 +1080,44 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.length("payload").cast("int").alias("n_bytes"),
         F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+@query(
+    "media_audio_features",
+    oracle="""
+    WITH p AS (
+        SELECT vec_id AS asset_id,
+               4000 + (vec_id % 5) * 2000 AS n,
+               100 + (label % 8) * 50 AS f
+        FROM embeddings
+    ),
+    s AS (
+        SELECT asset_id, n,
+               ((r.i * f) % 8000) * 60000 // 8000 - 30000 AS x
+        FROM p, UNNEST(range(n)) AS r(i)
+    )
+    SELECT asset_id,
+           8000 AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           ROUND(n / 8000.0, 4) AS duration_s,
+           ROUND(sqrt(CAST(SUM(x * x) AS DOUBLE) / n), 4) AS rms,
+           CAST(MAX(ABS(x)) AS INT) AS peak
+    FROM s GROUP BY asset_id, n
+    """,
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing end-to-end: synthesize one mono 16-bit
+    WAV per embeddings row (real RIFF container, integer-exact
+    sawtooth waveform), then parse the bytes back and extract
+    duration / RMS / peak — both legs Arrow-batched ``mapInPandas``,
+    no row-Python. The oracle recomputes every sample closed-form in
+    SQL; RMS accumulates in exact int64 on both sides, so even the
+    float features are bit-deterministic across engines (no summation
+    -order hazard — see operators.multimodal.extract_audio_features).
+    """
+    return M.extract_audio_features(M.synth_audio(spark, sf_dir)).select(
+        "asset_id", "sample_rate", "n_samples", "duration_s", "rms", "peak"
     )
 
 

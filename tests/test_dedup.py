@@ -231,3 +231,46 @@ class TestHotBandKeyCap:
         assert not any(i == 900 for i, _ in got)
         # ...the genuine near-dup probe still matches both neighbors
         assert {(901, 300), (901, 301)} <= got
+
+
+class TestLineDedup:
+    def test_cross_doc_line_kept_only_in_min_id(self, spark):
+        from pyspark.sql import Row
+
+        lines = spark.createDataFrame(
+            [Row(id=1, pos=0, line="unique one"),
+             Row(id=1, pos=1, line="shared footer"),
+             Row(id=2, pos=0, line="unique two"),
+             Row(id=2, pos=1, line="shared footer"),
+             Row(id=3, pos=0, line="shared footer")],
+        )
+        out = {(r["id"], r["pos"]): r["kept"]
+               for r in D.line_dedup(lines, "id").collect()}
+        assert out[(1, 1)] is True   # owner (min id) keeps it
+        assert out[(2, 1)] is False
+        assert out[(3, 0)] is False
+        assert out[(1, 0)] and out[(2, 0)]  # unique lines untouched
+
+    def test_intra_doc_repeat_is_not_cross_doc_dup(self, spark):
+        from pyspark.sql import Row
+
+        lines = spark.createDataFrame(
+            [Row(id=5, pos=0, line="la la la"),
+             Row(id=5, pos=1, line="la la la")],
+        )
+        out = D.line_dedup(lines, "id").collect()
+        # both copies live in the owner doc: line dedup is cross-doc;
+        # intra-doc repetition is the repetition screen's job
+        assert all(r["kept"] for r in out)
+
+    def test_doc_line_table_chunks_in_order(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(id=1, text="a b c d e f g h i j k l m")]
+        )
+        rows = sorted(
+            (r["pos"], r["line"])
+            for r in D.doc_line_table(df, "id", words_per_line=5).collect()
+        )
+        assert rows == [(0, "a b c d e"), (1, "f g h i j"), (2, "k l m")]

@@ -113,3 +113,55 @@ def test_decode_image_real_png():
                       np.zeros((4, 4), dtype=np.uint8)])
     _, _, b2 = M.decode_image(P.encode_png(rgba), fake=False)
     assert b2 == round(100 / 255.0, 6)
+
+
+class TestAudio:
+    def test_wav_roundtrip(self, spark):
+        from pg2any_spark.operators.multimodal import (
+            _synth_pcm,
+            _wav_bytes,
+            parse_wav,
+        )
+
+        pcm = _synth_pcm(3, 2)
+        sr, back = parse_wav(_wav_bytes(pcm))
+        assert sr == 8000
+        assert (back == pcm).all()
+
+    def test_parse_rejects_garbage(self):
+        import pytest as _pt
+
+        from pg2any_spark.operators.multimodal import parse_wav
+
+        with _pt.raises(ValueError):
+            parse_wav(b"NOTAWAVEFILE" + b"\x00" * 64)
+
+    def test_features_known_values(self, spark):
+        import math
+
+        import numpy as np
+
+        from pg2any_spark.operators.multimodal import (
+            _synth_pcm,
+            extract_audio_features,
+            synth_audio,
+        )
+
+        # direct numpy cross-check for one asset
+        docs = synth_audio(spark, "/root/testdata/sf0.001").filter(
+            "asset_id = 0"
+        )
+        row = extract_audio_features(docs).collect()[0]
+        pcm = _synth_pcm(0, self._label(spark, 0)).astype(np.int64)
+        assert row["n_samples"] == len(pcm)
+        assert row["duration_s"] == round(len(pcm) / 8000, 4)
+        assert row["rms"] == round(math.sqrt(int(np.dot(pcm, pcm)) / len(pcm)), 4)
+        assert row["peak"] == int(np.max(np.abs(pcm)))
+
+    @staticmethod
+    def _label(spark, vec_id):
+        return (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .filter(f"vec_id = {vec_id}")
+            .collect()[0]["label"]
+        )
