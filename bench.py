@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_incremental_index",
     "lm_bigram_perplexity",
     "corpus_filter_funnel",
+    # round 5: capped LSH (boilerplate defense), line-level dedup,
+    # audio feature extraction
+    "dedup_lsh_hot_cap",
+    "line_dedup_c4",
+    "media_audio_features",
 ]
 
 
