@@ -693,3 +693,82 @@ def line_dedup(lines: DataFrame, id_col: str, line_col: str = "line") -> DataFra
         .withColumn("kept", F.col(id_col) == F.col("__owner"))
         .drop("__fp", "__owner")
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-span (substring-level) dedup
+# ---------------------------------------------------------------------------
+
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Per-document repeated-SPAN report: maximal runs of token
+    positions whose ``k``-gram occurs more than once in the corpus —
+    the span/substring-level dedup mode (the "exact substring"
+    formulation popularized for LM training data), approximated on
+    k-gram granularity so it stays a groupBy, not a suffix array.
+
+    Returns (id, n_tokens, n_dup_spans, dup_token_frac,
+    longest_span_tokens); docs shorter than ``k`` tokens report zero
+    spans.
+
+    Scale shape: one explode to (id, pos, gram); occurrence counts are
+    a map-side-combinable aggregate shuffling ONE row per distinct
+    gram; marked positions come back via a semi-join on the gram text
+    (skewed boilerplate grams split under AQE — fan-out is linear in
+    occurrence count, the span merge is per-document). Runs merge with
+    the classic gaps-and-islands window (pos - row_number), one
+    per-document sort — no self-join, no quadratic pair output at any
+    duplication density.
+    """
+    from pyspark.sql import Window
+
+    from pg2any_spark.operators.text import token_count, word_ngrams
+
+    base = df.select(
+        F.col(id_col), F.col(text_col), token_count(F.col(text_col)).alias("__n")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    ).filter(F.col("gram") != "")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("__covered"),
+        )
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__covered").alias("__cov"),
+        F.max("__covered").alias("longest_span_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__n").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce(F.col("__cov"), F.lit(0))
+                / F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.coalesce("longest_span_tokens", F.lit(0)).cast("int").alias(
+                "longest_span_tokens"
+            ),
+        )
+    )

@@ -231,6 +231,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(corpus, "id", "text", num_hashes=12, bands=4)
 
 
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH corpus AS ({_MUTATED_CORPUS}),
+    base AS (
+        SELECT id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END
+                   AS n_tokens
+        FROM corpus
+    ),
+    toks AS (SELECT id, {_TOKS} AS t FROM corpus WHERE trim(text) <> ''),
+    g AS (
+        SELECT id, CAST(r.i AS INTEGER) AS pos,
+               array_to_string(t[(r.i + 1):(r.i + 10)], ' ') AS gram
+        FROM toks, UNNEST(range(len(t) - 9)) AS r(i)
+        WHERE len(t) >= 10
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    m AS (SELECT g.id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+        SELECT id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
+        FROM m
+    ),
+    sp AS (
+        SELECT id, grp, MAX(pos) - MIN(pos) + 10 AS covered
+        FROM isl GROUP BY id, grp
+    ),
+    pd AS (
+        SELECT id, COUNT(*) AS n_dup_spans, SUM(covered) AS cov,
+               MAX(covered) AS longest
+        FROM sp GROUP BY id
+    )
+    SELECT b.id, b.n_tokens,
+           COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+           ROUND(COALESCE(pd.cov, 0)
+                 / CAST(GREATEST(b.n_tokens, 1) AS DOUBLE), 6)
+               AS dup_token_frac,
+           CAST(COALESCE(pd.longest, 0) AS INT) AS longest_span_tokens
+    FROM base b LEFT JOIN pd ON pd.id = b.id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span/substring-level dedup report over corpus ∪ near-dup
+    mutations: maximal runs of token positions whose 10-gram occurs
+    more than once in the corpus (the "deduplicating training data"
+    exact-substring mode, approximated on k-gram granularity so it
+    stays a distributed groupBy + gaps-and-islands window instead of
+    a suffix array). Each mutated copy shares its whole suffix with
+    its original, so the report shows near-total span coverage on
+    those pairs plus whatever natural repetition the corpus carries —
+    the signal a curation pipeline uses to excise copied passages
+    rather than drop whole documents (operators.dedup.
+    repeated_span_report)."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    return D.repeated_span_report(corpus, "id", "text", k=10)
+
+
 #: Footer line appended (as its own pseudo-line) to every even-id
 #: document in the line-dedup query — the C4 "same line on every page
 #: of a crawl" pathology.

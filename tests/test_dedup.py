@@ -274,3 +274,31 @@ class TestLineDedup:
             for r in D.doc_line_table(df, "id", words_per_line=5).collect()
         )
         assert rows == [(0, "a b c d e"), (1, "f g h i j"), (2, "k l m")]
+
+
+class TestRepeatedSpans:
+    def test_planted_copy_spans(self, spark):
+        # doc 2 copies an 12-token passage from doc 1; doc 3 is clean
+        passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        corpus = docs(spark, [
+            (1, f"start one two {passage} end tail words here now"),
+            (2, f"{passage} completely different continuation of text"),
+            (3, "totally original content with no repeated passages at all ok"),
+        ])
+        out = {r["id"]: r for r in
+               D.repeated_span_report(corpus, "id", k=10).collect()}
+        # the 12-token passage yields 3 consecutive dup 10-gram
+        # positions -> one merged span of 12 tokens in each doc
+        assert out[1]["n_dup_spans"] == 1
+        assert out[1]["longest_span_tokens"] == 12
+        assert out[2]["n_dup_spans"] == 1
+        assert out[2]["longest_span_tokens"] == 12
+        assert out[3]["n_dup_spans"] == 0
+        assert out[3]["dup_token_frac"] == 0.0
+
+    def test_short_docs_report_zero(self, spark):
+        corpus = docs(spark, [(1, "too short"), (2, "")])
+        out = {r["id"]: r for r in
+               D.repeated_span_report(corpus, "id", k=10).collect()}
+        assert out[1]["n_dup_spans"] == 0 and out[2]["n_dup_spans"] == 0
+        assert out[2]["n_tokens"] == 0
