@@ -38,6 +38,9 @@ DEFAULT = [
     "lm_bigram_perplexity",        # bigram-count tables + scoring join
     "dedup_incremental_index",     # batch-vs-index band probe
     "corpus_filter_funnel",        # composed per-row filters + LM join
+    "line_dedup_c4",               # line explode + owner min + fp join
+    "dedup_repeated_spans",        # gram explode + islands window
+    "media_audio_features",        # Arrow synth + parse (payload-bound)
 ]
 
 

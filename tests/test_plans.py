@@ -172,6 +172,7 @@ ARROW_STAGE_ALLOWED = {
     "embedding_near_dup",
     "ivf_kmeans_refined_centroids",
     "knn_label_embeddings",
+    "media_audio_features",
     "media_frame_samples",
     "media_image_features",
     "media_resize",
