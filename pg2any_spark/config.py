@@ -185,11 +185,15 @@ def _compose_dest_uri(env: Mapping[str, str], dest_type: str) -> str | None:
         return env.get("CDC_DEST_DB", "./cdc_target.db")
     if dest_type not in _DEFAULT_DEST_PORT:  # Kafka has no discrete form
         return None
+    from urllib.parse import quote
+
     host = env.get("CDC_DEST_HOST", "localhost")
     port = env.get("CDC_DEST_PORT", _DEFAULT_DEST_PORT[dest_type])
-    db = env.get("CDC_DEST_DB", "cdc_target")
-    user = env.get("CDC_DEST_USER", "cdc_user")
-    password = env.get("CDC_DEST_PASSWORD", "cdc_password")
+    db = quote(env.get("CDC_DEST_DB", "cdc_target"), safe="")
+    # credentials may carry URI metacharacters (@ : /) — percent-encode
+    # so the composed authority parses at the right '@'
+    user = quote(env.get("CDC_DEST_USER", "cdc_user"), safe="")
+    password = quote(env.get("CDC_DEST_PASSWORD", "cdc_password"), safe="")
     scheme = dest_type.lower()
     return f"{scheme}://{user}:{password}@{host}:{port}/{db}"
 

@@ -721,9 +721,12 @@ def repeated_span_report(
     gram; marked positions come back via a semi-join on the gram text
     (skewed boilerplate grams split under AQE — fan-out is linear in
     occurrence count, the span merge is per-document). Runs merge with
-    the classic gaps-and-islands window (pos - row_number), one
-    per-document sort — no self-join, no quadratic pair output at any
-    duplication density.
+    a gaps-and-islands pass (lag + running sum over one per-document
+    sort) — no self-join, no quadratic pair output at any duplication
+    density. Two marked positions whose k-token windows overlap or
+    touch (gap <= k) fold into ONE span, so covered-token counts are
+    a true UNION — ``dup_token_frac`` can never exceed 1.0 (a plain
+    unit-gap island rule double-counts overlapping windows).
     """
     from pyspark.sql import Window
 
@@ -745,7 +748,18 @@ def repeated_span_report(
     marked = grams.join(dup, "gram", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
-        marked.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        marked.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
         .groupBy(id_col, "__isl")
         .agg(
             (F.max("pos") - F.min("pos") + F.lit(k)).alias("__covered"),

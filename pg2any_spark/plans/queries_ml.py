@@ -250,10 +250,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
     m AS (SELECT g.id, g.pos FROM g JOIN dup USING (gram)),
+    flg AS (
+        SELECT id, pos,
+               CASE WHEN pos - LAG(pos)
+                        OVER (PARTITION BY id ORDER BY pos) > 10
+                    THEN 1 ELSE 0 END AS new_span
+        FROM m
+    ),
     isl AS (
         SELECT id, pos,
-               pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
-        FROM m
+               SUM(new_span) OVER (PARTITION BY id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flg
     ),
     sp AS (
         SELECT id, grp, MAX(pos) - MIN(pos) + 10 AS covered
@@ -392,7 +400,7 @@ _HOT_KEY_CAP = 10
     WITH corpus AS (
         SELECT doc_id AS id, text FROM documents
         UNION ALL
-        SELECT 900000 + CAST(r.i AS BIGINT), '{_BOILERPLATE_TEXT}'
+        SELECT 1000000000000 + CAST(r.i AS BIGINT), '{_BOILERPLATE_TEXT}'
         FROM range({_BOILERPLATE_COPIES}) r(i)
     ),
     sh AS (
@@ -461,7 +469,7 @@ def dedup_lsh_hot_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (
         spark.range(_BOILERPLATE_COPIES)
         .select(
-            (F.col("id") + 900000).alias("id"),
+            (F.col("id") + F.lit(1_000_000_000_000)).alias("id"),
             F.lit(_BOILERPLATE_TEXT).alias("text"),
         )
     )

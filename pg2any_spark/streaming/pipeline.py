@@ -915,6 +915,27 @@ def _ingest_partition_cols(df: DataFrame) -> list[str]:
     ]
 
 
+def band_pfx_expr(band_key_col: str = "band_key"):
+    """The lexical indexes' probe-prune key: first 2 hex chars of the
+    band key, forced non-numeric with a ``p`` prefix so partition-type
+    inference can never coerce it (``"07"`` → 7 would break isin
+    pruning). ONE definition shared by writer, probe, and legacy
+    derivation."""
+    return F.concat(F.lit("p"), F.substring(band_key_col, 1, 2))
+
+
+def _tree_has_sub_level(path: str) -> bool:
+    """True when an existing index tree carries the second partition
+    level (``ingest_batch=N/<col>=v/``). Mixing layouts in one tree
+    breaks Spark partition discovery, so writers and compaction match
+    whatever layout the tree already has."""
+    for d in sorted(os.listdir(path)):
+        if d.startswith(INGEST_BATCH_COL + "="):
+            full = os.path.join(path, d)
+            return any("=" in e for e in os.listdir(full))
+    return False
+
+
 def pruned_index_read(
     spark: SparkSession,
     index_path: str,
@@ -928,8 +949,21 @@ def pruned_index_read(
     conjuncts hit PARTITION columns, so the parquet source prunes
     whole directories — probe I/O is proportional to the batch's key
     footprint, not the accumulated index
-    (tests/test_streaming.py audits the file set actually read)."""
-    return spark.read.parquet(index_path).filter(
+    (tests/test_streaming.py audits the file set actually read).
+
+    Backward compatible with legacy trees (written before the
+    sub-partition layout, flat ``ingest_batch=N``): if the prune
+    column is absent it is DERIVED for ``band_pfx`` (row-level filter
+    — correct, no directory pruning) and the scan stays unpruned for
+    other columns; ``compact_ingest_index`` migrates the tree to the
+    pruned layout on the next maintenance window."""
+    df = spark.read.parquet(index_path)
+    if prune_col not in df.columns:
+        if prune_col == "band_pfx" and "band_key" in df.columns:
+            df = df.withColumn(prune_col, band_pfx_expr())
+        else:
+            return df.filter(F.col(INGEST_BATCH_COL) < batch_id)
+    return df.filter(
         (F.col(INGEST_BATCH_COL) < batch_id)
         & F.col(prune_col).isin(prune_values)
     )
@@ -941,12 +975,32 @@ def _overwrite_ingest_partition(df: DataFrame, path: str, batch_id: int) -> None
     streaming dedup indexes (deterministic rows + own-partition-only
     writes ⇒ replays rewrite identical data). If the rows carry a
     probe-prune column (``band_pfx``/``bucket``) it becomes a second
-    partition level, so probes can skip whole directories."""
+    partition level, so probes can skip whole directories — UNLESS the
+    target tree already exists with the flat legacy layout, in which
+    case the sub column is dropped to keep the tree uniform (Spark
+    partition discovery rejects mixed depths); compaction migrates
+    legacy trees wholesale."""
     df = df.withColumn(INGEST_BATCH_COL, F.lit(batch_id))
+    part_cols = _ingest_partition_cols(df)
+    if (
+        len(part_cols) > 1
+        and os.path.exists(path)
+        and not _tree_has_sub_level(path)
+        and any(
+            d.startswith(INGEST_BATCH_COL + "=") for d in os.listdir(path)
+        )
+    ):
+        # legacy-layout tree: write flat. band_pfx is DERIVABLE so it
+        # must not enter the data files (legacy rows lack it — nulls
+        # would dodge the probe's isin filter); bucket was always a
+        # data column and stays one.
+        if "band_pfx" in df.columns:
+            df = df.drop("band_pfx")
+        part_cols = [INGEST_BATCH_COL]
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*_ingest_partition_cols(df))
+        .partitionBy(*part_cols)
         .parquet(path)
     )
 
@@ -1004,9 +1058,7 @@ def dedup_index_apply_batch(
         return
     bands_df = (
         lsh_index(batch_df, id_col, text_col, num_hashes, bands, shingle_n)
-        .withColumn(
-            "band_pfx", F.concat(F.lit("p"), F.substring("band_key", 1, 2))
-        )
+        .withColumn("band_pfx", band_pfx_expr())
         .persist()
     )
     try:
@@ -1258,6 +1310,11 @@ def compact_ingest_index(
     """
     _recover_replica(index_path)
     df = spark.read.parquet(index_path)
+    # legacy-tree migration: a pre-layout lexical index has no
+    # band_pfx; deriving it here means the rewritten tree comes out in
+    # the probe-pruned layout — compaction IS the upgrade path
+    if "band_key" in df.columns and "band_pfx" not in df.columns:
+        df = df.withColumn("band_pfx", band_pfx_expr())
     batch_ids = [
         r[0]
         for r in df.select(INGEST_BATCH_COL).distinct().collect()

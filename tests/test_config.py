@@ -206,3 +206,19 @@ class TestDiscreteDestVars:
             C.load_config_from_env({
                 **self.SRC, "CDC_DEST_TYPE": "Kafka", "CDC_DEST_HOST": "broker",
             })
+
+    def test_credentials_percent_encoded(self):
+        cfg = C.load_config_from_env({
+            **self.SRC,
+            "CDC_DEST_HOST": "db",
+            "CDC_DEST_USER": "svc@corp",
+            "CDC_DEST_PASSWORD": "p@ss/w:rd",
+        })
+        uri = cfg.destination_connection_string
+        # exactly one authority separator, at the right place
+        assert uri == "mysql://svc%40corp:p%40ss%2Fw%3Ard@db:3306/cdc_target"
+        from urllib.parse import urlsplit, unquote
+
+        parts = urlsplit(uri)
+        assert parts.hostname == "db" and parts.port == 3306
+        assert unquote(parts.password) == "p@ss/w:rd"

@@ -302,3 +302,20 @@ class TestRepeatedSpans:
                D.repeated_span_report(corpus, "id", k=10).collect()}
         assert out[1]["n_dup_spans"] == 0 and out[2]["n_dup_spans"] == 0
         assert out[2]["n_tokens"] == 0
+
+    def test_overlapping_windows_union_not_double_counted(self, spark):
+        # doc 1: 12 tokens; gram@0 repeats in doc 2, gram@2 repeats in
+        # doc 3, gram@1 is unique. The two marked windows overlap, so
+        # they must merge into ONE span of 12 tokens (frac exactly 1.0)
+        # — a unit-gap island rule would report 20/12.
+        t = [f"w{i}" for i in range(12)]
+        corpus = docs(spark, [
+            (1, " ".join(t)),
+            (2, " ".join(t[0:10])),
+            (3, " ".join(t[2:12])),
+        ])
+        out = {r["id"]: r for r in
+               D.repeated_span_report(corpus, "id", k=10).collect()}
+        assert out[1]["n_dup_spans"] == 1
+        assert out[1]["longest_span_tokens"] == 12
+        assert out[1]["dup_token_frac"] == 1.0

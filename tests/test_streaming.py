@@ -1524,3 +1524,71 @@ class TestProbePruning:
             pruned_index_read(spark, idx, 99, "bucket", sorted(buckets))
         )
         assert len(files) < len(total)
+
+
+class TestLegacyIndexCompat:
+    """Indexes written before the probe-prune layout (flat
+    ingest_batch=N partitions, no band_pfx level) must keep working
+    after upgrade: probes derive/skip the prune column, writers match
+    the existing layout (mixed depths break partition discovery), and
+    compaction migrates the tree wholesale."""
+
+    def _legacy_lexical_index(self, spark, idx, rows, batch_id):
+        from pyspark.sql import Row, functions as F
+
+        from pg2any_spark.operators.dedup import lsh_index
+
+        df = spark.createDataFrame(
+            [Row(id=i, text=t) for i, t in rows], "id long, text string"
+        )
+        bands = lsh_index(df, "id", "text").withColumn(
+            "ingest_batch", F.lit(batch_id)
+        )
+        (bands.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch").parquet(idx))
+
+    def test_probe_and_write_against_legacy_tree(self, spark, tmp_path):
+        import os
+
+        from pg2any_spark.streaming.pipeline import dedup_index_apply_batch
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        dup = "the quick brown fox jumps over the lazy dog"
+        self._legacy_lexical_index(spark, idx, [(1, dup), (2, "other text entirely here")], 0)
+        incoming = spark.createDataFrame([(10, dup)], "id long, text string")
+        dedup_index_apply_batch(spark, incoming, 1, idx, m)
+        got = {(r["incoming_id"], r["corpus_id"])
+               for r in spark.read.parquet(m).collect()}
+        assert (10, 1) in got
+        # the new batch's partition stayed FLAT (no mixed depths)
+        b1 = os.path.join(idx, "ingest_batch=1")
+        assert os.path.isdir(b1)
+        assert not any("=" in e for e in os.listdir(b1))
+        # and the whole tree still reads
+        assert spark.read.parquet(idx).count() > 0
+
+    def test_compaction_migrates_legacy_tree(self, spark, tmp_path):
+        import os
+
+        from pg2any_spark.streaming.pipeline import (
+            compact_ingest_index,
+            dedup_index_apply_batch,
+        )
+
+        idx = str(tmp_path / "index")
+        m = str(tmp_path / "matches")
+        dup = "the quick brown fox jumps over the lazy dog"
+        self._legacy_lexical_index(
+            spark, idx, [(1, dup), (2, "another unrelated document")], 0
+        )
+        compact_ingest_index(spark, idx, committed_high_water=0)
+        base = os.path.join(idx, "ingest_batch=-1")
+        assert any(e.startswith("band_pfx=p") for e in os.listdir(base))
+        # post-migration probe matches pre-migration content, pruned
+        incoming = spark.createDataFrame([(10, dup)], "id long, text string")
+        dedup_index_apply_batch(spark, incoming, 1, idx, m)
+        got = {(r["incoming_id"], r["corpus_id"])
+               for r in spark.read.parquet(m).collect()}
+        assert (10, 1) in got
