@@ -316,3 +316,45 @@ def test_aqe_skew_join_split_fires(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_on_big_fact_join(spark, sf_dir):
+    """100 TB posture pin: with a selective dimension filter and a
+    fact-side scan past spark.sql.optimizer.runtime.bloomFilter.
+    applicationSideScanSizeThreshold (10GB default — i.e. exactly the
+    big-cluster regime; simulated here by lowering the threshold), the
+    optimizer injects a bloom_filter_agg semi-filter on the fact scan
+    side of the shuffle join — rows that cannot match are dropped
+    before the exchange. Session defaults leave the feature ON, so a
+    real 100 TB fact table gets this with no code change."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
