@@ -86,6 +86,42 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_pgoutput",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_apply_pgoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer CDC scenario through the WIRE: events render to
+    wire-exact pgoutput frames (Begin/Relation/Insert/Update/Delete/
+    Commit, big-endian per PostgreSQL protocol §55.5), shard into
+    self-contained WAL segments, decode back per segment (Arrow
+    applyInPandas carrying the Relation registry + transaction
+    buffers, events released on Commit with the commit timestamp),
+    and apply. Same oracle as cdc_apply_customer — the wire round
+    trip must be invisible in the replica. The reference consumes
+    this protocol via its pg_walstream crate (client.rs:10); here the
+    codec is in-engine (sources/pgoutput.py) so the ingest path is
+    testable without a live server."""
+    from pg2any_spark.sources.pgoutput import (
+        decode_wal_segments,
+        synth_customer_wal_frames,
+    )
+
+    frames = synth_customer_wal_frames(spark, sf_dir)
+    events = decode_wal_segments(frames)
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
+
+
+@query(
     "cdc_apply_multi_table",
     oracle="""
     SELECT 'customer' AS table_name, COUNT(*) AS n_rows,

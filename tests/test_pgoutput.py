@@ -1,0 +1,155 @@
+"""pgoutput wire codec: golden bytes, transaction semantics, v2
+streamed transactions, and the Spark segment-decode path."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pg2any_spark.sources import pgoutput as P
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def rel_frame(identity="default", key=("id",)):
+    return P.encode_relation(
+        7,
+        "public",
+        "t1",
+        [(P.COL_KEY_FLAG if c in key else 0, c, 25, -1)
+         for c in ("id", "val")],
+        identity,
+    )
+
+
+class TestGoldenBytes:
+    def test_begin_layout(self):
+        b = P.encode_begin(0x0102, TS, 42)
+        assert b[0:1] == b"B"
+        assert b[1:9] == (0x0102).to_bytes(8, "big")
+        assert int.from_bytes(b[9:17], "big", signed=True) == P.ts_to_pg_us(TS)
+        assert b[17:21] == (42).to_bytes(4, "big")
+        assert len(b) == 21
+
+    def test_tuple_layout(self):
+        t = P.encode_tuple(["ab", None])
+        # ncols=2, 't' + len 2 + 'ab', 'n'
+        assert t == b"\x00\x02t\x00\x00\x00\x02abn"
+
+    def test_relation_roundtrip_key_flags(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        rel = dec.relations[7]
+        assert rel.columns == ["id", "val"]
+        assert rel.key_columns == ["id"]
+        assert rel.identity == "default"
+
+
+class TestTransactionSemantics:
+    def _decode(self, frames):
+        dec = P.PgOutputDecoder()
+        out = []
+        for lsn, f in frames:
+            out.extend(dec.feed(f, lsn))
+        return out
+
+    def test_events_release_on_commit_with_commit_ts(self):
+        rows = self._decode([
+            (0, rel_frame()),
+            (10, P.encode_begin(12, TS, 99)),
+            (11, P.encode_insert(7, ["1", "a"])),
+            (12, P.encode_commit(12, 12, TS)),
+        ])
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["op"] == "c" and r["txid"] == 99 and r["lsn"] == 11
+        assert r["after"] == {"id": "1", "val": "a"} and r["before"] is None
+        assert r["commit_ts"] == TS
+        assert r["key_columns"] == ["id"]
+
+    def test_nothing_emitted_before_commit(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin(5, TS, 1), 1)
+        assert dec.feed(P.encode_insert(7, ["1", "x"]), 2) == []
+
+    def test_update_delete_truncate_shapes(self):
+        rows = self._decode([
+            (0, rel_frame()),
+            (1, P.encode_begin(9, TS, 5)),
+            (2, P.encode_update(7, ["1", "b"], ["1", None], "K")),
+            (3, P.encode_delete(7, ["2", None], "K")),
+            (4, P.encode_truncate([7])),
+            (5, P.encode_commit(9, 9, TS)),
+        ])
+        ops = [r["op"] for r in rows]
+        assert ops == ["u", "d", "t"]
+        assert rows[0]["before"] == {"id": "1", "val": None}
+        assert rows[0]["after"] == {"id": "1", "val": "b"}
+        assert rows[1]["before"] == {"id": "2", "val": None}
+        assert rows[2]["before"] is None and rows[2]["after"] is None
+
+    def test_unknown_relation_raises(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(P.encode_begin(1, TS, 1), 0)
+        with pytest.raises(ValueError, match="unknown relation"):
+            dec.feed(P.encode_insert(99, ["1", "a"]), 1)
+
+    def test_unknown_message_type_raises(self):
+        with pytest.raises(ValueError, match="unknown pgoutput"):
+            P.PgOutputDecoder().feed(b"Zjunk", 0)
+
+
+class TestProtocolV2Streaming:
+    def test_streamed_tx_commits_and_aborts(self):
+        dec = P.PgOutputDecoder(protocol_version=2)
+        dec.feed(rel_frame(), 0)
+        # streamed xid=50 commits; streamed xid=60 aborts
+        dec.feed(P.encode_stream_start(50, True), 1)
+        assert dec.feed(P.encode_insert(7, ["1", "a"], stream_xid=50), 2) == []
+        dec.feed(P.encode_stream_stop(), 3)
+        dec.feed(P.encode_stream_start(60, True), 4)
+        dec.feed(P.encode_insert(7, ["2", "b"], stream_xid=60), 5)
+        dec.feed(P.encode_stream_stop(), 6)
+        assert dec.feed(P.encode_stream_abort(60, 60), 7) == []
+        rows = dec.feed(P.encode_stream_commit(50, 8, 8, TS), 8)
+        assert [(r["txid"], r["after"]["id"]) for r in rows] == [(50, "1")]
+        assert 60 not in dec.tx  # aborted buffer discarded
+
+
+class TestSparkDecode:
+    def test_segment_decode_matches_direct_apply(self, spark, sf_dir):
+        """Wire round trip: synth events → frames → decode → apply
+        must equal the non-wire apply (same final replica)."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.apply import apply_changes
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.fixtures import load_table
+
+        cust = load_table(spark, "customer", sf_dir)
+        direct = apply_changes(
+            synth_customer_events(spark, sf_dir), cust.schema,
+            ["c_custkey"], table="customer", scan_for_truncate=False,
+        )
+        via_wire = apply_changes(
+            P.decode_wal_segments(
+                P.synth_customer_wal_frames(spark, sf_dir)
+            ),
+            cust.schema, ["c_custkey"], table="customer",
+            scan_for_truncate=False,
+        )
+        assert via_wire.exceptAll(direct).isEmpty()
+        assert direct.exceptAll(via_wire).isEmpty()
+
+    def test_decoded_envelope_fields(self, spark, sf_dir):
+        events = P.decode_wal_segments(
+            P.synth_customer_wal_frames(spark, sf_dir)
+        )
+        row = events.filter("op = 'u'").limit(1).collect()[0]
+        assert row["table"] == "customer" and row["schema"] == "public"
+        assert row["replica_identity"] == "default"
+        assert row["key_columns"] == ["c_custkey"]
+        assert row["txid"] == 2000
+        assert row["before"]["c_custkey"] is not None

@@ -167,6 +167,7 @@ def test_kmeans_refine_single_aggregate_no_join(plans):
 #: NOT listed here must stay entirely JVM-side.
 ARROW_STAGE_ALLOWED = {
     "ann_cosine_topk_bruteforce",
+    "cdc_apply_pgoutput",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "embedding_near_dup",
