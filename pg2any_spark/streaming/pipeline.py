@@ -360,6 +360,52 @@ def start_cdc_apply(
     return writer.start()
 
 
+def start_pgoutput_apply(
+    spark: SparkSession,
+    frames_dir: str,
+    target_path: str,
+    schema: StructType,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    table: str | None = None,
+    available_now: bool = True,
+    protocol_version: int = 1,
+) -> StreamingQuery:
+    """Stream pgoutput WIRE FRAMES straight into a replica: readStream
+    over ``(segment_id, seq, wal_lsn, frame)`` parquet → per-batch
+    segment decode (``sources.pgoutput.decode_wal_segments``) → the
+    ordinary max-LSN apply. The full ingest path of the reference —
+    wire protocol to destination table — as one checkpointed stream.
+
+    Contract: a WAL segment must arrive WHOLE within one micro-batch
+    (land one file per segment and it holds for any trigger), because
+    decoder state — the Relation registry and open-transaction
+    buffers — lives only for the batch; this is the same
+    segment-self-containment the batch decoder documents, now doing
+    double duty as the unit of checkpoint recovery: a replayed batch
+    re-decodes the same frames to the same events and the max-LSN
+    apply makes the rewrite a no-op."""
+    from pg2any_spark.sources.pgoutput import (
+        WAL_FRAME_SCHEMA,
+        decode_wal_segments,
+    )
+
+    frames = spark.readStream.schema(WAL_FRAME_SCHEMA).parquet(frames_dir)
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        events = decode_wal_segments(batch_df, protocol_version)
+        apply_batch_to_parquet(
+            spark, events, target_path, schema, key_cols, table
+        )
+
+    writer = frames.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _start_multi_table(
     events: DataFrame,
     tables: dict[str, tuple[str, StructType, list[str]]],

@@ -153,3 +153,37 @@ class TestSparkDecode:
         assert row["key_columns"] == ["c_custkey"]
         assert row["txid"] == 2000
         assert row["before"]["c_custkey"] is not None
+
+
+class TestStreamingWireApply:
+    def test_frames_stream_to_replica(self, spark, tmp_path):
+        """Wire → streaming decode → replica end-to-end: frames land
+        one file per segment, the checkpointed stream drains, and the
+        replica equals the direct (non-wire, non-streaming) apply."""
+        from pg2any_spark.operators.apply import apply_changes
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.fixtures import load_table
+        from pg2any_spark.streaming.pipeline import start_pgoutput_apply
+
+        sf_dir = "/root/testdata/sf0.001"
+        frames_dir = str(tmp_path / "frames")
+        target = str(tmp_path / "replica")
+        ckpt = str(tmp_path / "ckpt")
+        # one file per segment: repartition by segment_id before write
+        frames = P.synth_customer_wal_frames(spark, sf_dir, n_segments=4)
+        frames.repartition(4, "segment_id").write.parquet(frames_dir)
+
+        cust = load_table(spark, "customer", sf_dir)
+        q = start_pgoutput_apply(
+            spark, frames_dir, target, cust.schema, ["c_custkey"],
+            ckpt, table="customer",
+        )
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(target)
+        want = apply_changes(
+            synth_customer_events(spark, sf_dir), cust.schema,
+            ["c_custkey"], table="customer", scan_for_truncate=False,
+        )
+        assert got.exceptAll(want).isEmpty()
+        assert want.exceptAll(got).isEmpty()
