@@ -371,6 +371,40 @@ def cdc_apply_orders_full_identity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "cdc_apply_pgoutput_streamed",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 500
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def cdc_apply_pgoutput_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-v2 streamed transactions ON THE WIRE: interleaved
+    Stream Start/Stop chunks for three xids — a committed chunked
+    insert tx, an ABORTED blanket-update tx (Stream Abort must leave
+    no trace), a committed +500 update tx — encoded as pgoutput
+    frames, segment-decoded (the decoder reassembles per-xid buffers
+    across chunks and discards the abort), and applied. Same final
+    state as the envelope-level `cdc_apply_streaming_tx`, proving the
+    v2 wire path and the reassembly operator agree."""
+    from pg2any_spark.sources.pgoutput import (
+        decode_wal_segments,
+        synth_streaming_tx_wal_frames,
+    )
+
+    events = decode_wal_segments(
+        synth_streaming_tx_wal_frames(spark, sf_dir), protocol_version=2
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
+
+
+@query(
     "cdc_apply_streaming_tx",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey,

@@ -525,3 +525,103 @@ def synth_customer_wal_frames(
         WAL_FRAME_SCHEMA,
     )
     return rel_frames.unionByName(data_frames)
+
+
+def synth_streaming_tx_wal_frames(
+    spark, sf_dir: str, n_segments: int = 4
+) -> DataFrame:
+    """Protocol-v2 wire stream with INTERLEAVED streamed transactions
+    (the ``cdc_apply_streaming_tx`` scenario, on the wire): per
+    segment — tx 100 streams its first insert chunk (odd custkeys),
+    tx 200 streams a blanket +9999 update of even keys, tx 100 streams
+    its second chunk (even keys), tx 200 ABORTS (must leave no trace),
+    tx 300 streams +500 updates of custkey%10==0, then 100 and 300
+    Stream-Commit. Sequence-number blocks order the chunks inside each
+    segment; update WAL positions sit above insert positions so the
+    max-LSN apply needs no extra ordering column."""
+    import pandas as pd
+    from pyspark.sql import Row, functions as F
+
+    from pg2any_spark.sources.fixtures import load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    cols = cust.columns
+    key = "c_custkey"
+    text = lambda c: F.col(c).cast("string")  # noqa: E731
+    mk_map = lambda acct: F.map_from_arrays(  # noqa: E731
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[acct.cast("string") if c == "c_acctbal" else text(c)
+                  for c in cols]),
+    )
+    base = cust.select(
+        F.col(key).alias("k"),
+        mk_map(F.col("c_acctbal")).alias("m_ins"),
+        mk_map(F.col("c_acctbal") + 9999.0).alias("m_abort"),
+        mk_map(F.col("c_acctbal") + 500.0).alias("m_commit"),
+    )
+    ts = datetime.datetime(2026, 1, 1)
+    B = 1_000_000_000
+    UPDATE_BASE = 10_000_000
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+
+            def emit(k, seq, lsn, frame):
+                rows.append((int(k) % n_segments, seq, lsn, frame))
+
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                ins = [r.m_ins.get(c) for c in cols]
+                old = [r.m_ins.get(c) if c == key else None for c in cols]
+                # data seq = block + k + 1: strictly after the block's
+                # Stream Start (at block+0) even for custkey 0
+                chunk = 1 * B if k % 2 == 1 else 3 * B
+                emit(k, chunk + k + 1, k,
+                     encode_insert(_CUSTOMER_REL_ID, ins, stream_xid=100))
+                if k % 2 == 0:
+                    emit(k, 2 * B + k + 1, k + UPDATE_BASE,
+                         encode_update(
+                             _CUSTOMER_REL_ID,
+                             [r.m_abort.get(c) for c in cols],
+                             old_values=old, old_kind="K", stream_xid=200,
+                         ))
+                if k % 10 == 0:
+                    emit(k, 5 * B + k + 1, k + UPDATE_BASE,
+                         encode_update(
+                             _CUSTOMER_REL_ID,
+                             [r.m_commit.get(c) for c in cols],
+                             old_values=old, old_kind="K", stream_xid=300,
+                         ))
+            yield pd.DataFrame(
+                rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
+            )
+
+    data = base.mapInPandas(gen, WAL_FRAME_SCHEMA)
+    rel = encode_relation(
+        _CUSTOMER_REL_ID, "public", "customer",
+        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
+        "default",
+    )
+    marks = []
+    for s in range(n_segments):
+
+        def m(seq, frame, lsn=0):
+            marks.append(
+                Row(segment_id=s, seq=seq, wal_lsn=lsn, frame=bytearray(frame))
+            )
+
+        m(0, rel)
+        m(1 * B, encode_stream_start(100, True))
+        m(1 * B + 900_000_000, encode_stream_stop())
+        m(2 * B, encode_stream_start(200, True))
+        m(2 * B + 900_000_000, encode_stream_stop())
+        m(3 * B, encode_stream_start(100, False))
+        m(3 * B + 900_000_000, encode_stream_stop())
+        m(4 * B, encode_stream_abort(200, 200))
+        m(5 * B, encode_stream_start(300, True))
+        m(5 * B + 900_000_000, encode_stream_stop())
+        m(6 * B, encode_stream_commit(100, 50_000_000, 50_000_000, ts))
+        m(7 * B, encode_stream_commit(300, 60_000_000, 60_000_000, ts))
+    mark_df = spark.createDataFrame(marks, WAL_FRAME_SCHEMA)
+    return mark_df.unionByName(data)

@@ -187,3 +187,40 @@ class TestStreamingWireApply:
         )
         assert got.exceptAll(want).isEmpty()
         assert want.exceptAll(got).isEmpty()
+
+
+class TestStreamedTxWire:
+    def test_wire_equals_envelope_reassembly(self, spark):
+        """The v2 wire path and the envelope-level reassembly operator
+        must produce the same final replica for the interleaved
+        3-transaction scenario (abort leaves no trace)."""
+        from pg2any_spark.operators.apply import apply_changes
+        from pg2any_spark.sources.cdc_gen import synth_streaming_tx_events
+        from pg2any_spark.sources.fixtures import load_table
+        from pg2any_spark.streaming.reassembly import reassemble_committed
+
+        sf_dir = "/root/testdata/sf0.001"
+        cust = load_table(spark, "customer", sf_dir)
+        envelope = apply_changes(
+            reassemble_committed(synth_streaming_tx_events(spark, sf_dir)),
+            cust.schema, ["c_custkey"], table="customer",
+            order_cols=["commit_lsn", "lsn"], scan_for_truncate=False,
+        )
+        wire = apply_changes(
+            P.decode_wal_segments(
+                P.synth_streaming_tx_wal_frames(spark, sf_dir),
+                protocol_version=2,
+            ),
+            cust.schema, ["c_custkey"], table="customer",
+            scan_for_truncate=False,
+        )
+        assert wire.exceptAll(envelope).isEmpty()
+        assert envelope.exceptAll(wire).isEmpty()
+
+    def test_aborted_update_leaves_no_trace(self, spark):
+        events = P.decode_wal_segments(
+            P.synth_streaming_tx_wal_frames(spark, "/root/testdata/sf0.001"),
+            protocol_version=2,
+        )
+        assert events.filter("txid = 200").count() == 0
+        assert events.filter("txid = 100").count() > 0

@@ -168,6 +168,7 @@ def test_kmeans_refine_single_aggregate_no_join(plans):
 ARROW_STAGE_ALLOWED = {
     "ann_cosine_topk_bruteforce",
     "cdc_apply_pgoutput",
+    "cdc_apply_pgoutput_streamed",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "embedding_near_dup",
