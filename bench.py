@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_lsh_hot_cap",
     "line_dedup_c4",
     "media_audio_features",
+    # round 5b: full wire path (pgoutput encode -> segment decode -> apply)
+    "cdc_apply_pgoutput",
 ]
 
 

@@ -224,3 +224,34 @@ class TestStreamedTxWire:
         )
         assert events.filter("txid = 200").count() == 0
         assert events.filter("txid = 100").count() > 0
+
+
+def test_multi_table_segment_decode():
+    """One segment carrying TWO relations: the registry dispatches each
+    data frame to its own table's column layout."""
+    import datetime
+
+    t1 = P.encode_relation(
+        1, "public", "alpha",
+        [(P.COL_KEY_FLAG, "id", 25, -1), (0, "a", 25, -1)], "default",
+    )
+    t2 = P.encode_relation(
+        2, "public", "beta",
+        [(P.COL_KEY_FLAG, "k", 25, -1), (0, "b", 25, -1), (0, "c", 25, -1)],
+        "default",
+    )
+    ts = datetime.datetime(2026, 1, 1)
+    dec = P.PgOutputDecoder()
+    out = []
+    for lsn, f in [
+        (0, t1), (1, t2),
+        (2, P.encode_begin(9, ts, 7)),
+        (3, P.encode_insert(1, ["1", "x"])),
+        (4, P.encode_insert(2, ["9", "y", "z"])),
+        (5, P.encode_commit(9, 9, ts)),
+    ]:
+        out.extend(dec.feed(f, lsn))
+    by_table = {r["table"]: r for r in out}
+    assert by_table["alpha"]["after"] == {"id": "1", "a": "x"}
+    assert by_table["beta"]["after"] == {"k": "9", "b": "y", "c": "z"}
+    assert by_table["beta"]["key_columns"] == ["k"]
