@@ -232,6 +232,125 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "perplexity_bucket_sampling",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len({_TOKS}) - 1),
+                      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS bg
+        FROM base WHERE len({_TOKS}) >= 2
+    ),
+    bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
+    hist AS (
+        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+        FROM bgc GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest({_TOKS}) AS tok FROM base
+        ) WHERE tok <> ''
+    ),
+    lm AS (
+        SELECT o.doc_id,
+               ROUND(AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 4) AS avg_nll
+        FROM occ o
+        JOIN bgc ON o.bg = bgc.bg
+        JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
+        CROSS JOIN voc
+        GROUP BY o.doc_id
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, lm.avg_nll,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                                  ORDER BY lm.avg_nll, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+    ),
+    bucketed AS (
+        SELECT lang, doc_id, avg_nll,
+               CASE WHEN rn * 3 <= n THEN 'head'
+                    WHEN rn * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS h
+        FROM ranked
+    )
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           SUM(CASE bucket WHEN 'head' THEN 1
+                           WHEN 'middle' THEN CASE WHEN h < 50 THEN 1 ELSE 0 END
+                           ELSE CASE WHEN h < 10 THEN 1 ELSE 0 END END)
+               AS n_kept,
+           ROUND(MIN(avg_nll), 4) AS min_nll,
+           ROUND(MAX(avg_nll), 4) AS max_nll
+    FROM bucketed
+    GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def perplexity_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus curation: per language, rank
+    documents by LM perplexity and cut RANK terciles (head = most
+    fluent third), then hash-sample each bucket at its keep rate
+    (head 1.0 / middle 0.5 / tail 0.1 — the CCNet quality-mix knob).
+    Rank-based terciles are deliberately threshold-literal-free: the
+    cut depends only on the ordering (avg_nll, doc_id — fully
+    deterministic tiebreak), so the flip-margin hazard class the
+    round-4 funnel hit cannot exist here. One window per language
+    over the per-doc LM table; the sampling decision is the same
+    md5-hash filter as operators.sampling (no RNG, re-run stable)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    lm = T.lm_bigram_scores(docs).select("doc_id", "avg_nll")
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(lm, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    bucketed = ranked.select(
+        "lang",
+        "doc_id",
+        "avg_nll",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        h.alias("h"),
+    )
+    keep = (
+        F.when(F.col("bucket") == "head", F.lit(1))
+        .when(F.col("bucket") == "middle", (F.col("h") < 50).cast("int"))
+        .otherwise((F.col("h") < 10).cast("int"))
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_kept"),
+            F.round(F.min("avg_nll"), 4).alias("min_nll"),
+            F.round(F.max("avg_nll"), 4).alias("max_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@query(
     "dedup_repeated_spans",
     oracle=f"""
     WITH corpus AS ({_MUTATED_CORPUS}),
