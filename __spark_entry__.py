@@ -10,10 +10,11 @@ from SURVEY.md §2; the driver cross-checks each against DuckDB.
 Ordering contract: the driver's correctness gate checks the FIRST 50
 entries of ``queries()`` in iteration order. Queries that have never
 earned a driver row are emitted first, then the ones already verified
-in a previous round (CORRECTNESS_r01/r02), so the 50-slot window
+in a previous round (CORRECTNESS_r01–r04), so the 50-slot window
 always covers the largest never-checked surface. New queries added in
 any round are automatically in the priority window (they are not in
-``DRIVER_VERIFIED``).
+``DRIVER_VERIFIED``); round 5 additionally pins the one round-4 red
+(``corpus_filter_funnel``, re-sited threshold) at the front.
 """
 
 from __future__ import annotations
