@@ -87,6 +87,11 @@ DRIVER_VERIFIED = {
 #: dead last regardless of verification status.
 NO_ORACLE = {"approx_distinct_parts", "approx_percentile_order_value"}
 
+#: Queries with a RED driver row in the latest round — emitted before
+#: everything else so the re-check happens even if the never-checked
+#: bucket ever outgrows the 50-slot window.
+RECHECK_FIRST = {"corpus_filter_funnel"}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -95,6 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bucket(n: str) -> int:
+        if n in RECHECK_FIRST:
+            return -1
         if n in NO_ORACLE:
             return 2
         return 1 if n in DRIVER_VERIFIED else 0

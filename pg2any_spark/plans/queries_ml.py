@@ -318,11 +318,7 @@ def perplexity_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
         )
     )
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    h = SA.hash_bucket(F.col("doc_id"), buckets=100)
     bucketed = ranked.select(
         "lang",
         "doc_id",

@@ -60,7 +60,10 @@ def _cstr(s: str) -> bytes:
 
 
 def ts_to_pg_us(ts: datetime.datetime) -> int:
-    return int((ts - PG_EPOCH).total_seconds() * 1_000_000)
+    # exact integer arithmetic: total_seconds() is a float whose ~0.2 µs
+    # representation error at 2026-era magnitudes can truncate 1 µs low
+    td = ts - PG_EPOCH
+    return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
 
 
 def encode_begin(final_lsn: int, commit_ts: datetime.datetime, xid: int) -> bytes:
@@ -216,11 +219,28 @@ def _read_tuple(buf: bytes, off: int) -> tuple[list[str | None], int]:
     for _ in range(n):
         kind = buf[off : off + 1]
         off += 1
-        if kind == b"n" or kind == b"u":  # null / unchanged TOAST
+        if kind == b"n":
             vals.append(None)
+        elif kind == b"u":
+            # unchanged TOAST: the value was NOT sent. Mapping it to
+            # NULL would silently overwrite the replica's stored value
+            # — replica divergence. Supporting it requires merge-with-
+            # previous-row semantics the apply does not (yet) model,
+            # so fail LOUDLY; publishers avoid 'u' with REPLICA
+            # IDENTITY FULL.
+            raise ValueError(
+                "unchanged-TOAST column ('u') not supported: the apply "
+                "would overwrite the stored value with NULL; use "
+                "REPLICA IDENTITY FULL on the publisher"
+            )
         elif kind == b"t":
             (ln,) = struct.unpack_from(">I", buf, off)
             off += 4
+            if off + ln > len(buf):
+                raise ValueError(
+                    f"truncated tuple: column declares {ln} bytes, "
+                    f"{len(buf) - off} remain"
+                )
             vals.append(buf[off : off + ln].decode("utf-8"))
             off += ln
         else:
@@ -246,6 +266,11 @@ class PgOutputDecoder:
         self.tx: dict[int, list[dict]] = {}  # xid -> buffered rows
         self.current_xid: int | None = None
         self.in_stream: int | None = None
+        # streamed data messages carry the SUBtransaction's xid, so a
+        # toplevel's changes can buffer under several xids; Stream
+        # Commit must release them all (arrival order) and Stream
+        # Abort of a subxid must discard only that subxact's buffer
+        self.stream_children: dict[int, list[int]] = {}
 
     # -- helpers ---------------------------------------------------------
 
@@ -265,6 +290,10 @@ class PgOutputDecoder:
         key = xid if xid is not None else self.current_xid
         if key is None:
             raise ValueError("data message outside any transaction")
+        if xid is not None and self.in_stream is not None:
+            kids = self.stream_children.setdefault(self.in_stream, [])
+            if xid not in kids:
+                kids.append(xid)
         self.tx.setdefault(key, []).append(row)
 
     def _data_xid(self, buf: bytes) -> tuple[int | None, int]:
@@ -370,10 +399,26 @@ class PgOutputDecoder:
             return []
         if t == b"c":
             xid, _flags, _clsn, _elsn, ts_us = struct.unpack_from(">IBQQq", frame, 1)
-            return self._release(xid, ts_us)
+            rows = self._release(xid, ts_us)
+            for kid in self.stream_children.pop(xid, []):
+                if kid != xid:
+                    rows.extend(self._release(kid, ts_us, txid=xid))
+            return rows
         if t == b"A":
-            xid, _subxid = struct.unpack_from(">II", frame, 1)
-            self.tx.pop(xid, None)
+            xid, subxid = struct.unpack_from(">II", frame, 1)
+            if subxid == xid:
+                # whole streamed transaction aborts: drop it and every
+                # subtransaction buffered under it
+                for kid in self.stream_children.pop(xid, []):
+                    self.tx.pop(kid, None)
+                self.tx.pop(xid, None)
+            else:
+                # subtransaction abort: only its buffer dies; the
+                # toplevel (and its other subxacts) remain pending
+                self.tx.pop(subxid, None)
+                kids = self.stream_children.get(xid)
+                if kids and subxid in kids:
+                    kids.remove(subxid)
             return []
         raise ValueError(f"unknown pgoutput message type {t!r}")
 
@@ -391,13 +436,15 @@ class PgOutputDecoder:
             "replica_identity": rel.identity,
         }
 
-    def _release(self, xid: int | None, ts_us: int) -> list[dict]:
+    def _release(
+        self, xid: int | None, ts_us: int, txid: int | None = None
+    ) -> list[dict]:
         if xid is None:
             raise ValueError("Commit without Begin")
         rows = self.tx.pop(xid, [])
         ts = PG_EPOCH + datetime.timedelta(microseconds=ts_us)
         for r in rows:
-            r["txid"] = xid
+            r["txid"] = txid if txid is not None else xid
             r["commit_ts"] = ts
         if xid == self.current_xid:
             self.current_xid = None
@@ -456,7 +503,7 @@ def synth_customer_wal_frames(
     Arrow-batched ``mapInPandas``; only the ``n_segments`` Relation
     frames are driver-built."""
     import pandas as pd
-    from pyspark.sql import Row, functions as F
+    from pyspark.sql import Row
 
     from pg2any_spark.sources.cdc_gen import synth_customer_events
     from pg2any_spark.sources.fixtures import load_table

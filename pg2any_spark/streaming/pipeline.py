@@ -393,10 +393,18 @@ def start_pgoutput_apply(
     frames = spark.readStream.schema(WAL_FRAME_SCHEMA).parquet(frames_dir)
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        events = decode_wal_segments(batch_df, protocol_version)
-        apply_batch_to_parquet(
-            spark, events, target_path, schema, key_cols, table
-        )
+        # persist the decoded events: the apply's truncate-barrier scan
+        # plus the apply itself would otherwise run the Python segment
+        # decode twice per micro-batch (apply.py documents the
+        # recompute cost); the decoded envelope is far smaller than the
+        # frames and bounded by the batch
+        events = decode_wal_segments(batch_df, protocol_version).persist()
+        try:
+            apply_batch_to_parquet(
+                spark, events, target_path, schema, key_cols, table
+            )
+        finally:
+            events.unpersist()
 
     writer = frames.writeStream.foreachBatch(apply_fn).option(
         "checkpointLocation", checkpoint_dir

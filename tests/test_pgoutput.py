@@ -255,3 +255,73 @@ def test_multi_table_segment_decode():
     assert by_table["alpha"]["after"] == {"id": "1", "a": "x"}
     assert by_table["beta"]["after"] == {"k": "9", "b": "y", "c": "z"}
     assert by_table["beta"]["key_columns"] == ["k"]
+
+
+class TestDecoderHardening:
+    def test_unchanged_toast_raises_loudly(self):
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin(9, ts, 1), 1)
+        # hand-build an Update whose new tuple carries an 'u' column
+        frame = (b"U" + (7).to_bytes(4, "big") + b"N"
+                 + b"\x00\x02" + b"t\x00\x00\x00\x011" + b"u")
+        with pytest.raises(ValueError, match="unchanged-TOAST"):
+            dec.feed(frame, 2)
+
+    def test_truncated_tuple_raises(self):
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin(9, ts, 1), 1)
+        full = P.encode_insert(7, ["1", "abcdefgh"])
+        with pytest.raises(ValueError, match="truncated tuple"):
+            dec.feed(full[:-3], 2)  # cut inside the final column
+
+    def test_microsecond_timestamp_roundtrip(self):
+        import datetime
+
+        ts = datetime.datetime(2026, 3, 1, 12, 0, 0, 123456)
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin(9, ts, 1), 1)
+        dec.feed(P.encode_insert(7, ["1", "x"]), 2)
+        rows = dec.feed(P.encode_commit(9, 9, ts), 3)
+        assert rows[0]["commit_ts"] == ts
+
+    def test_subtransaction_commit_releases_children(self):
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        dec = P.PgOutputDecoder(protocol_version=2)
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_stream_start(100, True), 1)
+        # toplevel row + two subxact rows (101 commits with parent,
+        # 102 aborts)
+        dec.feed(P.encode_insert(7, ["1", "top"], stream_xid=100), 2)
+        dec.feed(P.encode_insert(7, ["2", "sub-keep"], stream_xid=101), 3)
+        dec.feed(P.encode_insert(7, ["3", "sub-drop"], stream_xid=102), 4)
+        dec.feed(P.encode_stream_stop(), 5)
+        # subtransaction 102 aborts: ONLY its row dies
+        dec.feed(P.encode_stream_abort(100, 102), 6)
+        rows = dec.feed(P.encode_stream_commit(100, 9, 9, ts), 7)
+        got = {r["after"]["id"]: r["txid"] for r in rows}
+        assert got == {"1": 100, "2": 100}  # child reports toplevel txid
+
+    def test_whole_stream_abort_discards_children_too(self):
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        dec = P.PgOutputDecoder(protocol_version=2)
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_stream_start(100, True), 1)
+        dec.feed(P.encode_insert(7, ["1", "a"], stream_xid=100), 2)
+        dec.feed(P.encode_insert(7, ["2", "b"], stream_xid=101), 3)
+        dec.feed(P.encode_stream_stop(), 4)
+        dec.feed(P.encode_stream_abort(100, 100), 5)
+        assert dec.feed(P.encode_stream_commit(100, 9, 9, ts), 6) == []
+        assert 101 not in dec.tx
