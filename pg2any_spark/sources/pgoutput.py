@@ -404,6 +404,15 @@ class PgOutputDecoder:
                 if kid != xid:
                     rows.extend(self._release(kid, ts_us, txid=xid))
             return rows
+        if t in (b"O", b"Y", b"M"):
+            # metadata frames a real server interleaves with data:
+            # Origin (replication origin name), Type (custom type
+            # description), Message (pg_logical_emit_message payload).
+            # None carries row changes — consume and continue, the
+            # behavior downstream CDC consumers (e.g. Debezium's
+            # pgoutput adapter) default to. Raising here would wedge a
+            # stream on frames that are explicitly informational.
+            return []
         if t == b"A":
             xid, subxid = struct.unpack_from(">II", frame, 1)
             if subxid == xid:

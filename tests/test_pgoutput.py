@@ -325,3 +325,22 @@ class TestDecoderHardening:
         dec.feed(P.encode_stream_abort(100, 100), 5)
         assert dec.feed(P.encode_stream_commit(100, 9, 9, ts), 6) == []
         assert 101 not in dec.tx
+
+
+def test_metadata_frames_are_consumed_not_fatal():
+    """Origin / Type / Message frames carry no row changes; a real
+    server interleaves them freely and the decoder must pass over
+    them (raising would wedge the stream)."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    dec = P.PgOutputDecoder()
+    dec.feed(rel_frame(), 0)
+    assert dec.feed(b"O" + (0).to_bytes(8, "big") + b"origin\x00", 1) == []
+    assert dec.feed(b"Y" + (99).to_bytes(4, "big") + b"public\x00t\x00", 2) == []
+    dec.feed(P.encode_begin(9, ts, 1), 3)
+    assert dec.feed(b"M" + b"\x00" + (9).to_bytes(8, "big")
+                    + b"prefix\x00" + (2).to_bytes(4, "big") + b"hi", 4) == []
+    dec.feed(P.encode_insert(7, ["1", "x"]), 5)
+    rows = dec.feed(P.encode_commit(9, 9, ts), 6)
+    assert len(rows) == 1  # the data flow around the metadata is intact
