@@ -344,3 +344,72 @@ def test_metadata_frames_are_consumed_not_fatal():
     dec.feed(P.encode_insert(7, ["1", "x"]), 5)
     rows = dec.feed(P.encode_commit(9, 9, ts), 6)
     assert len(rows) == 1  # the data flow around the metadata is intact
+
+
+def test_wire_stream_restart_applies_new_segments_once(spark, tmp_path):
+    """Checkpointed wire stream restart: a second run with the same
+    checkpoint must apply only newly landed segments (no double-apply
+    of the old ones, no loss of the new one)."""
+    import datetime
+
+    from pg2any_spark.streaming.pipeline import start_pgoutput_apply
+    from pg2any_spark.sources.fixtures import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    frames_dir = str(tmp_path / "frames")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    P.synth_customer_wal_frames(spark, sf_dir, n_segments=4).repartition(
+        4, "segment_id"
+    ).write.parquet(frames_dir)
+
+    cust = load_table(spark, "customer", sf_dir)
+    q = start_pgoutput_apply(
+        spark, frames_dir, target, cust.schema, ["c_custkey"], ckpt,
+        table="customer",
+    )
+    q.awaitTermination(180)
+    before = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in spark.read.parquet(target).collect()
+    }
+    some_key = min(before)
+
+    # while "down": one more segment lands with a single +111 update
+    ts = datetime.datetime(2026, 1, 2)
+    cols = cust.columns
+    row = cust.filter(f"c_custkey = {some_key}").collect()[0]
+    new_vals = [
+        str(row[c]) if c != "c_acctbal" else str(row["c_acctbal"] + 111.0)
+        for c in cols
+    ]
+    old = [str(some_key) if c == "c_custkey" else None for c in cols]
+    lsn = 90_000_000
+    rel = P.encode_relation(
+        1, "public", "customer",
+        [(P.COL_KEY_FLAG if c == "c_custkey" else 0, c, 25, -1) for c in cols],
+        "default",
+    )
+    seg = [
+        (9, 0, 0, bytearray(rel)),
+        (9, 1, lsn, bytearray(P.encode_begin(lsn, ts, 777))),
+        (9, 2, lsn, bytearray(P.encode_update(1, new_vals, old, "K"))),
+        (9, 3, lsn, bytearray(P.encode_commit(lsn, lsn, ts))),
+    ]
+    spark.createDataFrame(seg, P.WAL_FRAME_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(frames_dir)
+
+    q2 = start_pgoutput_apply(
+        spark, frames_dir, target, cust.schema, ["c_custkey"], ckpt,
+        table="customer",
+    )
+    q2.awaitTermination(180)
+    after = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert after[some_key] == before[some_key] + 111.0
+    assert len(after) == len(before)  # nothing double-applied or lost
+    del after[some_key], before[some_key]
+    assert after == before
