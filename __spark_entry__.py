@@ -80,6 +80,11 @@ DRIVER_VERIFIED = {
     "dedup_lexical_semantic_agreement", "dedup_lsh_recall_report",
     "embedding_outliers", "knn_label_embeddings", "lm_bigram_perplexity",
     "pack_sequences_budget", "vocab_growth_curve",
+    # r05 greens (47 hash-matched rows in CORRECTNESS_r05.json; the three
+    # reds — corpus_filter_funnel, perplexity_bucket_sampling,
+    # line_dedup_c4 — stay OUT and are pinned first via RECHECK_FIRST)
+    "cdc_apply_pgoutput", "cdc_apply_pgoutput_streamed",
+    "dedup_repeated_spans", "dedup_lsh_hot_cap", "media_audio_features",
 }
 
 #: Engine-specific sketch queries with no cross-engine oracle — they can
@@ -87,10 +92,16 @@ DRIVER_VERIFIED = {
 #: dead last regardless of verification status.
 NO_ORACLE = {"approx_distinct_parts", "approx_percentile_order_value"}
 
-#: Queries with a RED driver row in the latest round — emitted before
-#: everything else so the re-check happens even if the never-checked
-#: bucket ever outgrows the 50-slot window.
-RECHECK_FIRST = {"corpus_filter_funnel"}
+#: Queries with a RED driver row in the latest round — plus the round-6
+#: single-metric bisection probes that partition those queries' output
+#: surfaces — emitted before everything else so the re-check happens
+#: even if the never-checked bucket ever outgrows the 50-slot window.
+RECHECK_FIRST = {
+    "corpus_filter_funnel", "perplexity_bucket_sampling", "line_dedup_c4",
+    "funnel_probe_quality", "funnel_probe_repetition", "funnel_probe_lang",
+    "funnel_probe_lm", "line_dedup_probe_counts", "line_dedup_probe_digest",
+    "perplexity_probe_nll",
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -65,6 +65,59 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.selectExpr("doc_id AS id", "text").unionByName(mutated)
 
 
+#: Bigram-LM per-doc scoring chain as WITH-clause CTE bodies (compose as
+#: ``WITH {_LM_CTES}, ...``), ending in ``lm(doc_id, avg_nll)``.
+#:
+#: Deliberately BORING portable SQL (round-6 rewrite): the three driver-red
+#: oracles were the only ones using ``list_transform(generate_series(...))``
+#: bigram construction and bare DECIMAL smoothing literals (``c_bg + 0.5``
+#: infects the division with version-dependent DECIMAL arithmetic —
+#: this module's own rule #2). This chain uses only constructs with green
+#: driver rows — lateral ``UNNEST(range(...))`` + single-element list
+#: indexing (dedup_repeated_spans) and scalar ``unnest`` (dedup_minhash_lsh)
+#: — and casts every float operand to DOUBLE explicitly, mirroring the
+#: Spark side's count-weighted mean (operators.text.lm_bigram_scores).
+_LM_CTES = f"""
+    lm_toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    lm_bgp AS (
+        SELECT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] AS w1,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS bg
+        FROM lm_toks, UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    lm_docbg AS (
+        SELECT doc_id, bg, w1, COUNT(*) AS n
+        FROM lm_bgp GROUP BY doc_id, bg, w1
+    ),
+    lm_bgc AS (SELECT bg, SUM(n) AS c_bg FROM lm_docbg GROUP BY bg),
+    lm_hist AS (SELECT w1, SUM(n) AS c_w1 FROM lm_docbg GROUP BY w1),
+    lm_voc AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest({_TOKS}) AS tok FROM documents
+            WHERE trim(text) <> ''
+        ) WHERE tok <> ''
+    ),
+    lm AS (
+        SELECT d.doc_id,
+               ROUND(SUM(CAST(d.n AS DOUBLE) *
+                         (-ln((CAST(c.c_bg AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                              / (CAST(h.c_w1 AS DOUBLE)
+                                 + CAST(0.5 AS DOUBLE)
+                                   * CAST(voc.v AS DOUBLE)))))
+                     / CAST(SUM(d.n) AS DOUBLE), 4) AS avg_nll
+        FROM lm_docbg d
+        JOIN lm_bgc c ON c.bg = d.bg
+        JOIN lm_hist h ON h.w1 = d.w1
+        CROSS JOIN lm_voc voc
+        GROUP BY d.doc_id
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -231,37 +284,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(corpus, "id", "text", num_hashes=12, bands=4)
 
 
-@query(
-    "perplexity_bucket_sampling",
-    oracle=f"""
-    WITH base AS (
-        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
-    ),
-    occ AS (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, len({_TOKS}) - 1),
-                      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS bg
-        FROM base WHERE len({_TOKS}) >= 2
-    ),
-    bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
-    hist AS (
-        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
-        FROM bgc GROUP BY 1
-    ),
-    voc AS (
-        SELECT count(DISTINCT tok) AS v FROM (
-            SELECT unnest({_TOKS}) AS tok FROM base
-        ) WHERE tok <> ''
-    ),
-    lm AS (
-        SELECT o.doc_id,
-               ROUND(AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 4) AS avg_nll
-        FROM occ o
-        JOIN bgc ON o.bg = bgc.bg
-        JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
-        CROSS JOIN voc
-        GROUP BY o.doc_id
-    ),
+#: Rank-tercile CCNet bucketing over the ``lm`` CTE — shared by the main
+#: sampling query and its nll bisection probe.
+_PPLX_BUCKET_CTES = f"""
+    {_LM_CTES},
     ranked AS (
         SELECT d.doc_id, d.lang, lm.avg_nll,
                ROW_NUMBER() OVER (PARTITION BY d.lang
@@ -278,14 +304,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) % 100 AS h
         FROM ranked
     )
+"""
+
+
+@query(
+    "perplexity_bucket_sampling",
+    oracle=f"""
+    WITH {_PPLX_BUCKET_CTES}
     SELECT lang, bucket,
            COUNT(*) AS n_docs,
            SUM(CASE bucket WHEN 'head' THEN 1
                            WHEN 'middle' THEN CASE WHEN h < 50 THEN 1 ELSE 0 END
                            ELSE CASE WHEN h < 10 THEN 1 ELSE 0 END END)
-               AS n_kept,
-           ROUND(MIN(avg_nll), 4) AS min_nll,
-           ROUND(MAX(avg_nll), 4) AS max_nll
+               AS n_kept
     FROM bucketed
     GROUP BY lang, bucket ORDER BY lang, bucket
     """,
@@ -300,7 +331,32 @@ def perplexity_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak), so the flip-margin hazard class the
     round-4 funnel hit cannot exist here. One window per language
     over the per-doc LM table; the sampling decision is the same
-    md5-hash filter as operators.sampling (no RNG, re-run stable)."""
+    md5-hash filter as operators.sampling (no RNG, re-run stable).
+
+    Round 6: output is counts-only — the rounded float min/max nll
+    cells moved to ``perplexity_probe_nll`` so a driver-side float
+    divergence cannot red-flag the sampling decision itself (the
+    round-5 driver row was hash-red with rows/schema green; the two
+    surfaces are now separately attributable)."""
+    keep = (
+        F.when(F.col("bucket") == "head", F.lit(1))
+        .when(F.col("bucket") == "middle", (F.col("h") < 50).cast("int"))
+        .otherwise((F.col("h") < 10).cast("int"))
+    )
+    return (
+        _pplx_bucketed(spark, sf_dir)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_kept"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _pplx_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, avg_nll, bucket, h) rank-tercile bucketing shared
+    by ``perplexity_bucket_sampling`` and its nll probe."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -319,7 +375,7 @@ def perplexity_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = SA.hash_bucket(F.col("doc_id"), buckets=100)
-    bucketed = ranked.select(
+    return ranked.select(
         "lang",
         "doc_id",
         "avg_nll",
@@ -329,16 +385,33 @@ def perplexity_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         h.alias("h"),
     )
-    keep = (
-        F.when(F.col("bucket") == "head", F.lit(1))
-        .when(F.col("bucket") == "middle", (F.col("h") < 50).cast("int"))
-        .otherwise((F.col("h") < 10).cast("int"))
-    )
+
+
+@query(
+    "perplexity_probe_nll",
+    oracle=f"""
+    WITH {_PPLX_BUCKET_CTES}
+    SELECT lang, bucket,
+           ROUND(MIN(avg_nll), 4) AS min_nll,
+           ROUND(MAX(avg_nll), 4) AS max_nll
+    FROM bucketed
+    GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def perplexity_probe_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the rounded float
+    min/max nll cells that used to ride along in
+    ``perplexity_bucket_sampling``. If this row is red while the
+    counts-only main query is green, the driver-side divergence is in
+    the LM float surface (smoothed-quotient arithmetic / AVG
+    summation); if both are green the round-5 red is localized to the
+    retired DuckDB-dialect constructs (the old oracle built bigrams
+    via list_transform(generate_series(...)) with bare DECIMAL
+    smoothing literals — see _LM_CTES)."""
     return (
-        bucketed.groupBy("lang", "bucket")
+        _pplx_bucketed(spark, sf_dir)
+        .groupBy("lang", "bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(keep).alias("n_kept"),
             F.round(F.min("avg_nll"), 4).alias("min_nll"),
             F.round(F.max("avg_nll"), 4).alias("max_nll"),
         )
@@ -419,42 +492,65 @@ _FOOTER_LINE = (
     "copyright this site all rights reserved terms privacy cookies contact"
 )
 
-
-@query(
-    "line_dedup_c4",
-    oracle=f"""
-    WITH toks AS (
+#: C4 pseudo-line table + per-line keep verdicts as WITH-clause CTE
+#: bodies, ending in ``c4_k(doc_id, pos, line, kept)`` — shared by
+#: ``line_dedup_c4`` and its two bisection probes.
+#:
+#: Round-6 portable rewrite: the round-5 red oracle built lines by
+#: out-of-bounds list slicing (``t[a:b]`` with b past the end — exactly
+#: the dialect edge this module's header warns about) and digested them
+#: through ``string_agg(... ORDER BY ...) FILTER``; no green oracle uses
+#: either construct. Lines are now rebuilt by grouping indexed tokens
+#: (lateral UNNEST(range()) + single-element indexing, both
+#: driver-green constructs) and the kept-digest aggregates over a
+#: pre-filtered CTE instead of FILTER.
+_C4_LINE_CTES = f"""
+    c4_toks AS (
         SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
     ),
-    chunk AS (
-        SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
-               array_to_string(t[(r.i * 10 + 1):(r.i * 10 + 10)], ' ') AS line
-        FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS r(i)
+    c4_tokpos AS (
+        SELECT doc_id, CAST(r.i AS INTEGER) AS idx,
+               t[CAST(r.i + 1 AS INTEGER)] AS tok
+        FROM c4_toks, UNNEST(range(len(t))) AS r(i)
     ),
-    lines AS (
-        SELECT * FROM chunk
+    c4_chunk AS (
+        SELECT doc_id, CAST(floor(idx / 10.0) AS INTEGER) AS pos,
+               string_agg(tok, ' ' ORDER BY idx) AS line
+        FROM c4_tokpos GROUP BY doc_id, CAST(floor(idx / 10.0) AS INTEGER)
+    ),
+    c4_lines AS (
+        SELECT doc_id, pos, line FROM c4_chunk
         UNION ALL
         SELECT doc_id, 1000000 AS pos, '{_FOOTER_LINE}' AS line
         FROM documents WHERE doc_id % 2 = 0
     ),
-    own AS (
-        SELECT md5(line) AS fp, MIN(doc_id) AS owner FROM lines GROUP BY 1
+    c4_own AS (
+        SELECT line AS oline, MIN(doc_id) AS owner FROM c4_lines GROUP BY line
     ),
-    k AS (
-        SELECT l.doc_id, l.pos, l.line,
-               (l.doc_id = o.owner) AS kept
-        FROM lines l JOIN own o ON md5(l.line) = o.fp
+    c4_k AS (
+        SELECT l.doc_id, l.pos, l.line, (l.doc_id = o.owner) AS kept
+        FROM c4_lines l JOIN c4_own o ON o.oline = l.line
     )
-    SELECT doc_id,
+"""
+
+
+@query(
+    "line_dedup_c4",
+    oracle=f"""
+    WITH {_C4_LINE_CTES},
+    kept_lines AS (SELECT doc_id, pos, line FROM c4_k WHERE kept),
+    dig AS (
+        SELECT doc_id, md5(string_agg(line, ' | ' ORDER BY pos)) AS kept_digest
+        FROM kept_lines GROUP BY doc_id
+    )
+    SELECT k.doc_id,
            COUNT(*) AS n_lines,
            SUM(CAST(kept AS INT)) AS n_kept,
            ROUND(SUM(CAST(kept AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
                AS kept_frac,
-           CASE WHEN SUM(CAST(kept AS INT)) > 0
-                THEN md5(string_agg(line, ' | ' ORDER BY pos)
-                         FILTER (WHERE kept))
-                END AS kept_digest
-    FROM k GROUP BY doc_id
+           MAX(d.kept_digest) AS kept_digest
+    FROM c4_k k LEFT JOIN dig d ON d.doc_id = k.doc_id
+    GROUP BY k.doc_id
     """,
 )
 def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,15 +564,7 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct line (map-side-combined min); the verdict join fans out
     linearly in line count, never quadratically (see
     operators.dedup.line_dedup)."""
-    docs = load_table(spark, "documents", sf_dir)
-    lines = D.doc_line_table(docs, "doc_id").unionByName(
-        docs.filter(F.col("doc_id") % 2 == 0).select(
-            "doc_id",
-            F.lit(1000000).alias("pos"),
-            F.lit(_FOOTER_LINE).alias("line"),
-        )
-    )
-    flagged = D.line_dedup(lines, "doc_id")
+    flagged = _c4_flagged_lines(spark, sf_dir)
     kept_sorted = F.array_sort(
         F.collect_list(F.when(F.col("kept"), F.struct("pos", "line")))
     )
@@ -493,6 +581,67 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.transform(kept_sorted, lambda s: s["line"]), " | "
                 )
             ),
+        ).alias("kept_digest"),
+    )
+
+
+def _c4_flagged_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, line, kept) verdict table for the C4 line-dedup
+    scenario (pseudo-lines + planted even-id footer), shared by
+    ``line_dedup_c4`` and its bisection probes."""
+    docs = load_table(spark, "documents", sf_dir)
+    lines = D.doc_line_table(docs, "doc_id").unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.lit(1000000).alias("pos"),
+            F.lit(_FOOTER_LINE).alias("line"),
+        )
+    )
+    return D.line_dedup(lines, "doc_id")
+
+
+@query(
+    "line_dedup_probe_counts",
+    oracle=f"""
+    WITH {_C4_LINE_CTES}
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           SUM(CAST(kept AS INT)) AS n_kept
+    FROM c4_k GROUP BY doc_id
+    """,
+)
+def line_dedup_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the integer line/keep
+    counts of ``line_dedup_c4`` — no digest, no rounded fraction. Red
+    here means the driver divergence is in line CONSTRUCTION or
+    ownership (which lines exist / who owns them); green here with a
+    red digest probe pins it to the ordered-aggregation construct."""
+    return _c4_flagged_lines(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+    )
+
+
+@query(
+    "line_dedup_probe_digest",
+    oracle=f"""
+    WITH {_C4_LINE_CTES},
+    kept_lines AS (SELECT doc_id, pos, line FROM c4_k WHERE kept)
+    SELECT doc_id,
+           md5(string_agg(line, ' | ' ORDER BY pos)) AS kept_digest
+    FROM kept_lines GROUP BY doc_id
+    """,
+)
+def line_dedup_probe_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the md5 digest of each
+    document's kept, position-ordered line text (docs with zero kept
+    lines drop out). Red here with green counts isolates the driver
+    divergence to ordered string aggregation over the kept lines."""
+    flagged = _c4_flagged_lines(spark, sf_dir).filter(F.col("kept"))
+    kept_sorted = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return flagged.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(F.transform(kept_sorted, lambda s: s["line"]), " | ")
         ).alias("kept_digest"),
     )
 
@@ -2518,38 +2667,15 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
     ),
-    occ AS (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, len({_TOKS}) - 1),
-                      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS bg
-        FROM documents WHERE trim(text) <> '' AND len({_TOKS}) >= 2
-    ),
-    bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
-    hist AS (
-        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
-        FROM bgc GROUP BY 1
-    ),
-    voc AS (
-        SELECT count(DISTINCT tok) AS v FROM (
-            SELECT unnest({_TOKS}) AS tok FROM documents
-            WHERE trim(text) <> ''
-        ) WHERE tok <> ''
-    ),
-    lm AS (
-        SELECT o.doc_id,
-               ROUND(AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 4) AS avg_nll
-        FROM occ o
-        JOIN bgc ON o.bg = bgc.bg
-        JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
-        CROSS JOIN voc
-        GROUP BY o.doc_id
-    ),
+    {_LM_CTES},
     flags AS (
         SELECT d.source,
-               CAST(q.quality < 0.4 AS INT) AS fq,
-               CAST(COALESCE(rep.dup_frac, 0) > 0.2 AS INT) AS fr,
+               CAST(q.quality < CAST(0.4 AS DOUBLE) AS INT) AS fq,
+               CAST(COALESCE(rep.dup_frac, 0) > CAST(0.2 AS DOUBLE) AS INT)
+                   AS fr,
                CAST(langp.lang_pred <> d.lang AS INT) AS fl,
-               CAST(COALESCE(lm.avg_nll > 3.595, FALSE) AS INT) AS fm
+               CAST(COALESCE(lm.avg_nll > CAST(3.595 AS DOUBLE), FALSE)
+                    AS INT) AS fm
         FROM documents d
         JOIN q ON q.doc_id = d.doc_id
         LEFT JOIN rep ON rep.doc_id = d.doc_id
@@ -2579,7 +2705,14 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     which pins the margin for every thresholded literal in the
     registry. ``fr`` coalesces to False like the oracle's
     COALESCE(dup_frac, 0) so <2-token docs (NULL dup_frac in Spark,
-    absent from the oracle's gram CTE) flag identically."""
+    absent from the oracle's gram CTE) flag identically.
+
+    Round 6: the oracle's LM chain was rewritten onto the portable
+    ``_LM_CTES`` (the old occ/bgc/hist CTEs were the only red-query
+    constructs not shared with any green oracle) and every threshold
+    comparison casts to DOUBLE explicitly; the four ``funnel_probe_*``
+    queries below partition this query's output surface one flag per
+    probe for driver-side bisection."""
     docs = load_table(spark, "documents", sf_dir)
     stats = T.repetition_stats(F.col("__grams"))
     flags = (
@@ -2616,6 +2749,170 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("fq") + F.col("fr") + F.col("fl") + F.col("fm")) == 0
                 ).cast("int")
             ).alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "funnel_probe_quality",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents)
+    SELECT d.source, COUNT(*) AS n_docs,
+           SUM(CAST(q.quality < CAST(0.4 AS DOUBLE) AS INT)) AS fail_quality
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def funnel_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the quality-filter count
+    of ``corpus_filter_funnel``, per source. The four funnel probes
+    partition the funnel's output surface one flag each; whichever
+    subset comes back red localizes the driver-side divergence to a
+    specific metric's arithmetic."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "source",
+            (T.quality_score(F.col("text")) < 0.4).cast("int").alias("fq"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fq").alias("fail_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "funnel_probe_repetition",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t
+              FROM documents WHERE trim(text) <> '') toks,
+             UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    rep AS (
+        SELECT doc_id,
+               ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
+                   AS dup_frac
+        FROM per GROUP BY doc_id
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           SUM(CAST(COALESCE(rep.dup_frac, 0) > CAST(0.2 AS DOUBLE) AS INT))
+               AS fail_repetition
+    FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def funnel_probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the repetition-screen
+    count of ``corpus_filter_funnel``, per source (see
+    funnel_probe_quality)."""
+    docs = load_table(spark, "documents", sf_dir)
+    stats = T.repetition_stats(F.col("__grams"))
+    return (
+        docs.withColumn("__grams", T.word_ngrams(F.col("text"), 2))
+        .select(
+            "source",
+            F.coalesce(stats["dup_ngram_frac"] > 0.2, F.lit(False))
+            .cast("int")
+            .alias("fr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fr").alias("fail_repetition"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "funnel_probe_lang",
+    oracle=f"""
+    WITH langp AS (
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (
+            SELECT doc_id,
+                   {_lang_score_sql("de")} AS s_de,
+                   {_lang_score_sql("en")} AS s_en,
+                   {_lang_score_sql("es")} AS s_es,
+                   {_lang_score_sql("fr")} AS s_fr
+            FROM documents
+        )
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           SUM(CAST(langp.lang_pred <> d.lang AS INT)) AS fail_lang
+    FROM documents d JOIN langp ON langp.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def funnel_probe_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the language-ID mismatch
+    count of ``corpus_filter_funnel``, per source (see
+    funnel_probe_quality)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "source",
+            (T.lang_id(F.col("text")) != F.col("lang")).cast("int").alias("fl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fl").alias("fail_lang"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "funnel_probe_lm",
+    oracle=f"""
+    WITH {_LM_CTES}
+    SELECT d.source, COUNT(*) AS n_docs,
+           SUM(CAST(COALESCE(lm.avg_nll > CAST(3.595 AS DOUBLE), FALSE)
+                    AS INT)) AS fail_lm
+    FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def funnel_probe_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 6): ONLY the bigram-LM perplexity
+    band count of ``corpus_filter_funnel``, per source (see
+    funnel_probe_quality). Red here (with the other three probes
+    green) pins the round-5 funnel red to the LM score chain — the
+    construct class the round-6 oracle rewrite retired."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", "source")
+        .join(
+            T.lm_bigram_scores(docs).select("doc_id", "avg_nll"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("avg_nll") > 3.595, F.lit(False))
+            .cast("int")
+            .alias("fm"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fm").alias("fail_lm"),
         )
         .orderBy("source")
     )
