@@ -40,12 +40,13 @@ conventions (boolean ``t``/``f``) the way each destination dialect does
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import BooleanType, StructType
+from pyspark.sql.types import BinaryType, BooleanType, StructType
 
 from pg2any_spark.schemas import (
     IDENTITY_NOTHING,
     OP_DELETE,
     OP_TRUNCATE,
+    UNCHANGED_TOAST,
 )
 
 
@@ -63,6 +64,11 @@ def _cast_text(value: Column, dtype) -> Column:
             .when(value == "f", F.lit(False))
             .otherwise(value.cast("boolean"))
         )
+    if isinstance(dtype, BinaryType):
+        # bytea rides the text envelope as base64 (binary-mode 'b'
+        # tuples, sources.pgoutput._to_map); destinations render it
+        # back as hex literals (functions.dialects.render_hex).
+        return F.unbase64(value)
     return value.cast(dtype)
 
 
@@ -121,6 +127,7 @@ def apply_changes(
     split_key_updates: bool = False,
     order_cols: list[str] | None = None,
     scan_for_truncate: bool = True,
+    toast_merge: bool = False,
 ) -> DataFrame:
     """Apply an ordered CDC event stream; return the final table state.
 
@@ -145,6 +152,19 @@ def apply_changes(
         False when the feed cannot contain TRUNCATE (most OLTP tables;
         the reference likewise treats truncate as a rare, per-dialect
         special case, ``sql_renderer.rs:300-320``).
+    toast_merge: resolve ``UNCHANGED_TOAST`` sentinel cells (pgoutput
+        tuple kind 'u': an UPDATE did not re-send an unchanged TOASTed
+        column). Per key and per column, the effective value is the
+        latest event that actually SET the column (a per-column
+        ``max_by`` beside the winner — still one map-side-combinable
+        aggregate, still one row per key on the shuffle), falling back
+        to the replica's stored row when no event in the batch ever
+        set it (one extra equi-join against ``base``, keyed like the
+        untouched-rows anti-join). This is the reference's semantics —
+        its UPDATE SET renders only the columns it has, leaving the
+        rest stored (``sql_renderer.rs:205-234``). Off by default: the
+        sentinel scan + wider aggregate are wasted work for REPLICA
+        IDENTITY FULL publishers that never send 'u'.
     """
     order_cols = order_cols or ["lsn"]
     if table is not None:
@@ -186,12 +206,59 @@ def apply_changes(
     )
 
     # --- last-writer-wins per key (map-side combinable) -------------------
-    winner = keyed.groupBy(*[f"__key_{k}" for k in key_cols]).agg(
-        F.max_by(F.struct("op", "after"), F.struct(*order_cols)).alias("w")
-    )
-    survivors = winner.filter(F.col("w.op") != OP_DELETE).select(
-        typed_from_map(F.col("w.after"), schema)
-    )
+    order_struct = F.struct(*order_cols)
+    win_agg = [F.max_by(F.struct("op", "after"), order_struct).alias("w")]
+    if toast_merge:
+        # one extra max_by per destination column: the latest event
+        # that actually SET it (skipping 'u' sentinel cells; deletes
+        # carry no after image so their ordering key is NULL and
+        # max_by ignores them). Still a single map-side-combinable
+        # aggregate — the shuffle stays one (wider) row per key.
+        for f in schema.fields:
+            cell = F.col("after").getItem(f.name)
+            set_cond = F.col("after").isNotNull() & ~cell.eqNullSafe(
+                UNCHANGED_TOAST
+            )
+            win_agg.append(
+                F.max_by(
+                    F.struct(cell.alias("v")),
+                    F.when(set_cond, order_struct),
+                ).alias(f"__set_{f.name}")
+            )
+    winner = keyed.groupBy(*[f"__key_{k}" for k in key_cols]).agg(*win_agg)
+
+    if toast_merge:
+        alive = winner.filter(F.col("w.op") != OP_DELETE)
+        if base is not None:
+            # resolve never-set columns from the stored row: equi-join
+            # on the key (same key partitioning the anti-join below
+            # reuses; AQE broadcasts when the touched-key set is small)
+            cond = None
+            for k in key_cols:
+                c = alive[f"__key_{k}"].eqNullSafe(base[k])
+                cond = c if cond is None else (cond & c)
+            alive = alive.join(base, on=cond, how="left")
+        out_cols = []
+        for f in schema.fields:
+            set_struct = F.col(f"__set_{f.name}")
+            resolved = _cast_text(set_struct["v"], f.dataType)
+            stored = (
+                base[f.name] if base is not None
+                else F.lit(None).cast(f.dataType)
+            )
+            # struct-null = no event ever set the column → stored row;
+            # struct present with v = NULL is an EXPLICIT set-to-NULL
+            # and must not fall back
+            out_cols.append(
+                F.when(set_struct.isNotNull(), resolved)
+                .otherwise(stored)
+                .alias(f.name)
+            )
+        survivors = alive.select(out_cols)
+    else:
+        survivors = winner.filter(F.col("w.op") != OP_DELETE).select(
+            typed_from_map(F.col("w.after"), schema)
+        )
 
     if base is None:
         return survivors

@@ -122,6 +122,44 @@ def cdc_apply_pgoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_toast",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'TOASTED-' || CAST(c_custkey AS VARCHAR)
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_apply_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unchanged-TOAST ('u') columns through the wire (round 6): every
+    third customer gets an update that rewrites the 'TOASTed'
+    c_mktsegment, then a second update that bumps c_acctbal while
+    withholding c_mktsegment as kind 'u'. The decoder carries the
+    sentinel and ``apply_changes(toast_merge=True)`` resolves each
+    column to its latest actually-set value (the first update's
+    TOASTED-<k>), falling back to the stored row only when no event
+    set it — the reference's partial UPDATE SET semantics
+    (``sql_renderer.rs:205-234``). A NULL-overwrite bug or stale-base
+    resolution both flip the final state."""
+    from pg2any_spark.sources.pgoutput import (
+        decode_wal_segments,
+        synth_customer_toast_wal_frames,
+    )
+
+    frames = synth_customer_toast_wal_frames(spark, sf_dir)
+    events = decode_wal_segments(frames)
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False, toast_merge=True,
+    )
+
+
+@query(
     "cdc_apply_multi_table",
     oracle="""
     SELECT 'customer' AS table_name, COUNT(*) AS n_rows,

@@ -47,6 +47,15 @@ OP_STREAM_ABORT = "sa"
 #: All DML ops (what reassembly forwards on commit).
 DML_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE, OP_TRUNCATE)
 
+#: Sentinel carried in the text envelope for an UPDATE column whose
+#: value was NOT sent because it is unchanged TOASTed data (pgoutput
+#: tuple kind 'u'). PostgreSQL text values cannot contain NUL bytes, so
+#: the sentinel is collision-free by construction. The apply resolves
+#: it with merge-with-stored-row semantics (``operators.apply``,
+#: ``toast_merge=True``) — mirroring the reference, whose UPDATE SET
+#: only renders the columns it actually has (``sql_renderer.rs:205-234``).
+UNCHANGED_TOAST = "\x00unchanged-toast\x00"
+
 #: Replica identity modes (reference ``sql_renderer.rs:331-375``).
 IDENTITY_DEFAULT = "default"
 IDENTITY_INDEX = "index"

@@ -37,14 +37,21 @@ import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, UNCHANGED_TOAST
 
 #: PostgreSQL timestamp epoch (µs since 2000-01-01 UTC).
 PG_EPOCH = datetime.datetime(2000, 1, 1)
 
 #: Relation column flag bit: column is part of the replica-identity key.
 COL_KEY_FLAG = 1
+
+#: bytea's type oid — the one type whose binary-mode representation is
+#: the value itself, so a 'b' tuple kind can be carried faithfully in
+#: the text envelope (as base64, the reference's Kafka byte mapping;
+#: dialects render it back as hex literals — ``dialects/ansi.rs:35-39``).
+OID_BYTEA = 17
 
 _IDENTITY = {"d": "default", "n": "nothing", "f": "full", "i": "index"}
 _IDENTITY_REV = {v: k for k, v in _IDENTITY.items()}
@@ -100,11 +107,19 @@ def encode_relation(
     return b"".join(out)
 
 
-def encode_tuple(values: list[str | None]) -> bytes:
+def encode_tuple(values: list[str | bytes | None]) -> bytes:
+    """Tuple-data block. ``str`` → text kind 't'; ``bytes`` → binary
+    kind 'b' (what a subscriber negotiating the ``binary`` option
+    receives); the ``UNCHANGED_TOAST`` sentinel → kind 'u' (unchanged
+    TOASTed column, value not sent); ``None`` → 'n'."""
     out = [struct.pack(">H", len(values))]
     for v in values:
         if v is None:
             out.append(b"n")
+        elif v == UNCHANGED_TOAST:
+            out.append(b"u")
+        elif isinstance(v, bytes):
+            out.append(b"b" + struct.pack(">I", len(v)) + v)
         else:
             b = v.encode("utf-8")
             out.append(b"t" + struct.pack(">I", len(b)) + b)
@@ -197,14 +212,18 @@ def encode_stream_abort(xid: int, subxid: int) -> bytes:
 
 
 class _Relation:
-    __slots__ = ("namespace", "name", "columns", "key_columns", "identity")
+    __slots__ = (
+        "namespace", "name", "columns", "key_columns", "identity", "types"
+    )
 
-    def __init__(self, namespace, name, columns, key_columns, identity):
+    def __init__(self, namespace, name, columns, key_columns, identity,
+                 types=None):
         self.namespace = namespace
         self.name = name
         self.columns = columns  # ordered column names
         self.key_columns = key_columns
         self.identity = identity
+        self.types = types or []  # ordered column type oids
 
 
 def _read_cstr(buf: bytes, off: int) -> tuple[str, int]:
@@ -212,28 +231,24 @@ def _read_cstr(buf: bytes, off: int) -> tuple[str, int]:
     return buf[off:end].decode("utf-8"), end + 1
 
 
-def _read_tuple(buf: bytes, off: int) -> tuple[list[str | None], int]:
+def _read_tuple(buf: bytes, off: int) -> tuple[list[str | bytes | None], int]:
+    """Parse one tuple-data block. Text values decode to ``str``;
+    kind 'u' (unchanged TOAST — the value was NOT sent) becomes the
+    ``UNCHANGED_TOAST`` sentinel, resolved at apply time with
+    merge-with-stored-row semantics; kind 'b' (binary mode) stays raw
+    ``bytes`` for ``_to_map`` to validate against the column's type
+    oid (only bytea's binary form is its own value)."""
     (n,) = struct.unpack_from(">H", buf, off)
     off += 2
-    vals: list[str | None] = []
+    vals: list[str | bytes | None] = []
     for _ in range(n):
         kind = buf[off : off + 1]
         off += 1
         if kind == b"n":
             vals.append(None)
         elif kind == b"u":
-            # unchanged TOAST: the value was NOT sent. Mapping it to
-            # NULL would silently overwrite the replica's stored value
-            # — replica divergence. Supporting it requires merge-with-
-            # previous-row semantics the apply does not (yet) model,
-            # so fail LOUDLY; publishers avoid 'u' with REPLICA
-            # IDENTITY FULL.
-            raise ValueError(
-                "unchanged-TOAST column ('u') not supported: the apply "
-                "would overwrite the stored value with NULL; use "
-                "REPLICA IDENTITY FULL on the publisher"
-            )
-        elif kind == b"t":
+            vals.append(UNCHANGED_TOAST)
+        elif kind in (b"t", b"b"):
             (ln,) = struct.unpack_from(">I", buf, off)
             off += 4
             if off + ln > len(buf):
@@ -241,7 +256,8 @@ def _read_tuple(buf: bytes, off: int) -> tuple[list[str | None], int]:
                     f"truncated tuple: column declares {ln} bytes, "
                     f"{len(buf) - off} remain"
                 )
-            vals.append(buf[off : off + ln].decode("utf-8"))
+            raw = buf[off : off + ln]
+            vals.append(raw.decode("utf-8") if kind == b"t" else bytes(raw))
             off += ln
         else:
             raise ValueError(f"malformed tuple column kind {kind!r}")
@@ -283,8 +299,26 @@ class PgOutputDecoder:
             )
         return rel
 
-    def _to_map(self, rel: _Relation, vals: list[str | None]) -> dict:
-        return dict(zip(rel.columns, vals))
+    def _to_map(self, rel: _Relation, vals: list[str | bytes | None]) -> dict:
+        out = {}
+        for i, (col, v) in enumerate(zip(rel.columns, vals)):
+            if isinstance(v, bytes):
+                # binary-mode value ('b'): only bytea's binary form IS
+                # the value; any other type's network encoding would be
+                # silently mis-cast by the text-envelope apply — the
+                # one unacceptable failure mode, so fail loudly.
+                oid = rel.types[i] if i < len(rel.types) else None
+                if oid != OID_BYTEA:
+                    raise ValueError(
+                        f"binary-mode value for non-bytea column "
+                        f"{rel.name}.{col} (type oid {oid}) not "
+                        "supported; do not request the binary option"
+                    )
+                import base64
+
+                v = base64.b64encode(v).decode("ascii")
+            out[col] = v
+        return out
 
     def _buffer(self, xid: int | None, row: dict) -> None:
         key = xid if xid is not None else self.current_xid
@@ -324,17 +358,19 @@ class PgOutputDecoder:
             off += 1
             (ncols,) = struct.unpack_from(">H", frame, off)
             off += 2
-            cols, keys = [], []
+            cols, keys, types = [], [], []
             for _ in range(ncols):
                 flags = frame[off]
                 off += 1
                 col_name, off = _read_cstr(frame, off)
-                off += 8  # type oid + typmod (not needed: text protocol)
+                (type_oid,) = struct.unpack_from(">I", frame, off)
+                off += 8  # type oid + typmod (typmod unused)
                 cols.append(col_name)
+                types.append(type_oid)
                 if flags & COL_KEY_FLAG:
                     keys.append(col_name)
             self.relations[rel_id] = _Relation(
-                namespace, name, cols, keys, identity
+                namespace, name, cols, keys, identity, types
             )
             return []
         if t in (b"I", b"U", b"D", b"T"):
@@ -460,6 +496,241 @@ class PgOutputDecoder:
         return rows
 
 
+class StreamingPgOutputDecoder(PgOutputDecoder):
+    """Constant-memory variant: data rows EMIT IMMEDIATELY (stamped
+    with their (sub)transaction's xid, no commit timestamp yet) and
+    Commit / Stream Commit emit one marker row per released xid; a
+    downstream join on xid stamps the commit timestamp + final txid
+    and drops uncommitted/aborted rows (``stamp_commits``).
+
+    This is the Spark answer to the reference's 64 MB transaction
+    spill (``transaction_manager.rs:638-706``): the reference bounds
+    consumer memory by spilling open transactions to disk segments; a
+    distributed engine bounds it by NOT holding the transaction at all
+    — rows flow through Arrow batches, and the commit join (tiny
+    build side: one row per transaction) restores exactly the same
+    release semantics, including Stream Abort discarding (an aborted
+    xid simply never gets a marker, so the inner join drops its rows).
+    Memory per task is O(relations + open transaction COUNT), not
+    O(buffered rows) — scenario 5's 3M-row single transaction flows
+    through without residence.
+    """
+
+    #: marker op for commit rows (never collides with c/u/d/t).
+    COMMIT_OP = "_c"
+
+    def __init__(self, protocol_version: int = 1, segment_id: int = 0):
+        super().__init__(protocol_version)
+        self._pending: list[dict] = []
+        self._open_rows: dict[int, int] = {}  # xid -> rows emitted
+        # xids are NOT unique join keys: PostgreSQL reuses them after
+        # wraparound and synthetic streams reuse them freely, so a
+        # batch can hold many transaction INSTANCES of one xid. Each
+        # instance keys the commit join by "<segment>:<seq of its
+        # first buffered row>" — derived purely from STREAM CONTENT,
+        # so it is identical on every re-evaluation of the decode
+        # lineage (a partition-counter scheme is NOT: Spark may plan
+        # the two join branches with different partitioning and the
+        # sides would disagree).
+        self._segment_id = segment_id
+        self._instances: dict[int, str] = {}
+        self._cur_seq = 0
+
+    def _instance(self, xid: int) -> str:
+        inst = self._instances.get(xid)
+        if inst is None:
+            inst = f"{self._segment_id}:{self._cur_seq}"
+            self._instances[xid] = inst
+        return inst
+
+    def _buffer(self, xid: int | None, row: dict) -> None:
+        key = xid if xid is not None else self.current_xid
+        if key is None:
+            raise ValueError("data message outside any transaction")
+        if xid is not None and self.in_stream is not None:
+            kids = self.stream_children.setdefault(self.in_stream, [])
+            if xid not in kids:
+                kids.append(xid)
+        self.tx.setdefault(key, [])  # membership only — rows not held
+        self._open_rows[key] = self._open_rows.get(key, 0) + 1
+        row["txid"] = key
+        row["tx_instance"] = self._instance(key)
+        row["commit_xid"] = None
+        row["commit_ts_us"] = None
+        del row["commit_ts"]
+        self._pending.append(row)
+
+    def _release(
+        self, xid: int | None, ts_us: int, txid: int | None = None
+    ) -> list[dict]:
+        if xid is None:
+            raise ValueError("Commit without Begin")
+        self.tx.pop(xid, None)
+        self._open_rows.pop(xid, None)
+        if xid == self.current_xid:
+            self.current_xid = None
+        # pop: the instance closes with the commit; a reused xid later
+        # in the stream starts a fresh instance
+        inst = self._instances.pop(xid, None)
+        if inst is None:  # commit for an empty/unknown tx — join no-op
+            inst = f"{self._segment_id}:{self._cur_seq}:c{xid}"
+        return [{
+            "op": self.COMMIT_OP,
+            "schema": "",
+            "table": "",
+            "txid": txid if txid is not None else xid,  # final txid
+            "lsn": 0,
+            "before": None,
+            "after": None,
+            "key_columns": None,
+            "replica_identity": None,
+            "tx_instance": inst,
+            "commit_xid": xid,
+            "commit_ts_us": ts_us,
+        }]
+
+    def feed(self, frame: bytes, wal_lsn: int, seq: int = 0) -> list[dict]:
+        self._cur_seq = seq
+        if frame[0:1] == b"A":
+            # an aborted instance's mapping must die with it: a later
+            # transaction reusing the xid gets a FRESH instance, so the
+            # aborted rows can never join its commit marker
+            xid, subxid = struct.unpack_from(">II", frame, 1)
+            if subxid == xid:
+                for kid in self.stream_children.get(xid, []):
+                    self._instances.pop(kid, None)
+                    self._open_rows.pop(kid, None)
+                self._instances.pop(xid, None)
+                self._open_rows.pop(xid, None)
+            else:
+                self._instances.pop(subxid, None)
+                self._open_rows.pop(subxid, None)
+        markers = super().feed(frame, wal_lsn)
+        out = self._pending
+        self._pending = []
+        out.extend(markers)
+        return out
+
+    def open_xids(self) -> list[int]:
+        """Transactions left open at stream end — emitted rows without
+        a Commit (their rows would silently vanish in the commit join)
+        plus an un-committed current transaction, mirroring the batch
+        decoder's truncation check."""
+        xids = {x for x in self.tx if self._open_rows.get(x, 0) > 0}
+        if self.current_xid is not None:
+            xids.add(self.current_xid)
+        return sorted(xids)
+
+
+#: Intermediate schema of the constant-memory decode: the change-event
+#: envelope minus commit_ts, plus the commit-marker columns.
+CHUNKED_DECODE_SCHEMA = StructType(
+    [f for f in CHANGE_EVENT_SCHEMA.fields if f.name != "commit_ts"]
+    + [
+        StructField("tx_instance", StringType(), False),
+        StructField("commit_xid", LongType(), True),
+        StructField("commit_ts_us", LongType(), True),
+    ]
+)
+
+#: Unix µs of the PostgreSQL timestamp epoch (2000-01-01 UTC).
+_PG_EPOCH_UNIX_US = 946_684_800_000_000
+
+
+def decode_wal_frames_raw(
+    frames: DataFrame, protocol_version: int = 1, chunk_rows: int = 65_536
+) -> DataFrame:
+    """Constant-memory wire decode: ``(segment_id, seq, wal_lsn,
+    frame)`` → interleaved data rows + commit markers
+    (``CHUNKED_DECODE_SCHEMA``), via ``mapInPandas`` over
+    segment-contiguous sorted partitions — the whole segment is NEVER
+    materialized (Arrow streams bounded batches in, bounded chunks
+    out), unlike ``decode_wal_segments`` whose ``applyInPandas`` group
+    holds the full segment and whose decoder holds the largest open
+    transaction. Compose with ``stamp_commits`` for the canonical
+    envelope. Callers that consume the result more than once should
+    persist it (see ``streaming.pipeline.start_pgoutput_apply``)."""
+    import pandas as pd
+
+    cols = [f.name for f in CHUNKED_DECODE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec: StreamingPgOutputDecoder | None = None
+        current_seg = None
+        out: list[dict] = []
+
+        def finalize(d: StreamingPgOutputDecoder, seg) -> None:
+            open_xids = d.open_xids()
+            if open_xids:
+                raise ValueError(
+                    f"segment {seg} ended with transaction(s) "
+                    f"{open_xids} still open (no Commit seen): "
+                    "truncated or mis-sharded WAL segment"
+                )
+
+        for pdf in batches:
+            for seg, seq, lsn, frame in zip(
+                pdf["segment_id"], pdf["seq"], pdf["wal_lsn"], pdf["frame"]
+            ):
+                if seg != current_seg:
+                    if dec is not None:
+                        finalize(dec, current_seg)
+                    dec = StreamingPgOutputDecoder(
+                        protocol_version, segment_id=int(seg)
+                    )
+                    current_seg = seg
+                out.extend(dec.feed(bytes(frame), int(lsn), int(seq)))
+                if len(out) >= chunk_rows:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        if dec is not None:
+            finalize(dec, current_seg)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        frames.repartition("segment_id")
+        .sortWithinPartitions("segment_id", "seq")
+        .mapInPandas(run, CHUNKED_DECODE_SCHEMA)
+    )
+
+
+def stamp_commits(raw: DataFrame, broadcast_commits: bool = True) -> DataFrame:
+    """Resolve the constant-memory decode to the canonical envelope:
+    inner-join data rows to their transaction's commit marker (drops
+    uncommitted/aborted), stamp the commit timestamp and the FINAL
+    txid (streamed subtransactions commit under their toplevel). The
+    build side is one row per committed transaction — broadcast by
+    default; pass ``broadcast_commits=False`` for pathological
+    many-tiny-transaction batches where even that exceeds the driver
+    budget (AQE then plans the join from stats).
+
+    ``raw`` is consumed twice (markers + data): persist it first when
+    the lineage is expensive."""
+    from pyspark.sql import functions as F
+
+    marker = StreamingPgOutputDecoder.COMMIT_OP
+    commits = raw.filter(F.col("op") == marker).select(
+        F.col("tx_instance").alias("__inst"),
+        F.col("txid").alias("__final_txid"),
+        F.col("commit_ts_us").alias("__ts_us"),
+    )
+    if broadcast_commits:
+        commits = F.broadcast(commits)
+    data = raw.filter(F.col("op") != marker)
+    return data.join(
+        commits, data["tx_instance"] == commits["__inst"], "inner"
+    ).select(
+        "op", "schema", "table",
+        F.col("__final_txid").alias("txid"),
+        "lsn",
+        F.timestamp_micros(
+            F.col("__ts_us") + F.lit(_PG_EPOCH_UNIX_US)
+        ).alias("commit_ts"),
+        "before", "after", "key_columns", "replica_identity",
+    )
+
+
 def decode_wal_segments(
     frames: DataFrame, protocol_version: int = 1
 ) -> DataFrame:
@@ -478,6 +749,21 @@ def decode_wal_segments(
         out: list[dict] = []
         for frame, lsn in zip(pdf["frame"], pdf["wal_lsn"]):
             out.extend(dec.feed(bytes(frame), int(lsn)))
+        # a transaction still open when the segment's frames run out
+        # means producer truncation or mis-sharding: finishing quietly
+        # would silently skip its events — the one unacceptable failure
+        # mode this module documents. (An orphaned Commit already
+        # raises; this closes the Begin-side hole.)
+        open_xids = sorted(
+            set(x for x, rows in dec.tx.items() if rows)
+            | ({dec.current_xid} if dec.current_xid is not None else set())
+        )
+        if open_xids:
+            raise ValueError(
+                f"segment ended with transaction(s) {open_xids} still "
+                "open (no Commit seen): truncated or mis-sharded WAL "
+                "segment"
+            )
         return pd.DataFrame(
             out,
             columns=[f.name for f in CHANGE_EVENT_SCHEMA.fields],
@@ -572,6 +858,105 @@ def synth_customer_wal_frames(
         _CUSTOMER_REL_ID,
         "public",
         "customer",
+        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
+        "default",
+    )
+    rel_frames = spark.createDataFrame(
+        [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
+         for s in range(n_segments)],
+        WAL_FRAME_SCHEMA,
+    )
+    return rel_frames.unionByName(data_frames)
+
+
+def synth_customer_toast_wal_frames(
+    spark, sf_dir: str, n_segments: int = 8
+) -> DataFrame:
+    """Wire-exact pgoutput frame stream exercising unchanged-TOAST
+    ('u') tuple columns: insert every customer, then for custkey%3==0
+    TWO successive updates — the first explicitly rewrites
+    ``c_mktsegment`` to ``TOASTED-<k>`` (a changed TOASTed value is
+    re-sent), the second bumps ``c_acctbal`` by 1000 while sending
+    ``c_mktsegment`` as kind 'u' (unchanged, value withheld — what any
+    real table with a large TOASTed column and default replica
+    identity emits on every unrelated UPDATE) — then delete
+    custkey%7==0. Correct merge-with-stored-row apply must keep
+    ``TOASTED-<k>``: a NULL-overwrite bug or a stale-base resolution
+    both show up in the final state. Mirrors the reference's UPDATE
+    SET rendering only the columns it has (``sql_renderer.rs:205-234``).
+
+    Final-state oracle::
+
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'TOASTED-' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0
+    """
+    import pandas as pd
+    from pyspark.sql import Row, functions as F
+
+    from pg2any_spark.sources.fixtures import load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    cols = cust.columns
+    key = "c_custkey"
+    text = lambda c: F.col(c).cast("string")  # noqa: E731
+    mk_map = lambda acct: F.map_from_arrays(  # noqa: E731
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[acct.cast("string") if c == "c_acctbal" else text(c)
+                  for c in cols]),
+    )
+    base = cust.select(
+        F.col(key).alias("k"),
+        mk_map(F.col("c_acctbal")).alias("m_ins"),
+        mk_map(F.col("c_acctbal") + 1000.0).alias("m_upd"),
+    )
+    ts = datetime.datetime(2026, 1, 1)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+
+            def tx(k, lsn, data_frame):
+                seg = int(k) % n_segments
+                rows.append((seg, lsn * 4 + 1, lsn, encode_begin(lsn, ts, lsn)))
+                rows.append((seg, lsn * 4 + 2, lsn, data_frame))
+                rows.append((seg, lsn * 4 + 3, lsn, encode_commit(lsn, lsn, ts)))
+
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                ins = [r.m_ins.get(c) for c in cols]
+                old = [r.m_ins.get(c) if c == key else None for c in cols]
+                tx(k, k * 10, encode_insert(_CUSTOMER_REL_ID, ins))
+                if k % 3 == 0:
+                    u1 = [
+                        f"TOASTED-{k}" if c == "c_mktsegment"
+                        else r.m_ins.get(c)
+                        for c in cols
+                    ]
+                    tx(k, k * 10 + 1, encode_update(
+                        _CUSTOMER_REL_ID, u1, old_values=old, old_kind="K"))
+                    u2 = [
+                        UNCHANGED_TOAST if c == "c_mktsegment"
+                        else r.m_upd.get(c) if c == "c_acctbal"
+                        else r.m_ins.get(c)
+                        for c in cols
+                    ]
+                    tx(k, k * 10 + 2, encode_update(
+                        _CUSTOMER_REL_ID, u2, old_values=old, old_kind="K"))
+                if k % 7 == 0:
+                    tx(k, k * 10 + 3,
+                       encode_delete(_CUSTOMER_REL_ID, old, old_kind="K"))
+            yield pd.DataFrame(
+                rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
+            )
+
+    data_frames = base.mapInPandas(gen, WAL_FRAME_SCHEMA)
+    rel = encode_relation(
+        _CUSTOMER_REL_ID, "public", "customer",
         [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
         "default",
     )

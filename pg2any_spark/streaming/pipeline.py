@@ -88,6 +88,7 @@ def apply_batch_to_parquet(
     schema: StructType,
     key_cols: list[str],
     table: str | None = None,
+    toast_merge: bool = False,
 ) -> None:
     """One micro-batch: current replica ⊕ batch events → new replica."""
     _recover_replica(target_path)
@@ -95,7 +96,8 @@ def apply_batch_to_parquet(
     if os.path.exists(target_path):
         base = spark.read.parquet(target_path)
     final = apply_changes(
-        batch_df, schema, key_cols, base=base, table=table
+        batch_df, schema, key_cols, base=base, table=table,
+        toast_merge=toast_merge,
     )
     staging = target_path + f".staging-{uuid.uuid4().hex[:8]}"
     final.write.mode("overwrite").parquet(staging)
@@ -370,41 +372,66 @@ def start_pgoutput_apply(
     table: str | None = None,
     available_now: bool = True,
     protocol_version: int = 1,
+    low_memory: bool = True,
+    toast_merge: bool = False,
 ) -> StreamingQuery:
     """Stream pgoutput WIRE FRAMES straight into a replica: readStream
     over ``(segment_id, seq, wal_lsn, frame)`` parquet → per-batch
-    segment decode (``sources.pgoutput.decode_wal_segments``) → the
-    ordinary max-LSN apply. The full ingest path of the reference —
-    wire protocol to destination table — as one checkpointed stream.
+    decode → the ordinary max-LSN apply. The full ingest path of the
+    reference — wire protocol to destination table — as one
+    checkpointed stream.
+
+    ``low_memory=True`` (default) decodes via
+    ``sources.pgoutput.decode_wal_frames_raw`` + ``stamp_commits``:
+    rows stream through bounded Arrow batches and transactions are
+    resolved by a commit join, so one multi-million-row transaction
+    (the reference's chaos scenario 5, which its transaction manager
+    survives by spilling 64 MB segments) cannot hold a Python worker's
+    memory. ``low_memory=False`` keeps the original whole-segment
+    ``applyInPandas`` decode (one group per segment — fine when
+    segments are known-small).
 
     Contract: a WAL segment must arrive WHOLE within one micro-batch
     (land one file per segment and it holds for any trigger), because
     decoder state — the Relation registry and open-transaction
-    buffers — lives only for the batch; this is the same
+    bookkeeping — lives only for the batch; this is the same
     segment-self-containment the batch decoder documents, now doing
     double duty as the unit of checkpoint recovery: a replayed batch
     re-decodes the same frames to the same events and the max-LSN
     apply makes the rewrite a no-op."""
     from pg2any_spark.sources.pgoutput import (
         WAL_FRAME_SCHEMA,
+        decode_wal_frames_raw,
         decode_wal_segments,
+        stamp_commits,
     )
 
     frames = spark.readStream.schema(WAL_FRAME_SCHEMA).parquet(frames_dir)
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
-        # persist the decoded events: the apply's truncate-barrier scan
-        # plus the apply itself would otherwise run the Python segment
-        # decode twice per micro-batch (apply.py documents the
-        # recompute cost); the decoded envelope is far smaller than the
-        # frames and bounded by the batch
-        events = decode_wal_segments(batch_df, protocol_version).persist()
+        # persist the decoded rows: the commit join (low_memory) or the
+        # apply's truncate-barrier scan plus the apply itself would
+        # otherwise run the Python decode twice per micro-batch; the
+        # decoded envelope is far smaller than the frames and bounded
+        # by the batch. MEMORY_AND_DISK: a scenario-5-sized batch must
+        # spill, not OOM.
+        from pyspark.storagelevel import StorageLevel
+
+        if low_memory:
+            cached = decode_wal_frames_raw(batch_df, protocol_version)
+            cached = cached.persist(StorageLevel.MEMORY_AND_DISK)
+            events = stamp_commits(cached)
+        else:
+            cached = decode_wal_segments(batch_df, protocol_version)
+            cached = cached.persist(StorageLevel.MEMORY_AND_DISK)
+            events = cached
         try:
             apply_batch_to_parquet(
-                spark, events, target_path, schema, key_cols, table
+                spark, events, target_path, schema, key_cols, table,
+                toast_merge=toast_merge,
             )
         finally:
-            events.unpersist()
+            cached.unpersist()
 
     writer = frames.writeStream.foreachBatch(apply_fn).option(
         "checkpointLocation", checkpoint_dir

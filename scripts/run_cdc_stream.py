@@ -11,8 +11,10 @@ property (``tests/chaos/scripts/chaos_script.sh``: random
 Usage: run_cdc_stream.py SOURCE_DIR TARGET CHECKPOINT_DIR [MAX_FILES_PER_TRIGGER]
 
 TARGET is a parquet replica path, ``sqlite:<db_path>`` to apply
-through the live SQLite sink (atomic data+progress transactions), or
-``bucketed:<path>`` for the bucket-partitioned incremental applier.
+through the live SQLite sink (atomic data+progress transactions),
+``bucketed:<path>`` for the bucket-partitioned incremental applier, or
+``wire:<path>`` to treat SOURCE_DIR as pgoutput WAL FRAMES and run the
+full wire ingest (constant-memory decode → commit join → apply).
 """
 
 from __future__ import annotations
@@ -34,6 +36,16 @@ def main() -> None:
     src, target, ckpt = sys.argv[1:4]
     max_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark(app_name="cdc-stream-runner", shuffle_partitions=8)
+    if target.startswith("wire:"):
+        from pg2any_spark.streaming.pipeline import start_pgoutput_apply
+
+        query = start_pgoutput_apply(
+            spark, src, target[len("wire:"):], T1_SCHEMA, ["id"], ckpt,
+            table="t1", available_now=True, low_memory=True,
+        )
+        query.awaitTermination()
+        spark.stop()
+        return
     events = read_event_stream(spark, src, max_files_per_trigger=max_files)
     if target.startswith("bucketed:"):
         query = start_bucketed_cdc_apply(

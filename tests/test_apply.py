@@ -119,6 +119,124 @@ class TestInsertUpdateDelete:
         assert state(out)[1][0] == 6
 
 
+class TestToastMerge:
+    """apply_changes(toast_merge=True): UNCHANGED_TOAST sentinel cells
+    resolve to the latest event that actually set the column, falling
+    back to the replica's stored row — the reference's partial UPDATE
+    SET semantics (sql_renderer.rs:205-234)."""
+
+    def test_sentinel_resolves_from_base_row(self, spark):
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+
+        base = spark.createDataFrame(
+            [Row(id=1, val=1, col1="stored1", col2="stored2"),
+             Row(id=2, val=2, col1="c", col2="d")],
+            T1_SCHEMA,
+        )
+        # a single update whose col1 was never re-sent: merge from base
+        events = make_events(
+            spark,
+            [ev("u", 10, t1_after(1, 100, UNCHANGED_TOAST, "x"),
+                before={"id": "1"})],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], base=base,
+                            toast_merge=True)
+        st = state(out)
+        assert st == {1: (100, "stored1", "x"), 2: (2, "c", "d")}
+
+    def test_sentinel_resolves_from_earlier_event(self, spark):
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5, "from-insert", "b")),
+                ev("u", 2, t1_after(1, 6, "explicit-set", "b"),
+                   before={"id": "1"}),
+                ev("u", 3, t1_after(1, 7, UNCHANGED_TOAST, "b"),
+                   before={"id": "1"}),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], toast_merge=True)
+        # latest SET wins over older sets; sentinel never overwrites
+        assert state(out) == {1: (7, "explicit-set", "b")}
+
+    def test_explicit_null_is_not_unchanged(self, spark):
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+
+        base = spark.createDataFrame(
+            [Row(id=1, val=1, col1="stored1", col2="stored2")], T1_SCHEMA
+        )
+        events = make_events(
+            spark,
+            [ev("u", 10,
+                {"id": "1", "val": "9", "col1": None,
+                 "col2": UNCHANGED_TOAST},
+                before={"id": "1"})],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], base=base,
+                            toast_merge=True)
+        # col1 explicitly set to NULL stays NULL; col2 merges from base
+        assert state(out) == {1: (9, None, "stored2")}
+
+    def test_delete_then_reinsert_ignores_pre_delete_values(self, spark):
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5, "old-life", "b")),
+                ev("d", 2, before=t1_after(1, 5, "old-life", "b")),
+                ev("c", 3, t1_after(1, 6, "new-life", "b")),
+                ev("u", 4, t1_after(1, 7, UNCHANGED_TOAST, "b"),
+                   before={"id": "1"}),
+            ],
+        )
+        out = apply_changes(events, T1_SCHEMA, ["id"], toast_merge=True)
+        # the re-insert re-established col1; sentinel resolves to it
+        assert state(out) == {1: (7, "new-life", "b")}
+
+    def test_matches_default_path_without_sentinels(self, spark):
+        base = spark.createDataFrame(
+            [Row(id=1, val=1, col1="a", col2="b"),
+             Row(id=2, val=2, col1="c", col2="d")],
+            T1_SCHEMA,
+        )
+        events = make_events(
+            spark,
+            [
+                ev("u", 10, t1_after(1, 100, "a", "b"), before={"id": "1"}),
+                ev("c", 11, t1_after(3, 3, "e", "f")),
+                ev("d", 12, before={"id": "2"}),
+            ],
+        )
+        plain = apply_changes(events, T1_SCHEMA, ["id"], base=base)
+        merged = apply_changes(events, T1_SCHEMA, ["id"], base=base,
+                               toast_merge=True)
+        assert state(plain) == state(merged)
+
+
+class TestBinaryColumns:
+    def test_bytea_base64_roundtrips_to_binary_destination(self, spark):
+        import base64
+
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        schema = StructType(
+            [StructField("id", LongType(), False),
+             StructField("blob", BinaryType(), True)]
+        )
+        payload = b"\x00\x01\xfe binary!"
+        b64 = base64.b64encode(payload).decode("ascii")
+        events = make_events(
+            spark, [ev("c", 1, {"id": "1", "blob": b64})]
+        )
+        out = apply_changes(events, schema, ["id"]).collect()
+        assert out[0]["blob"] == payload
+
+
 class TestTruncate:
     def test_truncate_clears_base_and_prior_events(self, spark):
         base = spark.createDataFrame([Row(id=9, val=9, col1="x", col2="y")], T1_SCHEMA)

@@ -226,6 +226,75 @@ class TestStreamedTxWire:
         assert events.filter("txid = 100").count() > 0
 
 
+class TestChunkedDecode:
+    """Constant-memory decode (decode_wal_frames_raw + stamp_commits)
+    must be envelope-identical to the whole-segment batch decode —
+    same rows, same commit stamps, same abort semantics — while never
+    holding a transaction in the worker (the scenario-5 memory
+    model)."""
+
+    @staticmethod
+    def _canon(df):
+        from pyspark.sql import functions as F
+
+        # maps can't ride exceptAll: serialize them
+        return df.select(
+            "op", "schema", "table", "txid", "lsn",
+            F.unix_micros("commit_ts").alias("cts"),
+            F.to_json("before").alias("b"),
+            F.to_json("after").alias("a"),
+            F.to_json("key_columns").alias("kc"),
+            "replica_identity",
+        )
+
+    def _assert_equivalent(self, frames, protocol_version=1, chunk_rows=17):
+        batch = self._canon(
+            P.decode_wal_segments(frames, protocol_version)
+        )
+        chunked = self._canon(
+            P.stamp_commits(
+                P.decode_wal_frames_raw(
+                    frames, protocol_version, chunk_rows=chunk_rows
+                )
+            )
+        )
+        assert chunked.exceptAll(batch).isEmpty()
+        assert batch.exceptAll(chunked).isEmpty()
+
+    def test_matches_batch_decode_customer(self, spark, sf_dir):
+        # chunk_rows=17 forces many chunk-boundary crossings
+        self._assert_equivalent(
+            P.synth_customer_wal_frames(spark, sf_dir)
+        )
+
+    def test_matches_batch_decode_streamed_v2(self, spark):
+        # interleaved streamed transactions incl. an abort: the missing
+        # commit marker must drop tx 200's rows in the join exactly as
+        # the buffering decoder discards them
+        self._assert_equivalent(
+            P.synth_streaming_tx_wal_frames(spark, "/root/testdata/sf0.001"),
+            protocol_version=2,
+        )
+
+    def test_matches_batch_decode_toast(self, spark):
+        self._assert_equivalent(
+            P.synth_customer_toast_wal_frames(spark, "/root/testdata/sf0.001")
+        )
+
+    def test_open_transaction_raises(self, spark):
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        frames = [
+            (0, 0, 0, bytearray(rel_frame())),
+            (0, 1, 1, bytearray(P.encode_begin(9, ts, 42))),
+            (0, 2, 1, bytearray(P.encode_insert(7, ["1", "x"]))),
+        ]
+        df = spark.createDataFrame(frames, P.WAL_FRAME_SCHEMA)
+        with pytest.raises(Exception, match="still open"):
+            P.decode_wal_frames_raw(df).collect()
+
+
 def test_multi_table_segment_decode():
     """One segment carrying TWO relations: the registry dispatches each
     data frame to its own table's column layout."""
@@ -258,18 +327,73 @@ def test_multi_table_segment_decode():
 
 
 class TestDecoderHardening:
-    def test_unchanged_toast_raises_loudly(self):
+    def test_unchanged_toast_decodes_to_sentinel(self):
+        # round 6: 'u' no longer raises — it decodes to the
+        # UNCHANGED_TOAST sentinel that apply_changes(toast_merge=True)
+        # resolves with merge-with-stored-row semantics. The encoder is
+        # symmetric: sentinel value → kind 'u' on the wire.
         import datetime
+
+        from pg2any_spark.schemas import UNCHANGED_TOAST
 
         ts = datetime.datetime(2026, 1, 1)
         dec = P.PgOutputDecoder()
         dec.feed(rel_frame(), 0)
         dec.feed(P.encode_begin(9, ts, 1), 1)
-        # hand-build an Update whose new tuple carries an 'u' column
-        frame = (b"U" + (7).to_bytes(4, "big") + b"N"
-                 + b"\x00\x02" + b"t\x00\x00\x00\x011" + b"u")
-        with pytest.raises(ValueError, match="unchanged-TOAST"):
-            dec.feed(frame, 2)
+        frame = P.encode_update(7, ["1", UNCHANGED_TOAST])
+        assert b"u" in frame  # kind byte on the wire
+        dec.feed(frame, 2)
+        rows = dec.feed(P.encode_commit(2, 2, ts), 2)
+        assert len(rows) == 1
+        assert rows[0]["after"] == {"id": "1", "val": UNCHANGED_TOAST}
+
+    def test_binary_bytea_decodes_to_base64(self):
+        # binary-mode ('b') tuple values: bytea columns (oid 17) carry
+        # through as base64 text; any other oid fails loudly instead of
+        # mis-casting a network-order binary encoding.
+        import base64
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        payload = b"\x00\x01\xff binary!"
+        rel_bytea = P.encode_relation(
+            7, "public", "t1",
+            [(P.COL_KEY_FLAG, "id", 25, -1), (0, "val", P.OID_BYTEA, -1)],
+            "default",
+        )
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_bytea, 0)
+        dec.feed(P.encode_begin(9, ts, 1), 1)
+        dec.feed(P.encode_insert(7, ["1", payload]), 2)
+        rows = dec.feed(P.encode_commit(2, 2, ts), 2)
+        expected = base64.b64encode(payload).decode("ascii")
+        assert rows[0]["after"] == {"id": "1", "val": expected}
+
+    def test_binary_non_bytea_raises(self):
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)  # val has oid 25 (text), not bytea
+        dec.feed(P.encode_begin(9, ts, 1), 1)
+        with pytest.raises(ValueError, match="binary-mode value"):
+            dec.feed(P.encode_insert(7, ["1", b"\x00\x01"]), 2)
+
+    def test_open_transaction_at_segment_end_raises(self, spark):
+        # a Begin whose Commit never arrives must fail the segment
+        # decode loudly (producer truncation), not emit a clean empty
+        # result
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        frames = [
+            (0, 0, 0, bytearray(rel_frame())),
+            (0, 1, 1, bytearray(P.encode_begin(9, ts, 42))),
+            (0, 2, 1, bytearray(P.encode_insert(7, ["1", "x"]))),
+        ]
+        df = spark.createDataFrame(frames, P.WAL_FRAME_SCHEMA)
+        with pytest.raises(Exception, match="still.*open|open.*still"):
+            P.decode_wal_segments(df).collect()
 
     def test_truncated_tuple_raises(self):
         import datetime

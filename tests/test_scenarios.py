@@ -407,6 +407,137 @@ def test_s5_single_huge_transaction(spark):
     assert got["n"] == n and got["s"] == n * (n + 1) // 2
 
 
+def _single_tx_wire_frames(spark, n, txid=42):
+    """ONE pgoutput transaction inserting ids 1..n (values matching
+    _insert_events) as wire frames in a single self-contained segment:
+    Relation, Begin, n Inserts, Commit — the reference's scenario-5
+    shape at the wire level."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from pg2any_spark.sources import pgoutput as P
+
+    rel = P.encode_relation(
+        1, "public", "t1",
+        [(P.COL_KEY_FLAG, "id", 25, -1), (0, "val", 25, -1),
+         (0, "col1", 25, -1), (0, "col2", 25, -1)],
+        "default",
+    )
+    ts = datetime.datetime(2026, 1, 1)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i) + 1
+                rows.append((0, i + 10, i, P.encode_insert(
+                    1, [str(i), str(i * 10), "x", "y"])))
+            yield pd.DataFrame(
+                rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
+            )
+
+    data = spark.range(n).mapInPandas(gen, P.WAL_FRAME_SCHEMA)
+    marks = spark.createDataFrame(
+        [
+            Row(segment_id=0, seq=0, wal_lsn=0, frame=bytearray(rel)),
+            Row(segment_id=0, seq=1, wal_lsn=0,
+                frame=bytearray(P.encode_begin(n + 1, ts, txid))),
+            Row(segment_id=0, seq=n + 100, wal_lsn=n + 1,
+                frame=bytearray(P.encode_commit(n + 1, n + 1, ts))),
+        ],
+        P.WAL_FRAME_SCHEMA,
+    )
+    return marks.unionByName(data)
+
+
+def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
+    """Scenario 5 THROUGH THE WIRE: one pgoutput transaction inserting
+    the chaos row count streams through the constant-memory decode
+    (decode_wal_frames_raw + commit join) into the replica; the runner
+    is SIGKILLed mid-batch and restarted on the same checkpoint. The
+    decode path never buffers the transaction (the reference survives
+    this scenario by spilling 64 MB segments,
+    transaction_manager.rs:638-706; here rows flow through bounded
+    Arrow batches), and the replayed batch re-decodes to the identical
+    envelope so the apply is exactly-once.
+
+    ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
+    (recorded as CHAOS_3M_WIRE.json); suite default 300k."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
+    src = str(tmp_path / "frames")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    _single_tx_wire_frames(spark, n, txid=42).repartition(8).write.parquet(src)
+
+    t0 = time.monotonic()
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src,
+        f"wire:{target}", ckpt, "1",
+    ]
+    log1 = open(str(tmp_path / "run1.log"), "wb")
+    p1 = subprocess.Popen(
+        cmd, cwd="/root/repo", start_new_session=True,
+        stdout=log1, stderr=subprocess.STDOUT,
+    )
+    try:
+        # one transaction = one segment = one micro-batch: strike while
+        # batch 0 is decoding (offsets/0 written at batch start, commit
+        # only at the end)
+        first_offset = os.path.join(ckpt, "offsets", "0")
+        deadline = time.time() + 300
+        while time.time() < deadline and not os.path.exists(first_offset):
+            assert p1.poll() is None, (
+                "runner exited before batch start: "
+                + open(str(tmp_path / "run1.log"), "rb").read()
+                .decode(errors="replace")
+            )
+            time.sleep(0.2)
+        assert os.path.exists(first_offset), "no batch started"
+        time.sleep(3.0)  # land mid-decode/apply
+    finally:
+        try:
+            os.killpg(os.getpgid(p1.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        p1.wait()
+        log1.close()
+
+    p2 = subprocess.run(cmd, cwd="/root/repo", timeout=900, capture_output=True)
+    assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
+    wall_s = round(time.monotonic() - t0, 1)
+
+    final = spark.read.parquet(target)
+    got = final.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    assert got["n"] == n, f"row count {got['n']} != {n} after wire kill"
+    assert got["s"] == n * (n + 1) // 2
+    expected = apply_changes(
+        _insert_events(spark, n, txid=42), T1_SCHEMA, ["id"],
+        scan_for_truncate=False,
+    )
+    assert final.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(final).isEmpty()
+    if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
+        label = f"{n // 1_000_000}M"
+        with open(f"/root/repo/CHAOS_{label}_WIRE.json", "w") as f:
+            json.dump(
+                {"rows": n, "wall_seconds": wall_s,
+                 "rows_per_second": round(n / wall_s, 1),
+                 "scenario": "s5_single_tx_sigkill_wire_pgoutput"},
+                f,
+            )
+
+
 def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
     """Reference chaos-script parity (chaos_script.sh:23-60): the
     container is restarted REPEATEDLY at random intervals, not killed
