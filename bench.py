@@ -63,6 +63,9 @@ HEADLINE = [
     "media_audio_features",
     # round 5b: full wire path (pgoutput encode -> segment decode -> apply)
     "cdc_apply_pgoutput",
+    # round 6: unchanged-TOAST merge apply (per-column latest-set
+    # aggregate + stored-row fallback join through the wire)
+    "cdc_apply_toast",
 ]
 
 

@@ -188,6 +188,10 @@ def _compose_dest_uri(env: Mapping[str, str], dest_type: str) -> str | None:
     from urllib.parse import quote
 
     host = env.get("CDC_DEST_HOST", "localhost")
+    if ":" in host and not host.startswith("["):
+        # IPv6 literal: bracket it or the authority cannot be split at
+        # the right host/port boundary (RFC 3986 §3.2.2)
+        host = f"[{host}]"
     port = env.get("CDC_DEST_PORT", _DEFAULT_DEST_PORT[dest_type])
     db = quote(env.get("CDC_DEST_DB", "cdc_target"), safe="")
     # credentials may carry URI metacharacters (@ : /) — percent-encode

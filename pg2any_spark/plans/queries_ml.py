@@ -77,7 +77,20 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: indexing (dedup_repeated_spans) and scalar ``unnest`` (dedup_minhash_lsh)
 #: — and casts every float operand to DOUBLE explicitly, mirroring the
 #: Spark side's count-weighted mean (operators.text.lm_bigram_scores).
-_LM_CTES = f"""
+def _lm_ctes(rounded: bool = True) -> str:
+    """Build the chain; ``rounded=False`` yields the UNROUNDED per-doc
+    mean for the threshold/output margin gate
+    (tests/test_threshold_margins.py) — same fragment, so the gate can
+    never drift from the oracles."""
+    mean = (
+        "SUM(CAST(d.n AS DOUBLE) *"
+        " (-ln((CAST(c.c_bg AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(h.c_w1 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE) * CAST(voc.v AS DOUBLE)))))"
+        " / CAST(SUM(d.n) AS DOUBLE)"
+    )
+    avg_nll = f"ROUND({mean}, 4)" if rounded else mean
+    return f"""
     lm_toks AS (
         SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
     ),
@@ -103,12 +116,7 @@ _LM_CTES = f"""
     ),
     lm AS (
         SELECT d.doc_id,
-               ROUND(SUM(CAST(d.n AS DOUBLE) *
-                         (-ln((CAST(c.c_bg AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                              / (CAST(h.c_w1 AS DOUBLE)
-                                 + CAST(0.5 AS DOUBLE)
-                                   * CAST(voc.v AS DOUBLE)))))
-                     / CAST(SUM(d.n) AS DOUBLE), 4) AS avg_nll
+               {avg_nll} AS avg_nll
         FROM lm_docbg d
         JOIN lm_bgc c ON c.bg = d.bg
         JOIN lm_hist h ON h.w1 = d.w1
@@ -116,6 +124,11 @@ _LM_CTES = f"""
         GROUP BY d.doc_id
     )
 """
+
+
+_LM_CTES = _lm_ctes(rounded=True)
+#: Unrounded twin for the margin gate.
+_LM_RAW_CTES = _lm_ctes(rounded=False)
 
 
 # ---------------------------------------------------------------------------

@@ -775,6 +775,149 @@ def decode_wal_segments(
 
 
 # ---------------------------------------------------------------------------
+# outer replication framing (COPY-data envelopes + standby feedback)
+# ---------------------------------------------------------------------------
+#
+# On a live connection, pgoutput messages never arrive bare: the server
+# wraps each in an XLogData ('w') COPY-data envelope and interleaves
+# Primary Keepalive ('k') messages; the client answers with Standby
+# Status Update ('r') frames whose LSNs advance the slot (protocol
+# §55.4, "Streaming Replication Protocol"). The reference consumes
+# these through its client loop (``producer.rs:129-132`` dispatches
+# w/k, ``client.rs:222-237`` computes the feedback LSN as
+# last-received + 1); here the same layer is a thin codec over the
+# frame stream so the ingest path models the whole conversation.
+
+
+def encode_xlog_data(
+    wal_start: int, wal_end: int, send_ts: datetime.datetime, payload: bytes
+) -> bytes:
+    """XLogData ('w'): the COPY-data envelope carrying one pgoutput
+    message at WAL position ``wal_start``."""
+    return b"w" + struct.pack(
+        ">QQq", wal_start, wal_end, ts_to_pg_us(send_ts)
+    ) + payload
+
+
+def encode_keepalive(
+    wal_end: int, send_ts: datetime.datetime, reply_requested: bool = False
+) -> bytes:
+    """Primary Keepalive ('k'): server heartbeat; ``reply_requested``
+    demands an immediate standby status update (the server's liveness
+    probe before it drops the connection)."""
+    return b"k" + struct.pack(
+        ">Qq?", wal_end, ts_to_pg_us(send_ts), reply_requested
+    )
+
+
+def encode_standby_status(
+    written_lsn: int,
+    flushed_lsn: int,
+    applied_lsn: int,
+    send_ts: datetime.datetime,
+    reply_requested: bool = False,
+) -> bytes:
+    """Standby Status Update ('r'): the client's feedback frame. The
+    server retains WAL from min(flushed, applied); reporting an LSN
+    releases everything below it — the exactly-once contract says ACK
+    only what the destination has durably applied."""
+    return b"r" + struct.pack(
+        ">QQQq?", written_lsn, flushed_lsn, applied_lsn,
+        ts_to_pg_us(send_ts), reply_requested,
+    )
+
+
+def feedback_lsn(applied_lsn: int) -> int:
+    """LSN to report in standby status: one past the last applied
+    byte position (PostgreSQL LSN reporting convention; reference
+    ``client.rs:222-237`` sends last-received + 1)."""
+    return applied_lsn + 1
+
+
+def decode_replication_message(buf: bytes) -> dict:
+    """Parse one outer replication message ('w' XLogData / 'k'
+    keepalive). Returns a dict with ``kind`` ('xlog' | 'keepalive'),
+    positions, send timestamp (PG-epoch µs) and, for XLogData, the
+    inner pgoutput ``payload``."""
+    t = buf[0:1]
+    if t == b"w":
+        wal_start, wal_end, ts_us = struct.unpack_from(">QQq", buf, 1)
+        return {
+            "kind": "xlog",
+            "wal_start": wal_start,
+            "wal_end": wal_end,
+            "send_ts_us": ts_us,
+            "payload": bytes(buf[25:]),
+        }
+    if t == b"k":
+        wal_end, ts_us, reply = struct.unpack_from(">Qq?", buf, 1)
+        return {
+            "kind": "keepalive",
+            "wal_end": wal_end,
+            "send_ts_us": ts_us,
+            "reply_requested": bool(reply),
+        }
+    raise ValueError(f"unknown replication message type {t!r}")
+
+
+def decode_standby_status(buf: bytes) -> dict:
+    """Parse a Standby Status Update ('r') — the test harness's way to
+    assert what a client ACKed."""
+    if buf[0:1] != b"r":
+        raise ValueError(f"not a standby status frame: {buf[0:1]!r}")
+    written, flushed, applied, ts_us, reply = struct.unpack_from(
+        ">QQQq?", buf, 1
+    )
+    return {
+        "written_lsn": written,
+        "flushed_lsn": flushed,
+        "applied_lsn": applied,
+        "send_ts_us": ts_us,
+        "reply_requested": bool(reply),
+    }
+
+
+#: Envelope-frame table schema: outer replication messages as they
+#: arrive on the socket, sharded into segments like the bare frames.
+XLOG_ENVELOPE_SCHEMA = "segment_id long, seq long, envelope binary"
+
+
+def unwrap_xlog_frames(envelopes: DataFrame) -> DataFrame:
+    """(segment_id, seq, envelope) outer replication messages →
+    WAL_FRAME_SCHEMA bare pgoutput frames: XLogData unwraps to its
+    payload at its wal_start position; keepalives carry no WAL and are
+    dropped (a live client answers them with standby status — see
+    ``encode_standby_status`` — which is connection I/O, not data
+    flow); unknown envelope types fail loudly. Arrow-batched
+    ``mapInPandas``, no shuffle."""
+    import pandas as pd
+
+    def unwrap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            seg_out, seq_out, lsn_out, frames = [], [], [], []
+            for seg, seq, env in zip(
+                pdf["segment_id"], pdf["seq"], pdf["envelope"]
+            ):
+                msg = decode_replication_message(bytes(env))
+                if msg["kind"] == "keepalive":
+                    continue
+                seg_out.append(int(seg))
+                seq_out.append(int(seq))
+                lsn_out.append(msg["wal_start"])
+                frames.append(msg["payload"])
+            yield pd.DataFrame(
+                {
+                    "segment_id": seg_out,
+                    "seq": seq_out,
+                    "wal_lsn": lsn_out,
+                    "frame": frames,
+                }
+            )
+
+    return envelopes.mapInPandas(unwrap, WAL_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # synthetic WAL frame stream (wire-exact, from the event synthesis)
 # ---------------------------------------------------------------------------
 

@@ -374,6 +374,7 @@ def start_pgoutput_apply(
     protocol_version: int = 1,
     low_memory: bool = True,
     toast_merge: bool = False,
+    xlog_envelopes: bool = False,
 ) -> StreamingQuery:
     """Stream pgoutput WIRE FRAMES straight into a replica: readStream
     over ``(segment_id, seq, wal_lsn, frame)`` parquet → per-batch
@@ -401,12 +402,25 @@ def start_pgoutput_apply(
     apply makes the rewrite a no-op."""
     from pg2any_spark.sources.pgoutput import (
         WAL_FRAME_SCHEMA,
+        XLOG_ENVELOPE_SCHEMA,
         decode_wal_frames_raw,
         decode_wal_segments,
         stamp_commits,
+        unwrap_xlog_frames,
     )
 
-    frames = spark.readStream.schema(WAL_FRAME_SCHEMA).parquet(frames_dir)
+    if xlog_envelopes:
+        # frames_dir holds raw socket traffic: XLogData ('w') COPY
+        # envelopes + keepalives, as a live client records them. The
+        # wal_lsn comes from each envelope's wal_start — the same
+        # position the client's standby-status feedback advances
+        # (sources.pgoutput.feedback_lsn).
+        envelopes = spark.readStream.schema(XLOG_ENVELOPE_SCHEMA).parquet(
+            frames_dir
+        )
+        frames = unwrap_xlog_frames(envelopes)
+    else:
+        frames = spark.readStream.schema(WAL_FRAME_SCHEMA).parquet(frames_dir)
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
         # persist the decoded rows: the commit join (low_memory) or the

@@ -207,6 +207,23 @@ class TestDiscreteDestVars:
                 **self.SRC, "CDC_DEST_TYPE": "Kafka", "CDC_DEST_HOST": "broker",
             })
 
+    def test_ipv6_host_is_bracketed(self):
+        cfg = C.load_config_from_env({
+            **self.SRC, "CDC_DEST_HOST": "::1",
+        })
+        uri = cfg.destination_connection_string
+        assert uri == "mysql://cdc_user:cdc_password@[::1]:3306/cdc_target"
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(uri)
+        assert parts.hostname == "::1" and parts.port == 3306
+
+    def test_already_bracketed_ipv6_not_doubled(self):
+        cfg = C.load_config_from_env({
+            **self.SRC, "CDC_DEST_HOST": "[2001:db8::7]",
+        })
+        assert "@[2001:db8::7]:3306/" in cfg.destination_connection_string
+
     def test_credentials_percent_encoded(self):
         cfg = C.load_config_from_env({
             **self.SRC,

@@ -295,6 +295,89 @@ class TestChunkedDecode:
             P.decode_wal_frames_raw(df).collect()
 
 
+class TestOuterFraming:
+    """XLogData/keepalive envelopes + standby feedback (protocol
+    §55.4; reference producer.rs:129-132 dispatch, client.rs:222-237
+    feedback LSN)."""
+
+    TS = __import__("datetime").datetime(2026, 1, 1, 12, 30, 45, 123456)
+
+    def test_xlog_data_golden_layout(self):
+        env = P.encode_xlog_data(0x0A0B, 0x0A0C, self.TS, b"PAYLOAD")
+        assert env[0:1] == b"w"
+        assert int.from_bytes(env[1:9], "big") == 0x0A0B
+        assert int.from_bytes(env[9:17], "big") == 0x0A0C
+        assert env[25:] == b"PAYLOAD"
+        msg = P.decode_replication_message(env)
+        assert msg["kind"] == "xlog" and msg["wal_start"] == 0x0A0B
+        assert msg["payload"] == b"PAYLOAD"
+        assert msg["send_ts_us"] == P.ts_to_pg_us(self.TS)
+
+    def test_keepalive_golden_layout(self):
+        env = P.encode_keepalive(0xFF, self.TS, reply_requested=True)
+        assert env[0:1] == b"k" and len(env) == 18
+        msg = P.decode_replication_message(env)
+        assert msg["kind"] == "keepalive" and msg["wal_end"] == 0xFF
+        assert msg["reply_requested"] is True
+
+    def test_standby_status_roundtrip(self):
+        frame = P.encode_standby_status(
+            P.feedback_lsn(100), P.feedback_lsn(100), P.feedback_lsn(90),
+            self.TS,
+        )
+        assert frame[0:1] == b"r" and len(frame) == 34
+        st = P.decode_standby_status(frame)
+        assert st["written_lsn"] == 101
+        assert st["flushed_lsn"] == 101
+        assert st["applied_lsn"] == 91
+        assert st["reply_requested"] is False
+
+    def test_unknown_envelope_raises(self):
+        with pytest.raises(ValueError, match="unknown replication"):
+            P.decode_replication_message(b"z123")
+
+    def test_enveloped_stream_equals_bare(self, spark, sf_dir):
+        """Wrapping every frame in XLogData and interleaving keepalives
+        must be invisible after unwrap: identical decoded envelope."""
+        import datetime
+
+        import pandas as pd
+        from pyspark.sql import Row, functions as F
+
+        ts = datetime.datetime(2026, 1, 1)
+        frames = P.synth_customer_wal_frames(spark, sf_dir)
+
+        def wrap(it):
+            for pdf in it:
+                yield pd.DataFrame({
+                    "segment_id": pdf["segment_id"],
+                    "seq": pdf["seq"],
+                    "envelope": [
+                        P.encode_xlog_data(int(l), int(l), ts, bytes(fr))
+                        for l, fr in zip(pdf["wal_lsn"], pdf["frame"])
+                    ],
+                })
+
+        enveloped = frames.mapInPandas(wrap, P.XLOG_ENVELOPE_SCHEMA)
+        keepalives = spark.createDataFrame(
+            [Row(segment_id=s, seq=10**12 + s,
+                 envelope=bytearray(P.encode_keepalive(999, ts)))
+             for s in range(4)],
+            P.XLOG_ENVELOPE_SCHEMA,
+        )
+        unwrapped = P.unwrap_xlog_frames(
+            enveloped.unionByName(keepalives)
+        )
+        canon = lambda df: df.select(  # noqa: E731
+            "op", "txid", "lsn", F.unix_micros("commit_ts").alias("cts"),
+            F.to_json("after").alias("a"),
+        )
+        bare = canon(P.decode_wal_segments(frames))
+        via_env = canon(P.decode_wal_segments(unwrapped))
+        assert via_env.exceptAll(bare).isEmpty()
+        assert bare.exceptAll(via_env).isEmpty()
+
+
 def test_multi_table_segment_decode():
     """One segment carrying TWO relations: the registry dispatches each
     data frame to its own table's column layout."""

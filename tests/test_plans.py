@@ -49,6 +49,26 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_chunked_wire_decode_commit_join_broadcasts(spark, sf_dir):
+    """The constant-memory wire decode's commit-stamp join must build
+    from the (tiny, one-row-per-transaction) marker side as a
+    broadcast hash join — a shuffle join here would re-shuffle the
+    entire decoded event stream just to attach commit timestamps."""
+    from pg2any_spark.sources.pgoutput import (
+        decode_wal_frames_raw,
+        stamp_commits,
+        synth_customer_wal_frames,
+    )
+
+    raw = decode_wal_frames_raw(synth_customer_wal_frames(spark, sf_dir))
+    plan = explain(stamp_commits(raw), "simple")
+    assert "BroadcastHashJoin" in plan
+    # and the no-broadcast fallback keeps a conditioned join (never
+    # cartesian) for the pathological many-tiny-transaction batch
+    fallback = explain(stamp_commits(raw, broadcast_commits=False), "simple")
+    assert "CartesianProduct" not in fallback
+
+
 def test_q6_filters_reach_the_scan(plans):
     plan = plans("q6_forecast_revenue")
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan

@@ -1,32 +1,40 @@
-"""Threshold-flip gate: no registered query may threshold a rounded
-float metric whose UNROUNDED distribution approaches a rounding-flip
-boundary of the cut.
+"""Threshold- and output-cell flip gate for rounded float metrics.
 
 Round 4's only red driver row (`corpus_filter_funnel`) was an LM cut
 (avg_nll > 3.42) sitting 2e-4 — two rounding quanta — from two
-documents' scores.  This gate retires the bug class with the exact
-flip condition rather than a crude margin:
+documents' scores.  Round 5's `perplexity_bucket_sampling` red showed
+the same hazard class can hide in rounded float OUTPUT columns, not
+just thresholded literals.  This gate covers both:
 
-For flag = ROUND(raw, d) OP t, with quantum q = 10^-d and t a
-multiple of q, the flag flips between engines/runs ONLY when `raw`
-lies within cross-engine float jitter of one of the two half-quantum
-rounding boundaries t - q/2 or t + q/2 (there the rounded value
-tips between t and t±q, crossing the cut).  A value exactly AT the
-cut after rounding is stable — t is far from its own rounding
-boundaries — so atoms at nice rationals (quality == 0.4 exactly, an
-actual feature of the fixture) are correctly admitted.
+1. **Thresholded literals** (`test_threshold_flip_margin`): for
+   flag = ROUND(raw, d) OP t, with quantum q = 10^-d and t a multiple
+   of q, the flag flips between engines/runs ONLY when `raw` lies
+   within cross-engine float jitter of one of the two half-quantum
+   rounding boundaries t - q/2 or t + q/2.  The gate scans every
+   metric's UNROUNDED distribution on DuckDB (reusing the same SQL
+   fragments the oracles are built from) and asserts
+   min |raw - b| >= 1e-9 for both boundaries.
 
-The gate therefore computes every metric's UNROUNDED distribution on
-DuckDB (reusing the same SQL fragments the oracles are built from, so
-it cannot drift from the queries) and asserts min |raw - b| >= 1e-9
-for both boundaries b — six orders of magnitude above measured
-cross-engine disagreement (Spark vs DuckDB agree to ~3e-15 on the LM
-metric; measured round 5).
+2. **Rounded float output columns** (`test_output_columns_classified`
+   + `test_output_cell_flip_margin`): every DOUBLE output column of
+   every oracle-able registry query whose values carry more than 2
+   decimals must be CLASSIFIED — either `DETERMINISTIC_EXACT` (the
+   cell value is bit-identical across engines by construction:
+   integer-ratio division, DECIMAL-path accumulation, per-row
+   fixed-order expressions, text→double passthrough) or `RAW_MARGIN`
+   (an order-dependent float aggregate: its unrounded distribution
+   must clear every half-quantum rounding boundary by >= 1e-9, so
+   engine-order summation jitter cannot flip the rounded cell).  An
+   unclassified column fails the gate — a new query cannot ship a
+   hazardous float cell unnoticed.
 
-Runs at sf0.001, sf0.01 (the correctness-gate SF), and sf0.1.
+Margins run at sf0.001, sf0.01 (the correctness-gate SF), and sf0.1;
+the enumeration runs at sf0.01.
 """
 
 from __future__ import annotations
+
+import math
 
 import duckdb
 import pytest
@@ -39,33 +47,27 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
-_LM_RAW_SQL = f"""
-WITH base AS (
-    SELECT doc_id, text FROM documents WHERE trim(text) <> ''
-),
-occ AS (
-    SELECT doc_id,
-           unnest(list_transform(generate_series(1, len({QM._TOKS}) - 1),
-                  i -> {QM._TOKS}[i] || ' ' || {QM._TOKS}[i+1])) AS bg
-    FROM base WHERE len({QM._TOKS}) >= 2
-),
-bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
-hist AS (
-    SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
-    FROM bgc GROUP BY 1
-),
-voc AS (
-    SELECT count(DISTINCT tok) AS v FROM (
-        SELECT unnest({QM._TOKS}) AS tok FROM base
-    ) WHERE tok <> ''
+FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
 )
-SELECT AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))) AS m
-FROM occ o
-JOIN bgc ON o.bg = bgc.bg
-JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
-CROSS JOIN voc
-GROUP BY o.doc_id
-"""
+
+
+def _connect(sf_dir):
+    con = duckdb.connect()
+    for tbl in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+    return con
+
+
+# --- unrounded metric distributions ---------------------------------------
+
+#: Per-doc LM mean nll, UNROUNDED — same CTE chain the oracles use
+#: (queries_ml._lm_ctes(rounded=False)), so the gate cannot drift.
+_LM_RAW_SQL = f"WITH {QM._LM_RAW_CTES} SELECT avg_nll AS m FROM lm"
 
 _DUP_FRAC_RAW_SQL = f"""
 WITH g AS (
@@ -133,8 +135,82 @@ JOIN corpus o ON o.orig_id = p.orig_id AND o.variant = 'orig'
 WHERE p.variant <> 'orig'
 """
 
-# (metric id, raw SQL yielding column m, [cut literals], rounding
-#  quantum, queries guarded)
+_Q1_AVG_RAW_SQL = """
+SELECT AVG(l_quantity) AS m FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT AVG(l_extendedprice) FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT AVG(l_discount) FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q8_SHARE_RAW_SQL = """
+SELECT SUM(CASE WHEN supp_grp THEN volume ELSE 0 END) / SUM(volume) AS m
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_nationkey % 3 = 0 AS supp_grp
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '2001-01-01'
+) t
+GROUP BY o_year
+"""
+
+_Q14_SHARE_RAW_SQL = """
+SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END)
+       / SUM(l_extendedprice * (1 - l_discount)) AS m
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+_STATS_RAW_SQL = """
+SELECT corr(l_quantity, l_extendedprice) AS m
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT var_samp(l_quantity) FROM lineitem GROUP BY l_returnflag
+"""
+
+_ENTROPY_RAW_SQL = """
+WITH per AS (
+    SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, SUM(n) AS n_docs FROM per GROUP BY source)
+SELECT -SUM((p.n / CAST(t.n_docs AS DOUBLE))
+            * ln(p.n / CAST(t.n_docs AS DOUBLE))) AS m
+FROM per p JOIN tot t ON p.source = t.source
+GROUP BY t.source
+"""
+
+_PCTL_RAW_SQL = """
+SELECT quantile_cont(o_totalprice, 0.5) AS m
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+UNION ALL
+SELECT quantile_cont(o_totalprice, 0.9)
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+UNION ALL
+SELECT quantile_cont(o_totalprice, 0.99)
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+"""
+
+# --- thresholded-literal gate (metric id, raw SQL, cuts, quantum, guards) --
+
 THRESHOLDED_METRICS = [
     ("lm_avg_nll", _LM_RAW_SQL, [3.595], 1e-4, ["corpus_filter_funnel"]),
     (
@@ -169,12 +245,7 @@ MIN_BOUNDARY_DIST = 1e-9
 )
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[d.rsplit("/", 1)[1] for d in SF_DIRS])
 def test_threshold_flip_margin(sf_dir, metric_id, sql, cuts, quantum, queries):
-    con = duckdb.connect()
-    for tbl in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{tbl}.parquet')"
-        )
+    con = _connect(sf_dir)
     vals = [r[0] for r in con.execute(sql).fetchall() if r[0] is not None]
     assert vals, f"{metric_id}: metric scan returned no values at {sf_dir}"
     for t in cuts:
@@ -186,3 +257,161 @@ def test_threshold_flip_margin(sf_dir, metric_id, sql, cuts, quantum, queries):
                 f"the flag can tip between engines; re-site the threshold. "
                 f"Guards {queries}"
             )
+
+
+# --- rounded-output-cell gate ---------------------------------------------
+
+#: (query, column) pairs whose >2dp float cells are bit-identical
+#: across engines BY CONSTRUCTION — the reason is the classification.
+DETERMINISTIC_EXACT = {
+    # unrounded text→double passthrough: both engines parse the same
+    # rendered literal to the same IEEE double
+    ("cdc_apply_customer", "c_acctbal"),
+    ("cdc_apply_pgoutput", "c_acctbal"),
+    ("cdc_apply_pgoutput_streamed", "c_acctbal"),
+    ("cdc_apply_streaming_tx", "c_acctbal"),
+    ("cdc_apply_toast", "c_acctbal"),
+    ("cdc_apply_orders_full_identity", "o_totalprice"),
+    ("cdc_debezium_envelope", "after_acctbal"),
+    ("cdc_envelope_roundtrip", "c_acctbal"),
+    ("scd2_customer_history", "c_acctbal"),
+    ("scd2_snapshot_time_travel", "c_acctbal"),
+    # DECIMAL-path accumulation before the final (exact) division
+    ("embedding_centroids_by_label", "coord"),
+    ("ivf_kmeans_refined_centroids", "coord"),
+    ("doc_quality_bands", "avg_quality"),
+    ("training_pipeline_docs", "avg_quality"),
+    # integer-ratio division: same two integers divided on both sides
+    ("line_dedup_c4", "kept_frac"),
+    ("dedup_ngram_jaccard", "jaccard"),
+    ("dedup_repeated_spans", "dup_token_frac"),
+    ("doc_repetition_stats", "dup_ngram_frac"),
+    ("doc_repetition_stats", "top_ngram_share"),
+    ("text_stats_documents", "stopword_ratio_en"),
+    ("dedup_lsh_recall_report", "candidate_precision"),
+    ("dedup_lsh_recall_report", "lsh_recall"),
+    ("dedup_lexical_semantic_agreement", "pair_jaccard"),
+    ("pack_sequences_budget", "fill_ratio"),
+    ("bpe_tokenize_docs", "compression"),
+    ("media_image_features", "brightness"),
+    ("window_value_distribution", "pct_rank"),
+    ("window_value_distribution", "cume"),
+    # per-row FIXED-ORDER expression over identically-derived values
+    # (array fold / scalar arithmetic — never a parallel aggregate)
+    ("ann_cosine_topk_bruteforce", "cos_sim"),
+    ("ann_ivf_topk", "cos_sim"),
+    ("ann_lsh_topk", "cos_sim"),
+    ("tfidf_top_terms_per_doc", "tfidf"),
+    ("dedup_keep_best", "quality"),
+    # int64-exact accumulation then one correctly-rounded IEEE op
+    ("media_audio_features", "rms"),
+}
+
+#: (query, column) → (raw-metric id) for order-dependent float
+#: aggregates; the metric's unrounded distribution must clear every
+#: half-quantum rounding boundary (RAW_MARGIN_METRICS below).
+RAW_MARGIN = {
+    ("lm_bigram_perplexity", "avg_nll"): "lm_avg_nll_out",
+    ("perplexity_probe_nll", "min_nll"): "lm_avg_nll_out",
+    ("perplexity_probe_nll", "max_nll"): "lm_avg_nll_out",
+    ("q1_pricing_summary", "avg_qty"): "q1_avgs",
+    ("q1_pricing_summary", "avg_price"): "q1_avgs",
+    ("q1_pricing_summary", "avg_disc"): "q1_avgs",
+    ("q8_market_share", "mkt_share"): "q8_share",
+    ("q14_promo_revenue_share", "promo_share"): "q14_share",
+    ("stats_lineitem_price_qty", "qty_price_corr"): "stats_corr_var",
+    ("stats_lineitem_price_qty", "qty_var"): "stats_corr_var",
+    ("source_lang_profile", "lang_entropy"): "lang_entropy",
+    ("embedding_outliers", "cos_centroid"): "centroid_cos_out",
+    ("percentile_order_value_by_segment", "p50"): "pctl_order_value",
+    ("percentile_order_value_by_segment", "p90"): "pctl_order_value",
+    ("percentile_order_value_by_segment", "p99"): "pctl_order_value",
+}
+
+#: raw-metric id → (raw SQL yielding column m, rounding quantum,
+#: min boundary distance). The default bound (1e-9) is ~10^6 x the
+#: measured cross-engine disagreement; metrics with MANY raw values at
+#: a fine quantum (e.g. one cosine per vector at 6dp) will
+#: statistically always have SOME value ~1e-10 from a boundary, so
+#: their bound is instead set ~10^3 x the metric's actual jitter
+#: ceiling (a 64-term unit-scale sum reorders within ~1e-14) —
+#: still catching any value a real engine difference could flip.
+RAW_MARGIN_METRICS = {
+    "lm_avg_nll_out": (_LM_RAW_SQL, 1e-4, 1e-9),
+    "q1_avgs": (_Q1_AVG_RAW_SQL, 1e-4, 1e-9),
+    "q8_share": (_Q8_SHARE_RAW_SQL, 1e-4, 1e-9),
+    "q14_share": (_Q14_SHARE_RAW_SQL, 1e-4, 1e-9),
+    "stats_corr_var": (_STATS_RAW_SQL, 1e-4, 1e-9),
+    "lang_entropy": (_ENTROPY_RAW_SQL, 1e-6, 1e-9),
+    "centroid_cos_out": (_CENTROID_COS_RAW_SQL, 1e-6, 1e-11),
+    "pctl_order_value": (_PCTL_RAW_SQL, 1e-4, 1e-9),
+}
+
+
+def _max_decimals(values) -> int:
+    d = 0
+    for v in values:
+        s = repr(float(v))
+        if "e" in s or "E" in s:
+            return 13  # scientific notation: treat as unrounded
+        if "." in s:
+            d = max(d, len(s.split(".")[1].rstrip("0")))
+    return d
+
+
+def test_output_columns_classified():
+    """Every >2dp DOUBLE output column of every oracle must be
+    classified (DETERMINISTIC_EXACT or RAW_MARGIN). Forces every new
+    query to declare its float-cell determinism story."""
+    import __spark_entry__ as entry_mod
+
+    con = _connect(SF_DIRS[1])  # sf0.01, the driver-gate SF
+    unclassified = []
+    for name, sql in entry_mod.oracle_sql().items():
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in rows if r[i] is not None]
+            if not vals or not any(isinstance(v, float) for v in vals):
+                continue
+            if _max_decimals(vals) <= 2:
+                continue
+            if (name, c) in DETERMINISTIC_EXACT or (name, c) in RAW_MARGIN:
+                continue
+            unclassified.append((name, c))
+    assert not unclassified, (
+        "rounded float output columns with >2 decimals and no "
+        f"determinism classification: {unclassified} — add each to "
+        "DETERMINISTIC_EXACT (with a construction argument) or "
+        "RAW_MARGIN (with a raw-distribution SQL) in "
+        "tests/test_threshold_margins.py"
+    )
+
+
+@pytest.mark.parametrize(
+    "metric_id", sorted(RAW_MARGIN_METRICS), ids=sorted(RAW_MARGIN_METRICS)
+)
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[d.rsplit("/", 1)[1] for d in SF_DIRS])
+def test_output_cell_flip_margin(sf_dir, metric_id):
+    """Order-dependent float aggregates that surface as rounded output
+    cells: every achievable raw value must sit >= 1e-9 away from its
+    NEAREST half-quantum rounding boundary (k + 0.5)·q, so summation
+    -order jitter cannot flip the rounded cell between engines."""
+    sql, quantum, min_dist = RAW_MARGIN_METRICS[metric_id]
+    con = _connect(sf_dir)
+    vals = [r[0] for r in con.execute(sql).fetchall() if r[0] is not None]
+    assert vals, f"{metric_id}: raw scan returned no values at {sf_dir}"
+    worst_v, worst = None, float("inf")
+    for v in vals:
+        frac = v / quantum - math.floor(v / quantum)
+        dist = abs(frac - 0.5) * quantum
+        if dist < worst:
+            worst_v, worst = v, dist
+    guarded = sorted(q for (q, _c), m in RAW_MARGIN.items() if m == metric_id)
+    assert worst >= min_dist, (
+        f"{metric_id}: raw value {worst_v!r} sits {worst:.2e} from a "
+        f"half-quantum rounding boundary (q={quantum}) at {sf_dir} — the "
+        f"rounded output cell can flip between engines. Guards {guarded}; "
+        "widen the rounding or drop the cell to counts-only."
+    )
