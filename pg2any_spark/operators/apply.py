@@ -181,6 +181,33 @@ def apply_changes(
             )
 
     if split_key_updates:
+        if toast_merge:
+            # a key-changing UPDATE that also withholds an unchanged
+            # TOAST column would need the OLD key's stored row to
+            # resolve the sentinel, but the delete+insert decomposition
+            # re-homes the row under the NEW key — the fallback join
+            # would miss and NULL the column. Rare (key change + TOAST
+            # withhold in one statement) and detectable: refuse loudly.
+            sentinel_mover = events.filter(
+                (F.col("op") == "u")
+                & F.array_contains(
+                    F.map_values(F.col("after")), UNCHANGED_TOAST
+                )
+                & F.col("before").isNotNull()
+            )
+            changed = None
+            for k in key_cols:
+                old_k = F.col("before").getItem(k)
+                new_k = F.col("after").getItem(k)
+                c = old_k.isNotNull() & new_k.isNotNull() & (old_k != new_k)
+                changed = c if changed is None else (changed | c)
+            if sentinel_mover.filter(changed).head(1):
+                raise ValueError(
+                    "key-changing UPDATE with an unchanged-TOAST "
+                    "column cannot be applied: the stored value lives "
+                    "under the old key; use REPLICA IDENTITY FULL on "
+                    "the publisher for key-changing tables"
+                )
         events = split_key_changing_updates(events, key_cols)
 
     # --- TRUNCATE barrier -------------------------------------------------
@@ -209,12 +236,15 @@ def apply_changes(
     order_struct = F.struct(*order_cols)
     win_agg = [F.max_by(F.struct("op", "after"), order_struct).alias("w")]
     if toast_merge:
-        # one extra max_by per destination column: the latest event
-        # that actually SET it (skipping 'u' sentinel cells; deletes
-        # carry no after image so their ordering key is NULL and
-        # max_by ignores them). Still a single map-side-combinable
-        # aggregate — the shuffle stays one (wider) row per key.
+        # one extra max_by per NON-KEY destination column: the latest
+        # event that actually SET it (skipping 'u' sentinel cells;
+        # deletes carry no after image so their ordering key is NULL
+        # and max_by ignores them). Key columns resolve from the group
+        # key itself — aggregating them again would just widen the
+        # shuffle row. Still a single map-side-combinable aggregate.
         for f in schema.fields:
+            if f.name in key_cols:
+                continue
             cell = F.col("after").getItem(f.name)
             set_cond = F.col("after").isNotNull() & ~cell.eqNullSafe(
                 UNCHANGED_TOAST
@@ -240,6 +270,10 @@ def apply_changes(
             alive = alive.join(base, on=cond, how="left")
         out_cols = []
         for f in schema.fields:
+            if f.name in key_cols:
+                # the group key IS the value (already typed)
+                out_cols.append(F.col(f"__key_{f.name}").alias(f.name))
+                continue
             set_struct = F.col(f"__set_{f.name}")
             resolved = _cast_text(set_struct["v"], f.dataType)
             stored = (

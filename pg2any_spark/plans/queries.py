@@ -151,7 +151,7 @@ def cdc_apply_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     frames = synth_customer_toast_wal_frames(spark, sf_dir)
-    events = decode_wal_segments(frames)
+    events = decode_wal_segments(frames, toast_merge=True)
     cust = load_table(spark, "customer", sf_dir)
     return apply_changes(
         events, cust.schema, ["c_custkey"], table="customer",

@@ -2497,40 +2497,20 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lm_bigram_perplexity",
     oracle=f"""
-    WITH base AS (
-        SELECT doc_id, text FROM documents WHERE trim(text) <> ''
-    ),
-    occ AS (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, len({_TOKS}) - 1),
-                      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])) AS bg
-        FROM base WHERE len({_TOKS}) >= 2
-    ),
-    bgc AS (SELECT bg, count(*) AS c_bg FROM occ GROUP BY bg),
-    hist AS (
-        SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
-        FROM bgc GROUP BY 1
-    ),
-    voc AS (
-        SELECT count(DISTINCT tok) AS v FROM (
-            SELECT unnest({_TOKS}) AS tok FROM base
-        ) WHERE tok <> ''
-    )
-    SELECT o.doc_id,
-           count(*) AS n_bigrams,
-           ROUND(AVG(-ln((c_bg + 0.5) / (c_w1 + 0.5 * v))), 4) AS avg_nll
-    FROM occ o
-    JOIN bgc ON o.bg = bgc.bg
-    JOIN hist ON split_part(o.bg, ' ', 1) = hist.w1
-    CROSS JOIN voc
-    GROUP BY o.doc_id
+    WITH {_LM_CTES},
+    nb AS (SELECT doc_id, SUM(n) AS n_bigrams FROM lm_docbg GROUP BY doc_id)
+    SELECT lm.doc_id, nb.n_bigrams, lm.avg_nll
+    FROM lm JOIN nb ON nb.doc_id = lm.doc_id
     """,
 )
 def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under a corpus-trained
     add-k bigram LM — the CCNet-style perplexity quality signal
     (operators.text.lm_bigram_scores): one bigram explode feeds both
-    the count tables and the scoring join, all codegen."""
+    the count tables and the scoring join, all codegen. Round 6: the
+    oracle rides the shared portable _LM_CTES chain (same values; the
+    old occ/list_transform form was the retired dialect-heavy
+    construct class)."""
     docs = load_table(spark, "documents", sf_dir)
     return T.lm_bigram_scores(docs, "doc_id", "text", alpha=0.5)
 

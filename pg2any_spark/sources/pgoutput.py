@@ -37,7 +37,13 @@ import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, UNCHANGED_TOAST
 
@@ -231,11 +237,16 @@ def _read_cstr(buf: bytes, off: int) -> tuple[str, int]:
     return buf[off:end].decode("utf-8"), end + 1
 
 
-def _read_tuple(buf: bytes, off: int) -> tuple[list[str | bytes | None], int]:
+def _read_tuple(
+    buf: bytes, off: int, toast_merge: bool = False
+) -> tuple[list[str | bytes | None], int]:
     """Parse one tuple-data block. Text values decode to ``str``;
     kind 'u' (unchanged TOAST — the value was NOT sent) becomes the
-    ``UNCHANGED_TOAST`` sentinel, resolved at apply time with
-    merge-with-stored-row semantics; kind 'b' (binary mode) stays raw
+    ``UNCHANGED_TOAST`` sentinel when the pipeline opted into
+    merge-with-stored-row apply (``toast_merge=True``), and RAISES
+    otherwise — a default apply would run the sentinel through the
+    typed cast and silently NULL-overwrite the stored value, the one
+    unacceptable failure mode; kind 'b' (binary mode) stays raw
     ``bytes`` for ``_to_map`` to validate against the column's type
     oid (only bytea's binary form is its own value)."""
     (n,) = struct.unpack_from(">H", buf, off)
@@ -247,6 +258,14 @@ def _read_tuple(buf: bytes, off: int) -> tuple[list[str | bytes | None], int]:
         if kind == b"n":
             vals.append(None)
         elif kind == b"u":
+            if not toast_merge:
+                raise ValueError(
+                    "unchanged-TOAST column ('u') received but the "
+                    "apply is not in toast_merge mode: applying it "
+                    "would overwrite the stored value with NULL; "
+                    "enable toast_merge or use REPLICA IDENTITY FULL "
+                    "on the publisher"
+                )
             vals.append(UNCHANGED_TOAST)
         elif kind in (b"t", b"b"):
             (ln,) = struct.unpack_from(">I", buf, off)
@@ -276,8 +295,12 @@ class PgOutputDecoder:
     divergence, the one unacceptable failure mode).
     """
 
-    def __init__(self, protocol_version: int = 1):
+    def __init__(self, protocol_version: int = 1, toast_merge: bool = False):
         self.protocol_version = protocol_version
+        #: accept unchanged-TOAST ('u') columns as sentinels; off by
+        #: default so a pipeline that cannot resolve them fails loudly
+        #: at decode instead of silently diverging at apply
+        self.toast_merge = toast_merge
         self.relations: dict[int, _Relation] = {}
         self.tx: dict[int, list[dict]] = {}  # xid -> buffered rows
         self.current_xid: int | None = None
@@ -396,17 +419,17 @@ class PgOutputDecoder:
             if t == b"I":
                 if frame[off : off + 1] != b"N":
                     raise ValueError("malformed Insert: missing N tuple")
-                after, off = _read_tuple(frame, off + 1)
+                after, off = _read_tuple(frame, off + 1, self.toast_merge)
                 row = self._row(rel, "c", wal_lsn, None, self._to_map(rel, after))
             elif t == b"U":
                 kind = frame[off : off + 1]
                 old = None
                 if kind in (b"K", b"O"):
-                    old, off = _read_tuple(frame, off + 1)
+                    old, off = _read_tuple(frame, off + 1, self.toast_merge)
                     kind = frame[off : off + 1]
                 if kind != b"N":
                     raise ValueError("malformed Update: missing N tuple")
-                new, off = _read_tuple(frame, off + 1)
+                new, off = _read_tuple(frame, off + 1, self.toast_merge)
                 row = self._row(
                     rel,
                     "u",
@@ -418,7 +441,7 @@ class PgOutputDecoder:
                 kind = frame[off : off + 1]
                 if kind not in (b"K", b"O"):
                     raise ValueError("malformed Delete: missing K/O tuple")
-                old, off = _read_tuple(frame, off + 1)
+                old, off = _read_tuple(frame, off + 1, self.toast_merge)
                 row = self._row(rel, "d", wal_lsn, self._to_map(rel, old), None)
             self._buffer(xid, row)
             return []
@@ -466,6 +489,30 @@ class PgOutputDecoder:
                     kids.remove(subxid)
             return []
         raise ValueError(f"unknown pgoutput message type {t!r}")
+
+    def open_xids(self) -> list[int]:
+        """Transactions left open at stream end: any xid with buffered
+        rows no Commit released, plus an un-committed current
+        transaction. Zero-row streamed registrations (Stream Start
+        with no data) are not flagged — nothing would be lost."""
+        xids = {x for x, rows in self.tx.items() if rows}
+        if self.current_xid is not None:
+            xids.add(self.current_xid)
+        return sorted(xids)
+
+    def check_closed(self, label) -> None:
+        """Raise if the stream/segment ended with open transactions —
+        producer truncation or mis-sharding; finishing quietly would
+        silently skip their events, the one unacceptable failure mode
+        this module documents. (An orphaned Commit already raises;
+        this closes the Begin-side hole.)"""
+        open_xids = self.open_xids()
+        if open_xids:
+            raise ValueError(
+                f"segment {label} ended with transaction(s) {open_xids} "
+                "still open (no Commit seen): truncated or mis-sharded "
+                "WAL segment"
+            )
 
     def _row(self, rel, op, lsn, before, after) -> dict:
         return {
@@ -519,8 +566,13 @@ class StreamingPgOutputDecoder(PgOutputDecoder):
     #: marker op for commit rows (never collides with c/u/d/t).
     COMMIT_OP = "_c"
 
-    def __init__(self, protocol_version: int = 1, segment_id: int = 0):
-        super().__init__(protocol_version)
+    def __init__(
+        self,
+        protocol_version: int = 1,
+        segment_id: int = 0,
+        toast_merge: bool = False,
+    ):
+        super().__init__(protocol_version, toast_merge=toast_merge)
         self._pending: list[dict] = []
         self._open_rows: dict[int, int] = {}  # xid -> rows emitted
         # xids are NOT unique join keys: PostgreSQL reuses them after
@@ -556,8 +608,6 @@ class StreamingPgOutputDecoder(PgOutputDecoder):
         row["txid"] = key
         row["tx_instance"] = self._instance(key)
         row["commit_xid"] = None
-        row["commit_ts_us"] = None
-        del row["commit_ts"]
         self._pending.append(row)
 
     def _release(
@@ -580,13 +630,19 @@ class StreamingPgOutputDecoder(PgOutputDecoder):
             "table": "",
             "txid": txid if txid is not None else xid,  # final txid
             "lsn": 0,
+            # the marker carries the commit timestamp as the SAME naive
+            # datetime the buffering decoder stamps (PG_EPOCH + µs), so
+            # both decode paths interpret it identically under ANY
+            # session timezone — unix-µs arithmetic here would rebase
+            # the chunked path to UTC while the batch path follows the
+            # session zone
+            "commit_ts": PG_EPOCH + datetime.timedelta(microseconds=ts_us),
             "before": None,
             "after": None,
             "key_columns": None,
             "replica_identity": None,
             "tx_instance": inst,
             "commit_xid": xid,
-            "commit_ts_us": ts_us,
         }]
 
     def feed(self, frame: bytes, wal_lsn: int, seq: int = 0) -> list[dict]:
@@ -623,22 +679,26 @@ class StreamingPgOutputDecoder(PgOutputDecoder):
 
 
 #: Intermediate schema of the constant-memory decode: the change-event
-#: envelope minus commit_ts, plus the commit-marker columns.
+#: envelope (commit_ts nullable — data rows carry it only after the
+#: commit join) plus the commit-marker columns.
 CHUNKED_DECODE_SCHEMA = StructType(
-    [f for f in CHANGE_EVENT_SCHEMA.fields if f.name != "commit_ts"]
+    [
+        StructField("commit_ts", TimestampType(), True)
+        if f.name == "commit_ts" else f
+        for f in CHANGE_EVENT_SCHEMA.fields
+    ]
     + [
         StructField("tx_instance", StringType(), False),
         StructField("commit_xid", LongType(), True),
-        StructField("commit_ts_us", LongType(), True),
     ]
 )
 
-#: Unix µs of the PostgreSQL timestamp epoch (2000-01-01 UTC).
-_PG_EPOCH_UNIX_US = 946_684_800_000_000
-
 
 def decode_wal_frames_raw(
-    frames: DataFrame, protocol_version: int = 1, chunk_rows: int = 65_536
+    frames: DataFrame,
+    protocol_version: int = 1,
+    chunk_rows: int = 65_536,
+    toast_merge: bool = False,
 ) -> DataFrame:
     """Constant-memory wire decode: ``(segment_id, seq, wal_lsn,
     frame)`` → interleaved data rows + commit markers
@@ -659,24 +719,16 @@ def decode_wal_frames_raw(
         current_seg = None
         out: list[dict] = []
 
-        def finalize(d: StreamingPgOutputDecoder, seg) -> None:
-            open_xids = d.open_xids()
-            if open_xids:
-                raise ValueError(
-                    f"segment {seg} ended with transaction(s) "
-                    f"{open_xids} still open (no Commit seen): "
-                    "truncated or mis-sharded WAL segment"
-                )
-
         for pdf in batches:
             for seg, seq, lsn, frame in zip(
                 pdf["segment_id"], pdf["seq"], pdf["wal_lsn"], pdf["frame"]
             ):
                 if seg != current_seg:
                     if dec is not None:
-                        finalize(dec, current_seg)
+                        dec.check_closed(current_seg)
                     dec = StreamingPgOutputDecoder(
-                        protocol_version, segment_id=int(seg)
+                        protocol_version, segment_id=int(seg),
+                        toast_merge=toast_merge,
                     )
                     current_seg = seg
                 out.extend(dec.feed(bytes(frame), int(lsn), int(seq)))
@@ -684,7 +736,7 @@ def decode_wal_frames_raw(
                     yield pd.DataFrame(out, columns=cols)
                     out = []
         if dec is not None:
-            finalize(dec, current_seg)
+            dec.check_closed(current_seg)
         if out:
             yield pd.DataFrame(out, columns=cols)
 
@@ -713,7 +765,7 @@ def stamp_commits(raw: DataFrame, broadcast_commits: bool = True) -> DataFrame:
     commits = raw.filter(F.col("op") == marker).select(
         F.col("tx_instance").alias("__inst"),
         F.col("txid").alias("__final_txid"),
-        F.col("commit_ts_us").alias("__ts_us"),
+        F.col("commit_ts").alias("__cts"),
     )
     if broadcast_commits:
         commits = F.broadcast(commits)
@@ -724,15 +776,13 @@ def stamp_commits(raw: DataFrame, broadcast_commits: bool = True) -> DataFrame:
         "op", "schema", "table",
         F.col("__final_txid").alias("txid"),
         "lsn",
-        F.timestamp_micros(
-            F.col("__ts_us") + F.lit(_PG_EPOCH_UNIX_US)
-        ).alias("commit_ts"),
+        F.col("__cts").alias("commit_ts"),
         "before", "after", "key_columns", "replica_identity",
     )
 
 
 def decode_wal_segments(
-    frames: DataFrame, protocol_version: int = 1
+    frames: DataFrame, protocol_version: int = 1, toast_merge: bool = False
 ) -> DataFrame:
     """(segment_id, seq, wal_lsn, frame) rows → canonical change
     events: each segment decodes independently (one ``applyInPandas``
@@ -745,25 +795,12 @@ def decode_wal_segments(
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq")
-        dec = PgOutputDecoder(protocol_version)
+        dec = PgOutputDecoder(protocol_version, toast_merge=toast_merge)
         out: list[dict] = []
+        seg = pdf["segment_id"].iloc[0] if len(pdf) else "?"
         for frame, lsn in zip(pdf["frame"], pdf["wal_lsn"]):
             out.extend(dec.feed(bytes(frame), int(lsn)))
-        # a transaction still open when the segment's frames run out
-        # means producer truncation or mis-sharding: finishing quietly
-        # would silently skip its events — the one unacceptable failure
-        # mode this module documents. (An orphaned Commit already
-        # raises; this closes the Begin-side hole.)
-        open_xids = sorted(
-            set(x for x, rows in dec.tx.items() if rows)
-            | ({dec.current_xid} if dec.current_xid is not None else set())
-        )
-        if open_xids:
-            raise ValueError(
-                f"segment ended with transaction(s) {open_xids} still "
-                "open (no Commit seen): truncated or mis-sharded WAL "
-                "segment"
-            )
+        dec.check_closed(seg)
         return pd.DataFrame(
             out,
             columns=[f.name for f in CHANGE_EVENT_SCHEMA.fields],

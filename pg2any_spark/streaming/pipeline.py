@@ -149,9 +149,13 @@ def apply_batch_to_bucketed_parquet(
     key_cols: list[str],
     n_buckets: int = 64,
     table: str | None = None,
+    toast_merge: bool = False,
 ) -> None:
     """One micro-batch against a BUCKET-PARTITIONED replica: only the
     partitions containing touched keys are re-derived and overwritten.
+    ``toast_merge`` resolves unchanged-TOAST sentinels against the
+    touched-bucket slice (the stored rows the fallback join needs are
+    exactly the ones the pruned base read loads).
 
     The replica is laid out as ``target/__bucket=N/*.parquet`` with
     ``__bucket = pmod(hash(key), n_buckets)``. Per batch:
@@ -214,7 +218,8 @@ def apply_batch_to_bucketed_parquet(
         )
     final = (
         apply_changes(
-            batch_df, schema, key_cols, base=base, scan_for_truncate=False
+            batch_df, schema, key_cols, base=base, scan_for_truncate=False,
+            toast_merge=toast_merge,
         )
         .withColumn(BUCKET_COL, _bucket_of(key_cols, n_buckets))
         .persist()  # one apply computation serves both actions below
@@ -306,6 +311,7 @@ def start_bucketed_cdc_apply(
     n_buckets: int = 64,
     table: str | None = None,
     available_now: bool = True,
+    toast_merge: bool = False,
 ) -> StreamingQuery:
     """CDC apply stream onto a bucket-partitioned replica — same
     checkpoint/exactly-once contract as ``start_cdc_apply``, with
@@ -315,7 +321,8 @@ def start_bucketed_cdc_apply(
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch_to_bucketed_parquet(
-            spark, batch_df, target_path, schema, key_cols, n_buckets, table
+            spark, batch_df, target_path, schema, key_cols, n_buckets, table,
+            toast_merge=toast_merge,
         )
 
     writer = events.writeStream.foreachBatch(apply_fn).option(
@@ -432,11 +439,15 @@ def start_pgoutput_apply(
         from pyspark.storagelevel import StorageLevel
 
         if low_memory:
-            cached = decode_wal_frames_raw(batch_df, protocol_version)
+            cached = decode_wal_frames_raw(
+                batch_df, protocol_version, toast_merge=toast_merge
+            )
             cached = cached.persist(StorageLevel.MEMORY_AND_DISK)
             events = stamp_commits(cached)
         else:
-            cached = decode_wal_segments(batch_df, protocol_version)
+            cached = decode_wal_segments(
+                batch_df, protocol_version, toast_merge=toast_merge
+            )
             cached = cached.persist(StorageLevel.MEMORY_AND_DISK)
             events = cached
         try:

@@ -15,6 +15,9 @@ through the live SQLite sink (atomic data+progress transactions),
 ``bucketed:<path>`` for the bucket-partitioned incremental applier, or
 ``wire:<path>`` to treat SOURCE_DIR as pgoutput WAL FRAMES and run the
 full wire ingest (constant-memory decode → commit join → apply).
+MAX_FILES_PER_TRIGGER does not apply to ``wire:`` targets (a WAL
+segment must arrive whole within one micro-batch — the decode contract
+— so the wire stream always drains availableNow without a file cap).
 """
 
 from __future__ import annotations

@@ -196,6 +196,26 @@ class TestToastMerge:
         # the re-insert re-established col1; sentinel resolves to it
         assert state(out) == {1: (7, "new-life", "b")}
 
+    def test_key_changing_update_with_sentinel_refused(self, spark):
+        # the stored value lives under the OLD key; the delete+insert
+        # decomposition re-homes the row, so the fallback join would
+        # silently NULL the column — must refuse instead
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+
+        events = make_events(
+            spark,
+            [
+                ev("c", 1, t1_after(1, 5, "blob", "b")),
+                ev("u", 2,
+                   {"id": "2", "val": "6", "col1": UNCHANGED_TOAST,
+                    "col2": "b"},
+                   before={"id": "1"}),
+            ],
+        )
+        with pytest.raises(ValueError, match="unchanged-TOAST"):
+            apply_changes(events, T1_SCHEMA, ["id"],
+                          split_key_updates=True, toast_merge=True)
+
     def test_matches_default_path_without_sentinels(self, spark):
         base = spark.createDataFrame(
             [Row(id=1, val=1, col1="a", col2="b"),

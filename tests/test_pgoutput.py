@@ -247,14 +247,17 @@ class TestChunkedDecode:
             "replica_identity",
         )
 
-    def _assert_equivalent(self, frames, protocol_version=1, chunk_rows=17):
+    def _assert_equivalent(
+        self, frames, protocol_version=1, chunk_rows=17, toast_merge=False
+    ):
         batch = self._canon(
-            P.decode_wal_segments(frames, protocol_version)
+            P.decode_wal_segments(frames, protocol_version, toast_merge)
         )
         chunked = self._canon(
             P.stamp_commits(
                 P.decode_wal_frames_raw(
-                    frames, protocol_version, chunk_rows=chunk_rows
+                    frames, protocol_version, chunk_rows=chunk_rows,
+                    toast_merge=toast_merge,
                 )
             )
         )
@@ -278,7 +281,8 @@ class TestChunkedDecode:
 
     def test_matches_batch_decode_toast(self, spark):
         self._assert_equivalent(
-            P.synth_customer_toast_wal_frames(spark, "/root/testdata/sf0.001")
+            P.synth_customer_toast_wal_frames(spark, "/root/testdata/sf0.001"),
+            toast_merge=True,
         )
 
     def test_open_transaction_raises(self, spark):
@@ -410,8 +414,8 @@ def test_multi_table_segment_decode():
 
 
 class TestDecoderHardening:
-    def test_unchanged_toast_decodes_to_sentinel(self):
-        # round 6: 'u' no longer raises — it decodes to the
+    def test_unchanged_toast_decodes_to_sentinel_when_opted_in(self):
+        # round 6: with toast_merge=True, 'u' decodes to the
         # UNCHANGED_TOAST sentinel that apply_changes(toast_merge=True)
         # resolves with merge-with-stored-row semantics. The encoder is
         # symmetric: sentinel value → kind 'u' on the wire.
@@ -420,7 +424,7 @@ class TestDecoderHardening:
         from pg2any_spark.schemas import UNCHANGED_TOAST
 
         ts = datetime.datetime(2026, 1, 1)
-        dec = P.PgOutputDecoder()
+        dec = P.PgOutputDecoder(toast_merge=True)
         dec.feed(rel_frame(), 0)
         dec.feed(P.encode_begin(9, ts, 1), 1)
         frame = P.encode_update(7, ["1", UNCHANGED_TOAST])
@@ -429,6 +433,21 @@ class TestDecoderHardening:
         rows = dec.feed(P.encode_commit(2, 2, ts), 2)
         assert len(rows) == 1
         assert rows[0]["after"] == {"id": "1", "val": UNCHANGED_TOAST}
+
+    def test_unchanged_toast_raises_without_opt_in(self):
+        # default pipelines cannot resolve the sentinel — a silent
+        # decode would end as a NULL overwrite at apply, so the decoder
+        # fails loudly unless the apply opted into toast_merge
+        import datetime
+
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+
+        ts = datetime.datetime(2026, 1, 1)
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin(9, ts, 1), 1)
+        with pytest.raises(ValueError, match="toast_merge"):
+            dec.feed(P.encode_update(7, ["1", UNCHANGED_TOAST]), 2)
 
     def test_binary_bytea_decodes_to_base64(self):
         # binary-mode ('b') tuple values: bytea columns (oid 17) carry

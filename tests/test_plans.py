@@ -189,6 +189,7 @@ ARROW_STAGE_ALLOWED = {
     "ann_cosine_topk_bruteforce",
     "cdc_apply_pgoutput",
     "cdc_apply_pgoutput_streamed",
+    "cdc_apply_toast",  # wire codec: Arrow encode + segment decode
     "ann_ivf_topk",
     "ann_lsh_topk",
     "embedding_near_dup",

@@ -1011,6 +1011,45 @@ class TestBucketedApplyTruncate:
         assert state == {1: 10}
 
 
+class TestBucketedToastMerge:
+    def test_sentinel_resolves_from_touched_bucket_slice(self, spark, tmp_path):
+        """toast_merge through the bucketed applier: the stored rows
+        the sentinel fallback needs are exactly the touched-bucket
+        slice the pruned base read loads."""
+        from pg2any_spark.schemas import UNCHANGED_TOAST
+        from pg2any_spark.streaming.pipeline import (
+            apply_batch_to_bucketed_parquet,
+            read_bucketed_replica,
+        )
+
+        target = str(tmp_path / "rep")
+        seed = spark.createDataFrame(
+            [ev("c", i, t1a(i, i * 10)) for i in range(1, 9)],
+            CHANGE_EVENT_SCHEMA,
+        )
+        apply_batch_to_bucketed_parquet(
+            spark, seed, target, T1_SCHEMA, ["id"], n_buckets=4
+        )
+        upd = spark.createDataFrame(
+            [ev("u", 100,
+                {"id": "3", "val": "999", "col1": UNCHANGED_TOAST,
+                 "col2": "y2"},
+                {"id": "3"})],
+            CHANGE_EVENT_SCHEMA,
+        )
+        apply_batch_to_bucketed_parquet(
+            spark, upd, target, T1_SCHEMA, ["id"], n_buckets=4,
+            toast_merge=True,
+        )
+        state = {
+            r["id"]: (r["val"], r["col1"], r["col2"])
+            for r in read_bucketed_replica(spark, target).collect()
+        }
+        assert state[3] == (999, "u", "y2")  # col1 kept from stored row
+        assert state[1] == (10, "u", "u")  # untouched bucket intact
+        assert len(state) == 8
+
+
 class TestBucketedApplyRestart:
     def test_restart_no_loss_no_dup(self, spark, tmp_path):
         """Kill-and-restart with the same checkpoint on the BUCKETED
