@@ -318,3 +318,120 @@ def pack_sequences(
         )
         .orderBy(group_col, "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LLR)
+# ---------------------------------------------------------------------------
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    n_buckets: int = 4096,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-document importance score for target-distribution data
+    selection (DSIR, Xie et al. 2023, arXiv:2302.03169): score(x) =
+    mean over tokens of log P_target(f)/P_raw(f), where f is the
+    token's hashed feature bucket and both distributions are add-α
+    smoothed bucket frequencies — target estimated from the rows where
+    ``is_target`` holds, raw from the whole corpus. Selecting the
+    top-scoring documents importance-resamples the raw corpus toward
+    the target distribution (the Pile-toward-Wikipedia curation move).
+
+    The reference engine replicates rows and never scores them; this
+    is part of the beyond-reference training-data surface
+    (BASELINE.json north star), same family as ``weighted_mix``.
+
+    Scale (100 TB): the hashing trick is what makes DSIR unboundedly
+    scalable where the bigram LM (text.lm_bigram_scores) is not — the
+    feature space is FIXED at ``n_buckets`` regardless of corpus size,
+    so the weight table is always broadcastable (vs a corpus-sized
+    bigram vocabulary that forces ``broadcast_counts=False`` SMJ at
+    web scale). One corpus-sized shuffle (token stream → per-(doc,
+    bucket) counts, map-side combined); everything downstream of it is
+    bounded by n_buckets rows or is a broadcast join back onto the
+    doc-feature table. The md5 bucket hash is the same cross-engine
+    ``hash_bucket`` primitive the split/mix operators use, so the
+    whole score is DuckDB-oracle-able.
+
+    Returns (id_col, n_toks, avg_llr) with avg_llr UNROUNDED — callers
+    round and must classify the cell in the output-margin gate
+    (tests/test_threshold_margins.py).
+    """
+    from pg2any_spark.operators.text import tokens
+
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            is_target.cast("boolean").alias("is_tgt"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    docfeat = (
+        base.select(
+            id_col,
+            "is_tgt",
+            hash_bucket(F.col("tok"), n_buckets).alias("f"),
+        )
+        .groupBy(id_col, "f")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("is_tgt").alias("is_tgt"))
+    )
+    # docfeat fans out to raw counts, target counts, totals AND the
+    # scoring join — persist once (same fan-out argument as
+    # text.lm_bigram_scores / tfidf_top_terms).
+    if materialize:
+        docfeat = docfeat.persist()
+    rawc = docfeat.groupBy("f").agg(F.sum("n").alias("c_raw"))
+    tgtc = (
+        docfeat.filter(F.col("is_tgt"))
+        .groupBy("f")
+        .agg(F.sum("n").alias("c_tgt"))
+    )
+    tot = docfeat.agg(
+        F.sum("n").alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(F.lit(0))).alias(
+            "n_tgt"
+        ),
+    )
+    denom = float(alpha) * n_buckets
+    weights = (
+        rawc.join(tgtc, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            (
+                F.log(
+                    (
+                        F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double")
+                        + F.lit(float(alpha))
+                    )
+                    / (F.col("n_tgt").cast("double") + F.lit(denom))
+                )
+                - F.log(
+                    (F.col("c_raw").cast("double") + F.lit(float(alpha)))
+                    / (F.col("n_raw").cast("double") + F.lit(denom))
+                )
+            ).alias("llr"),
+        )
+    )
+    # weights has <= n_buckets rows BY CONSTRUCTION — the broadcast
+    # hint is unconditionally safe (the whole point of the hashing
+    # trick), unlike the LM's vocab-sized count tables.
+    return (
+        docfeat.join(F.broadcast(weights), "f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_toks"),
+            (
+                F.sum(F.col("n").cast("double") * F.col("llr"))
+                / F.sum("n").cast("double")
+            ).alias("avg_llr"),
+        )
+    )

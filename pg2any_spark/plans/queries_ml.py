@@ -3363,3 +3363,150 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_docs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed-feature log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+#: Shared DSIR CTE chain ending in ``dsir_scored(doc_id, n_toks,
+#: avg_llr)`` (unrounded) and ``dsir_ranked`` (rounded + overall rank).
+#: Target distribution = documents from source 'src0'; features =
+#: md5-bucketed tokens (4096 buckets — the hashing trick that keeps the
+#: weight table broadcastable at any corpus size); add-1 smoothing.
+#: Boring portable SQL only (scalar unnest, plain joins, one window) —
+#: the round-6 oracle-dialect rule. The margin gate's raw metric
+#: reuses ``dsir_scored`` verbatim (tests/test_threshold_margins.py),
+#: and ranking is on the ROUNDED score with a doc_id tiebreak so the
+#: rank cut is deterministic whenever the gate holds.
+_DSIR_CTES = f"""
+    dsir_toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    dsir_docfeat AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS f,
+               COUNT(*) AS n
+        FROM dsir_toks WHERE tok <> ''
+        GROUP BY doc_id, f
+    ),
+    dsir_rawc AS (SELECT f, SUM(n) AS c_raw FROM dsir_docfeat GROUP BY f),
+    dsir_tgtc AS (
+        SELECT d.f, SUM(d.n) AS c_tgt
+        FROM dsir_docfeat d
+        JOIN documents t ON t.doc_id = d.doc_id AND t.source = 'src0'
+        GROUP BY d.f
+    ),
+    dsir_tot AS (
+        SELECT SUM(d.n) AS n_raw,
+               SUM(CASE WHEN t.source = 'src0' THEN d.n ELSE 0 END) AS n_tgt
+        FROM dsir_docfeat d JOIN documents t ON t.doc_id = d.doc_id
+    ),
+    dsir_w AS (
+        SELECT r.f,
+               ln((CAST(COALESCE(t.c_tgt, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / (CAST(tot.n_tgt AS DOUBLE) + CAST(4096 AS DOUBLE)))
+             - ln((CAST(r.c_raw AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / (CAST(tot.n_raw AS DOUBLE) + CAST(4096 AS DOUBLE))) AS llr
+        FROM dsir_rawc r
+        LEFT JOIN dsir_tgtc t ON t.f = r.f
+        CROSS JOIN dsir_tot tot
+    ),
+    dsir_scored AS (
+        SELECT d.doc_id, SUM(d.n) AS n_toks,
+               SUM(CAST(d.n AS DOUBLE) * w.llr) / CAST(SUM(d.n) AS DOUBLE)
+                   AS avg_llr
+        FROM dsir_docfeat d JOIN dsir_w w ON w.f = d.f
+        GROUP BY d.doc_id
+    ),
+    dsir_ranked AS (
+        SELECT doc_id, n_toks, ROUND(avg_llr, 4) AS avg_llr,
+               ROW_NUMBER() OVER (ORDER BY ROUND(avg_llr, 4) DESC, doc_id)
+                   AS sel_rank,
+               COUNT(*) OVER () AS n_total
+        FROM dsir_scored
+    )
+"""
+
+
+def _dsir_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``dsir_ranked`` CTE."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = SA.dsir_log_ratio(docs, F.col("source") == F.lit("src0"))
+    return (
+        scored.select(
+            "doc_id", "n_toks", F.round("avg_llr", 4).alias("avg_llr")
+        )
+        .withColumn(
+            "sel_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("avg_llr").desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("n_total", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+
+
+@query(
+    "dsir_importance_scores",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT r.doc_id, d.source, d.lang, r.n_toks, r.avg_llr, r.sel_rank
+    FROM dsir_ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.sel_rank <= 50
+    """,
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-feature
+    importance scores of every document against the 'src0' target
+    distribution, top-50 by score. The single-partition rank window
+    runs over the already-reduced per-doc score table (one row per
+    doc), not the corpus — at 100 TB you'd replace the global
+    ROW_NUMBER with the top-k pattern (per-partition top-k, then
+    merge), which ``similarity.ranked_topk`` already implements; the
+    score computation itself is the scalable part under test here
+    (see operators.sampling.dsir_log_ratio)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        _dsir_ranked(spark, sf_dir)
+        .filter(F.col("sel_rank") <= 50)
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", "n_toks", "avg_llr", "sel_rank")
+    )
+
+
+@query(
+    "dsir_resample_counts",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN r.sel_rank * 5 <= r.n_total THEN 1 ELSE 0 END)
+               AS n_sel
+    FROM dsir_ranked r JOIN documents d ON d.doc_id = r.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def dsir_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection diagnostic: per source, how many documents the
+    top-20% importance cut keeps — the selected mix should shift
+    toward the target source's distribution. Counts-only output (the
+    round-6 float-surface rule): the only float involved is the
+    rounded score inside the rank ordering, guarded by the
+    dsir_avg_llr margin metric."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        _dsir_ranked(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("sel_rank") * 5 <= F.col("n_total")).cast("bigint")
+            ).alias("n_sel"),
+        )
+        .orderBy("source")
+    )

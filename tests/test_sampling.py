@@ -261,3 +261,58 @@ class TestPackSequences:
             df._jdf.queryExecution(), "simple"
         )
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scores
+# ---------------------------------------------------------------------------
+
+
+class TestDsir:
+    def _toy(self, spark):
+        # target docs share the marker token "wiki"; raw-only docs
+        # share "crawl". Mixed doc carries both.
+        rows = [
+            (1, "wiki facts wiki science", True),
+            (2, "wiki history wiki math", True),
+            (3, "crawl spam crawl ads", False),
+            (4, "crawl junk crawl noise", False),
+            (5, "wiki crawl", False),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+    def test_target_like_docs_score_highest(self, spark):
+        df = self._toy(spark)
+        scored = {
+            r["doc_id"]: r["avg_llr"]
+            for r in SA.dsir_log_ratio(df, F.col("tgt"), n_buckets=64).collect()
+        }
+        # target-marker docs above the mixed doc, mixed above raw-only
+        assert min(scored[1], scored[2]) > scored[5] > max(scored[3], scored[4])
+
+    def test_score_is_length_normalized(self, spark):
+        # avg (not sum) over tokens: tripling a document's content
+        # must not change its score — selection can't just prefer
+        # long documents.
+        df = spark.createDataFrame(
+            [
+                (1, "wiki facts", True),
+                (2, "crawl spam", False),
+                (3, "wiki facts wiki facts wiki facts", True),
+            ],
+            "doc_id long, text string, tgt boolean",
+        )
+        scored = {
+            r["doc_id"]: r["avg_llr"]
+            for r in SA.dsir_log_ratio(df, F.col("tgt"), n_buckets=64).collect()
+        }
+        assert abs(scored[1] - scored[3]) < 1e-12
+
+    def test_weight_join_is_broadcast(self, spark):
+        # the hashing trick's contract: the weight table is <=
+        # n_buckets rows, so the scoring join must be broadcast —
+        # never a corpus-sized shuffle on the feature key.
+        plan = SA.dsir_log_ratio(
+            self._toy(spark), F.col("tgt"), n_buckets=64
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -135,6 +135,15 @@ JOIN corpus o ON o.orig_id = p.orig_id AND o.variant = 'orig'
 WHERE p.variant <> 'orig'
 """
 
+# DSIR per-doc mean hashed-feature log-likelihood ratio, UNROUNDED —
+# the same CTE chain the dsir_* oracles use (queries_ml._DSIR_CTES),
+# so the gate cannot drift. Guards BOTH the rounded avg_llr output
+# cell of dsir_importance_scores AND the rank-on-rounded-score cuts
+# (top-50 / top-20%) that dsir_resample_counts shares: a raw value
+# clear of every half-quantum boundary means the rounded ranking key
+# is engine-stable, so the rank windows (doc_id tiebreak) agree too.
+_DSIR_RAW_SQL = f"WITH {QM._DSIR_CTES} SELECT avg_llr AS m FROM dsir_scored"
+
 _Q1_AVG_RAW_SQL = """
 SELECT AVG(l_quantity) AS m FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -312,6 +321,7 @@ DETERMINISTIC_EXACT = {
 #: half-quantum rounding boundary (RAW_MARGIN_METRICS below).
 RAW_MARGIN = {
     ("lm_bigram_perplexity", "avg_nll"): "lm_avg_nll_out",
+    ("dsir_importance_scores", "avg_llr"): "dsir_avg_llr",
     ("perplexity_probe_nll", "min_nll"): "lm_avg_nll_out",
     ("perplexity_probe_nll", "max_nll"): "lm_avg_nll_out",
     ("q1_pricing_summary", "avg_qty"): "q1_avgs",
@@ -338,6 +348,11 @@ RAW_MARGIN = {
 #: still catching any value a real engine difference could flip.
 RAW_MARGIN_METRICS = {
     "lm_avg_nll_out": (_LM_RAW_SQL, 1e-4, 1e-9),
+    # one 4dp score per doc: at sf0.1 (~5k values) the expected min
+    # boundary distance is ~1e-8, so the default 1e-9 bound holds with
+    # margin while staying ~10^4 x the jitter ceiling of a <=4096-term
+    # unit-scale double sum (~1e-13).
+    "dsir_avg_llr": (_DSIR_RAW_SQL, 1e-4, 1e-9),
     "q1_avgs": (_Q1_AVG_RAW_SQL, 1e-4, 1e-9),
     "q8_share": (_Q8_SHARE_RAW_SQL, 1e-4, 1e-9),
     "q14_share": (_Q14_SHARE_RAW_SQL, 1e-4, 1e-9),
