@@ -616,3 +616,125 @@ def apply_bpe_merges(
     return df.withColumn("n_chars_tok", n_chars).withColumn(
         "n_bpe_tokens", n_tokens
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed multinomial naive Bayes (closed-form quality/label classifier)
+# ---------------------------------------------------------------------------
+
+
+def nb_hashed_scores(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    n_buckets: int = 4096,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-(document, class) log-posterior under a multinomial naive
+    Bayes model self-trained on the corpus's own labels over hashed
+    token features — the classic closed-form text classifier (the
+    fastText-style linear scorer's exact-training cousin): score(d, c)
+    = ln P(c) + Σ_f n_df · ln((c_cf + α)/(N_c + α·B)).
+
+    Training IS aggregation — class-conditional bucket counts and
+    document priors — so there is no iterative fit, and the whole
+    model is closed over its input (DuckDB-oracle-able, re-run
+    stable). Classify by argmax over classes (deterministic given the
+    score-gap margin gate in tests/test_threshold_margins.py).
+
+    Scale (100 TB): same hashing-trick posture as
+    ``sampling.dsir_log_ratio`` — the model is a B×|classes| weight
+    matrix, broadcastable regardless of corpus size. One corpus-sized
+    shuffle (token stream → per-(doc, bucket) counts, map-side
+    combined); the scoring join fans each doc-feature row out to
+    |classes| rows and immediately re-reduces to (doc, class).
+
+    Returns (id_col, label_col, clabel, score): one row per scored
+    document per candidate class, with the document's true label
+    carried through for confusion/accuracy reporting.
+    """
+    from pg2any_spark.operators.sampling import hash_bucket
+
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    docfeat = (
+        base.select(
+            id_col,
+            label_col,
+            hash_bucket(F.col("tok"), n_buckets).alias("f"),
+        )
+        .groupBy(id_col, label_col, "f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # fans out to class counts, priors, the feature list AND scoring
+    if materialize:
+        docfeat = docfeat.persist()
+    cf = (
+        docfeat.groupBy(F.col(label_col).alias("clabel"), "f")
+        .agg(F.sum("n").alias("c"))
+    )
+    ct = cf.groupBy("clabel").agg(F.sum("c").alias("tot"))
+    scored_docs = docfeat.select(id_col, label_col).distinct()
+    n_docs = scored_docs.agg(F.count(F.lit(1)).alias("n_all"))
+    prior = (
+        scored_docs.groupBy(F.col(label_col).alias("clabel"))
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "clabel",
+            F.log(F.col("n_c").cast("double") / F.col("n_all").cast("double")).alias("lp"),
+        )
+    )
+    feats = docfeat.select("f").distinct()
+    denom = float(alpha) * n_buckets
+    weights = (
+        feats.crossJoin(F.broadcast(ct))
+        .join(cf, ["f", "clabel"], "left")
+        .select(
+            "f",
+            "clabel",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+                / (F.col("tot").cast("double") + F.lit(denom))
+            ).alias("w"),
+        )
+    )
+    # weights <= n_buckets × |classes| rows by construction: broadcast
+    return (
+        docfeat.join(F.broadcast(weights), "f")
+        .groupBy(id_col, label_col, "clabel")
+        .agg(F.sum(F.col("n").cast("double") * F.col("w")).alias("ll"))
+        .join(F.broadcast(prior), "clabel")
+        .select(
+            id_col,
+            label_col,
+            "clabel",
+            (F.col("lp") + F.col("ll")).alias("score"),
+        )
+    )
+
+
+def nb_predict(
+    scores: DataFrame, id_col: str = "doc_id", label_col: str = "lang"
+) -> DataFrame:
+    """Argmax over ``nb_hashed_scores`` output: one row per document
+    with the winning class. Deterministic tie-break on class name; the
+    score-gap margin gate asserts the argmax can never sit within
+    float jitter of a tie."""
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("score").desc(), "clabel")
+    )
+    return (
+        scores.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(id_col, label_col, F.col("clabel").alias("predicted"))
+    )

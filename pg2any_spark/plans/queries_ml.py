@@ -3510,3 +3510,95 @@ def dsir_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# naive-Bayes language classifier (closed-form, hashed features)
+# ---------------------------------------------------------------------------
+
+#: Shared NB CTE chain ending in ``nb_scores(doc_id, lang, clabel,
+#: score)`` and ``nb_pred(doc_id, lang, predicted)``. Same
+#: boring-portable-SQL and md5-bucket conventions as _DSIR_CTES. The
+#: margin gate's nb score-gap metric reuses ``nb_scores`` verbatim.
+_NB_CTES = f"""
+    nb_toks AS (
+        SELECT doc_id, lang, unnest({_TOKS}) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    nb_docfeat AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS f,
+               COUNT(*) AS n
+        FROM nb_toks WHERE tok <> ''
+        GROUP BY doc_id, lang, f
+    ),
+    nb_cf AS (
+        SELECT lang AS clabel, f, SUM(n) AS c
+        FROM nb_docfeat GROUP BY lang, f
+    ),
+    nb_ct AS (SELECT clabel, SUM(c) AS tot FROM nb_cf GROUP BY clabel),
+    nb_docs AS (SELECT DISTINCT doc_id, lang FROM nb_docfeat),
+    nb_prior AS (
+        SELECT lang AS clabel,
+               ln(CAST(COUNT(*) AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM nb_docs) AS DOUBLE)) AS lp
+        FROM nb_docs GROUP BY lang
+    ),
+    nb_feats AS (SELECT DISTINCT f FROM nb_docfeat),
+    nb_w AS (
+        SELECT fs.f, t.clabel,
+               ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                  / (CAST(t.tot AS DOUBLE) + CAST(4096 AS DOUBLE))) AS w
+        FROM nb_feats fs
+        CROSS JOIN nb_ct t
+        LEFT JOIN nb_cf c ON c.f = fs.f AND c.clabel = t.clabel
+    ),
+    nb_ll AS (
+        SELECT d.doc_id, d.lang, w.clabel,
+               SUM(CAST(d.n AS DOUBLE) * w.w) AS ll
+        FROM nb_docfeat d JOIN nb_w w ON w.f = d.f
+        GROUP BY d.doc_id, d.lang, w.clabel
+    ),
+    nb_scores AS (
+        SELECT l.doc_id, l.lang, l.clabel, p.lp + l.ll AS score
+        FROM nb_ll l JOIN nb_prior p ON p.clabel = l.clabel
+    ),
+    nb_pred AS (
+        SELECT doc_id, lang, clabel AS predicted
+        FROM (
+            SELECT doc_id, lang, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, clabel) AS rk
+            FROM nb_scores
+        ) WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH {_NB_CTES}
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM nb_pred
+    GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form text classification: multinomial naive Bayes over
+    hashed token features, self-trained on the corpus's own language
+    labels, reported as the confusion matrix (true lang × predicted,
+    counts-only — the diagonal is the model's self-consistency). The
+    classifier family a curation pipeline uses for quality/domain
+    gating, with training expressed as pure aggregation so the whole
+    model fits one broadcastable B×|classes| weight matrix at any
+    corpus size (operators.text.nb_hashed_scores). Argmax
+    determinism is guarded by the nb_score_gap margin metric."""
+    docs = load_table(spark, "documents", sf_dir)
+    scores = T.nb_hashed_scores(docs, "lang")
+    return (
+        T.nb_predict(scores)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

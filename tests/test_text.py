@@ -407,3 +407,41 @@ def test_apply_bpe_zero_token_doc_emits_zero_counts(spark):
     assert out[2]["n_bpe_tokens"] == 0 and out[2]["n_chars_tok"] == 0
     assert out[1]["n_bpe_tokens"] == 8  # h e ll o  x2
     assert out[1]["n_chars_tok"] == 10
+
+
+# ---------------------------------------------------------------------------
+# naive Bayes (hashed multinomial)
+# ---------------------------------------------------------------------------
+
+
+class TestNaiveBayes:
+    def _toy(self, spark):
+        rows = [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog ate the bone", "en"),
+            (3, "der hund und die katze", "de"),
+            (4, "die sonne und der mond", "de"),
+            (5, "the cat und the dog", "en"),  # mixed, en-leaning
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_self_classification_recovers_labels(self, spark):
+        scores = T.nb_hashed_scores(self._toy(spark), "lang", n_buckets=256)
+        pred = {
+            r["doc_id"]: r["predicted"]
+            for r in T.nb_predict(scores).collect()
+        }
+        assert pred == {1: "en", 2: "en", 3: "de", 4: "de", 5: "en"}
+
+    def test_one_score_row_per_doc_class(self, spark):
+        scores = T.nb_hashed_scores(self._toy(spark), "lang", n_buckets=256)
+        assert scores.count() == 5 * 2
+        # scores are log-probabilities: strictly negative
+        assert scores.filter(F.col("score") >= 0).count() == 0
+
+    def test_scoring_join_is_broadcast(self, spark):
+        plan = (
+            T.nb_hashed_scores(self._toy(spark), "lang", n_buckets=256)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan

@@ -135,6 +135,23 @@ JOIN corpus o ON o.orig_id = p.orig_id AND o.variant = 'orig'
 WHERE p.variant <> 'orig'
 """
 
+# nb_lang_confusion's hazard is not a rounding boundary but an ARGMAX
+# tie: the confusion counts flip between engines only if some
+# document's top-2 class scores sit within summation-order jitter of
+# each other. Gate: the winning margin must clear 1e-9 (~10^4 x the
+# jitter ceiling of the <=4096-term log-sum) for every document.
+_NB_GAP_RAW_SQL = f"""
+WITH {{nb_ctes}},
+nb_rk AS (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, clabel) AS rk
+    FROM nb_scores
+)
+SELECT a.score - b.score AS m
+FROM nb_rk a JOIN nb_rk b ON b.doc_id = a.doc_id AND a.rk = 1 AND b.rk = 2
+"""
+
 # DSIR per-doc mean hashed-feature log-likelihood ratio, UNROUNDED —
 # the same CTE chain the dsir_* oracles use (queries_ml._DSIR_CTES),
 # so the gate cannot drift. Guards BOTH the rounded avg_llr output
@@ -429,4 +446,24 @@ def test_output_cell_flip_margin(sf_dir, metric_id):
         f"half-quantum rounding boundary (q={quantum}) at {sf_dir} — the "
         f"rounded output cell can flip between engines. Guards {guarded}; "
         "widen the rounding or drop the cell to counts-only."
+    )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", SF_DIRS, ids=[d.rsplit("/", 1)[1] for d in SF_DIRS]
+)
+def test_nb_argmax_gap(sf_dir):
+    """nb_lang_confusion: every document's winning-class margin must
+    clear cross-engine float jitter, so the argmax (and therefore the
+    integer confusion counts) cannot flip between engines."""
+    con = _connect(sf_dir)
+    sql = _NB_GAP_RAW_SQL.format(nb_ctes=QM._NB_CTES)
+    gaps = [r[0] for r in con.execute(sql).fetchall()]
+    assert gaps, f"nb gap scan returned no values at {sf_dir}"
+    worst = min(gaps)
+    assert worst >= 1e-9, (
+        f"nb_lang_confusion: a document's top-2 class scores differ by "
+        f"only {worst:.2e} at {sf_dir} — argmax can flip between "
+        "engines. Add a deterministic tiebreak feature or drop the doc "
+        "class from the report."
     )
