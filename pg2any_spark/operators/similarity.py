@@ -865,3 +865,146 @@ def knn_label(
         .filter(F.col("__rn") == 1)
         .select("query_id", F.col("nbr_label").alias("pred_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (integer-exact ADC over the int8 code space)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    m: int = 4,
+    num_codewords: int = 16,
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebooks over int8-quantized vectors:
+    ``books[sub][cid]`` is the (dim/m)-int codeword, seeded from the
+    ``num_codewords`` lowest-id vectors' subvectors with ``cid`` = the
+    seed's rank (same deterministic-seed doctrine as
+    ``ivf_centroids`` — refinement changes recall, not shape).
+    Driver-side data is m × K × (dim/m) SMALL ints by construction.
+
+    Working in the int8 code space (``quantize_int8`` output) is what
+    makes the whole PQ index *bit-reproducible across engines*: every
+    distance below is an integer sum — no float folds, no rounding
+    hazards, no margin gates needed.
+    """
+    rows = codes.orderBy(id_col).limit(num_codewords).select(code_col).collect()
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(rows[0][code_col])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    sd = dim // m
+    return [
+        [list(r[code_col][s * sd : (s + 1) * sd]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def _sub_d2(sub_codes: Column, codeword: list[int]) -> Column:
+    """Integer squared L2 distance between an int8 subvector column
+    and a literal codeword — a fixed-length fold, exact in any engine
+    (max term 255² · 16 per subspace: fits comfortably in long)."""
+    lit = F.array(*[F.lit(int(c)) for c in codeword])
+    return F.aggregate(
+        F.zip_with(sub_codes, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    code_col: str = "code",
+    out_col: str = "pqcode",
+) -> DataFrame:
+    """Attach the m-byte PQ code: per subspace, the argmin-distance
+    codeword id (integer distances, min-cid tiebreak — a total order,
+    so the assignment is deterministic with no rounding step).
+
+    Pure projection: the codebooks are plan literals, so encoding is
+    one codegen pass with NO join and NO shuffle — the corpus-side
+    cost model that survives 100 TB (same shape as ``ivf_assign``).
+    The output is m small ints per vector: a dim·4-byte float vector
+    compresses to m bytes (64× at dim=64, m=4 — the reason PQ is the
+    standard memory layout for billion-vector indexes)."""
+    sd = len(books[0][0])
+    subs = []
+    for s, book in enumerate(books):
+        sub = F.slice(F.col(code_col), s * sd + 1, sd)
+        entries = F.array(
+            *[
+                F.struct(
+                    _sub_d2(sub, cw).alias("d2"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, cw in enumerate(book)
+            ]
+        )
+        subs.append(F.array_sort(entries)[0]["cid"])
+    return df.withColumn(out_col, F.array(*subs))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 5,
+    num_codewords: int = 16,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    queries keep their full int8 vectors, corpus vectors are looked up
+    through their m codeword ids, distance = Σ_sub d²(query subvector,
+    neighbor's codeword). Every arithmetic step is integer, so ranks
+    (and the DuckDB oracle) are exact — tie-break on neighbor id.
+
+    Scale shape: corpus side is encode (projection, no shuffle) once;
+    the search is a broadcast nested loop of |Q| queries against the
+    m-byte codes — the corpus never re-shuffles and never rehydrates
+    floats. This is brute-force ADC, the PQ baseline; composing with
+    the IVF cell pruning (``ivf_topk``) gives IVF-PQ, cutting
+    candidates by cells probed. Returns (query_id, neighbor_id,
+    adc_d2, rank).
+    """
+    mins, maxes = dim_min_max(corpus, vec_col)
+    codes = quantize_int8(corpus, mins, maxes, vec_col).select(
+        id_col, "code"
+    )
+    books = pq_codebooks(codes, id_col, "code", m, num_codewords)
+    sd = len(books[0][0])
+    enc = pq_encode(codes, books).select(
+        F.col(id_col).alias("neighbor_id"), "pqcode"
+    )
+    q = F.broadcast(
+        codes.filter(F.col(id_col) % query_mod == 0).select(
+            F.col(id_col).alias("query_id"), F.col("code").alias("qcode")
+        )
+    )
+    terms = []
+    for s, book in enumerate(books):
+        cw = F.array(*[F.array(*[F.lit(int(c)) for c in w]) for w in book])
+        qsub = F.slice(F.col("qcode"), s * sd + 1, sd)
+        chosen = F.element_at(cw, F.col("pqcode")[s] + 1)
+        terms.append(
+            F.aggregate(
+                F.zip_with(qsub, chosen, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            )
+        )
+    adc = sum(terms[1:], terms[0])
+    sims = (
+        enc.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -3602,3 +3602,124 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (integer-exact ADC search + codebook balance)
+# ---------------------------------------------------------------------------
+
+#: Shared PQ CTE chain over the int8 code space (same quantization
+#: formula as ann_int8_recall's oracle), ending in ``pq_enc(vec_id,
+#: sub, cid)`` and ``pq_ranked``. All distances are INTEGER sums —
+#: order-independent and exact in any engine — so PQ needs no margin
+#: gate: argmin/rank tiebreaks (min cid / min neighbor_id) are total
+#: orders over integers.
+_PQ_CTES = """
+    pq_base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pq_dims AS (SELECT UNNEST(range(64)) AS d),
+    pq_long AS (
+        SELECT b.vec_id, pq_dims.d, b.v[pq_dims.d + 1] AS x
+        FROM pq_base b, pq_dims
+    ),
+    pq_stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM pq_long GROUP BY d),
+    pq_code AS (
+        SELECT l.vec_id,
+               CAST(FLOOR(CAST(l.d AS DOUBLE) / 16) AS INTEGER) AS sub,
+               CAST(l.d % 16 AS INTEGER) AS spos,
+               CASE WHEN s.mx > s.mn
+                    THEN GREATEST(-128, LEAST(127,
+                         CAST(ROUND((l.x - s.mn) / (s.mx - s.mn) * 255)
+                              AS INTEGER) - 128))
+                    ELSE 0 END AS c
+        FROM pq_long l JOIN pq_stats s ON s.d = l.d
+    ),
+    pq_seed_ids AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id FROM pq_base ORDER BY vec_id LIMIT 16) t
+    ),
+    pq_books AS (
+        SELECT si.cid, c.sub, c.spos, c.c
+        FROM pq_seed_ids si JOIN pq_code c ON c.vec_id = si.vec_id
+    ),
+    pq_assign AS (
+        SELECT c.vec_id, c.sub, b.cid,
+               SUM((c.c - b.c) * (c.c - b.c)) AS d2
+        FROM pq_code c JOIN pq_books b ON b.sub = c.sub AND b.spos = c.spos
+        GROUP BY c.vec_id, c.sub, b.cid
+    ),
+    pq_enc AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rk
+            FROM pq_assign
+        ) t WHERE rk = 1
+    ),
+    pq_lut AS (
+        SELECT c.vec_id AS query_id, c.sub, b.cid,
+               SUM((c.c - b.c) * (c.c - b.c)) AS d2
+        FROM pq_code c JOIN pq_books b ON b.sub = c.sub AND b.spos = c.spos
+        WHERE c.vec_id % 50 = 0
+        GROUP BY c.vec_id, c.sub, b.cid
+    ),
+    pq_adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.d2) AS adc_d2
+        FROM pq_enc e JOIN pq_lut l ON l.sub = e.sub AND l.cid = e.cid
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    ),
+    pq_ranked AS (
+        SELECT query_id, neighbor_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rank
+        FROM pq_adc
+    )
+"""
+
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, neighbor_id, adc_d2, rank
+    FROM pq_ranked WHERE rank <= 5
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the corpus compresses to m=4
+    codeword ids per vector (64× vs float32), queries rank neighbors
+    by asymmetric integer L2 distance through the codebooks
+    (operators.similarity.pq_adc_topk). Integer-exact end to end —
+    the one ANN family here with zero float-determinism surface."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.pq_adc_topk(emb, k=5).select(
+        "query_id", "neighbor_id", "adc_d2", "rank"
+    )
+
+
+@query(
+    "pq_code_balance",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT sub, cid, COUNT(*) AS n_vectors
+    FROM pq_enc GROUP BY sub, cid ORDER BY sub, cid
+    """,
+)
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook utilization: vectors per (subspace, codeword).
+    The index-health diagnostic — a dead codeword wastes a code
+    point, a hot one degrades ADC resolution; at corpus scale this
+    is the histogram that decides when to retrain codebooks. One
+    map-side-combinable aggregate over the encode projection."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    mins, maxes = S.dim_min_max(emb)
+    codes = S.quantize_int8(emb, mins, maxes).select("vec_id", "code")
+    books = S.pq_codebooks(codes)
+    return (
+        S.pq_encode(codes, books)
+        .select(F.posexplode("pqcode").alias("sub", "cid"))
+        .groupBy("sub", "cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("sub", "cid")
+    )

@@ -320,3 +320,59 @@ class TestKnnLabel:
         out = knn_label(corpus, q, k=2).collect()[0]
         assert out["votes"] == 1
         assert out["pred_label"] == 3
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+class TestPQ:
+    def _clustered(self, spark):
+        # 8-dim vectors, m=2 subspaces of 4: ids 0/1 seed the books;
+        # 2 and 3 sit exactly on those seeds' subvectors, crosswise.
+        rows = [
+            (0, [0, 0, 0, 0, 9, 9, 9, 9]),
+            (1, [5, 5, 5, 5, 1, 1, 1, 1]),
+            (2, [0, 0, 0, 0, 1, 1, 1, 1]),  # sub0 like seed0, sub1 like seed1
+            (3, [5, 5, 5, 5, 9, 9, 9, 9]),  # sub0 like seed1, sub1 like seed0
+        ]
+        return vecs(spark, rows)
+
+    def test_encode_picks_nearest_codeword_per_subspace(self, spark):
+        df = self._clustered(spark)
+        mins, maxes = S.dim_min_max(df)
+        codes = S.quantize_int8(df, mins, maxes).select("vec_id", "code")
+        books = S.pq_codebooks(codes, m=2, num_codewords=2)
+        enc = {
+            r["vec_id"]: list(r["pqcode"])
+            for r in S.pq_encode(codes, books).collect()
+        }
+        assert enc[0] == [0, 0] and enc[1] == [1, 1]
+        assert enc[2] == [0, 1] and enc[3] == [1, 0]
+
+    def test_adc_distance_is_exact_integer_lut_sum(self, spark):
+        # a vector that IS a seed: ADC distance to itself-as-neighbor
+        # equals 0 through the codebooks, and all distances are ints.
+        df = self._clustered(spark)
+        out = S.pq_adc_topk(df, m=2, k=3, num_codewords=2, query_mod=1)
+        rows = out.collect()
+        assert rows and all(isinstance(r["adc_d2"], int) for r in rows)
+        best = {
+            r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1
+        }
+        # query 0's nearest through the books is vec 2 (same codeword
+        # pair distance 0 on sub0; sub1 codeword = seed1's, which vec 2
+        # matches exactly) — and symmetrically for the others.
+        assert best[2] == 0 or best[0] == 2
+
+    def test_encode_is_shuffle_free(self, spark):
+        df = self._clustered(spark)
+        mins, maxes = S.dim_min_max(df)
+        codes = S.quantize_int8(df, mins, maxes).select("vec_id", "code")
+        books = S.pq_codebooks(codes, m=2, num_codewords=2)
+        plan = (
+            S.pq_encode(codes, books)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan

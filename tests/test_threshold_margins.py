@@ -161,6 +161,21 @@ FROM nb_rk a JOIN nb_rk b ON b.doc_id = a.doc_id AND a.rk = 1 AND b.rk = 2
 # is engine-stable, so the rank windows (doc_id tiebreak) agree too.
 _DSIR_RAW_SQL = f"WITH {QM._DSIR_CTES} SELECT avg_llr AS m FROM dsir_scored"
 
+# int8 quantization (ann_int8_recall + the pq_* family): the one float
+# step in those pipelines is code = ROUND((x-mn)/(mx-mn)*255) — a code
+# flips between engines only if the scaled value sits within jitter of
+# a k+0.5 boundary (quantum 1). Everything downstream of the code is
+# integer-exact, so this single metric guards the whole family.
+_INT8_SCALE_RAW_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT UNNEST(range(64)) AS d),
+longf AS (SELECT b.vec_id, dims.d, b.v[dims.d + 1] AS x FROM base b, dims),
+stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM longf GROUP BY d)
+SELECT (l.x - s.mn) / (s.mx - s.mn) * 255 AS m
+FROM longf l JOIN stats s ON s.d = l.d
+WHERE s.mx > s.mn
+"""
+
 _Q1_AVG_RAW_SQL = """
 SELECT AVG(l_quantity) AS m FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -370,6 +385,11 @@ RAW_MARGIN_METRICS = {
     # margin while staying ~10^4 x the jitter ceiling of a <=4096-term
     # unit-scale double sum (~1e-13).
     "dsir_avg_llr": (_DSIR_RAW_SQL, 1e-4, 1e-9),
+    # min/max endpoints hit k+0.0 exactly (distance 0.5 from the
+    # boundary); interior values are data. ~32k scaled values at
+    # sf0.1 against quantum 1 → expected min distance ~1.5e-5;
+    # min_dist 1e-9 still ~10^4 x the one-division jitter ceiling.
+    "int8_quant_scale": (_INT8_SCALE_RAW_SQL, 1.0, 1e-9),
     "q1_avgs": (_Q1_AVG_RAW_SQL, 1e-4, 1e-9),
     "q8_share": (_Q8_SHARE_RAW_SQL, 1e-4, 1e-9),
     "q14_share": (_Q14_SHARE_RAW_SQL, 1e-4, 1e-9),
