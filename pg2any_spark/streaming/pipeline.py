@@ -382,6 +382,7 @@ def start_pgoutput_apply(
     low_memory: bool = True,
     toast_merge: bool = False,
     xlog_envelopes: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream pgoutput WIRE FRAMES straight into a replica: readStream
     over ``(segment_id, seq, wal_lsn, frame)`` parquet → per-batch
@@ -406,7 +407,18 @@ def start_pgoutput_apply(
     segment-self-containment the batch decoder documents, now doing
     double duty as the unit of checkpoint recovery: a replayed batch
     re-decodes the same frames to the same events and the max-LSN
-    apply makes the rewrite a no-op."""
+    apply makes the rewrite a no-op.
+
+    ``max_files_per_trigger`` caps how many frame FILES each
+    micro-batch ingests — only safe when the producer lands every
+    segment wholly inside one file (the segment-self-containment
+    contract above, now per file). Leave ``None`` (the default) when
+    file/segment alignment is not guaranteed: the stream then drains
+    everything available in a single batch, which is always safe.
+    Bounded batches are what let a long multi-transaction backlog
+    checkpoint incrementally — the repeated-kill chaos scenario
+    (tests/test_scenarios.py::test_s5_multi_kill_wire) strikes
+    between those per-batch commits."""
     from pg2any_spark.sources.pgoutput import (
         WAL_FRAME_SCHEMA,
         XLOG_ENVELOPE_SCHEMA,
@@ -416,18 +428,19 @@ def start_pgoutput_apply(
         unwrap_xlog_frames,
     )
 
+    # With xlog_envelopes, frames_dir holds raw socket traffic: XLogData
+    # ('w') COPY envelopes + keepalives, as a live client records them.
+    # The wal_lsn comes from each envelope's wal_start — the same
+    # position the client's standby-status feedback advances
+    # (sources.pgoutput.feedback_lsn).
+    reader = spark.readStream.schema(
+        XLOG_ENVELOPE_SCHEMA if xlog_envelopes else WAL_FRAME_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    frames = reader.parquet(frames_dir)
     if xlog_envelopes:
-        # frames_dir holds raw socket traffic: XLogData ('w') COPY
-        # envelopes + keepalives, as a live client records them. The
-        # wal_lsn comes from each envelope's wal_start — the same
-        # position the client's standby-status feedback advances
-        # (sources.pgoutput.feedback_lsn).
-        envelopes = spark.readStream.schema(XLOG_ENVELOPE_SCHEMA).parquet(
-            frames_dir
-        )
-        frames = unwrap_xlog_frames(envelopes)
-    else:
-        frames = spark.readStream.schema(WAL_FRAME_SCHEMA).parquet(frames_dir)
+        frames = unwrap_xlog_frames(frames)
 
     def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
         # persist the decoded rows: the commit join (low_memory) or the

@@ -18,6 +18,11 @@ full wire ingest (constant-memory decode → commit join → apply).
 MAX_FILES_PER_TRIGGER does not apply to ``wire:`` targets (a WAL
 segment must arrive whole within one micro-batch — the decode contract
 — so the wire stream always drains availableNow without a file cap).
+``wireseg:<path>`` is the wire ingest for producers that land every
+segment wholly inside one file: there MAX_FILES_PER_TRIGGER applies,
+bounding each micro-batch so a multi-transaction backlog checkpoints
+incrementally (the repeated-kill chaos scenario strikes between those
+commits).
 """
 
 from __future__ import annotations
@@ -39,12 +44,14 @@ def main() -> None:
     src, target, ckpt = sys.argv[1:4]
     max_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark(app_name="cdc-stream-runner", shuffle_partitions=8)
-    if target.startswith("wire:"):
+    if target.startswith("wire:") or target.startswith("wireseg:"):
         from pg2any_spark.streaming.pipeline import start_pgoutput_apply
 
+        seg_aligned = target.startswith("wireseg:")
         query = start_pgoutput_apply(
-            spark, src, target[len("wire:"):], T1_SCHEMA, ["id"], ckpt,
+            spark, src, target.split(":", 1)[1], T1_SCHEMA, ["id"], ckpt,
             table="t1", available_now=True, low_memory=True,
+            max_files_per_trigger=max_files if seg_aligned else None,
         )
         query.awaitTermination()
         spark.stop()

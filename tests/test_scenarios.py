@@ -222,7 +222,8 @@ def test_s5_hard_kill_restart(spark, tmp_path):
 
     # restart on the same checkpoint; availableNow drains the rest
     p2 = subprocess.run(
-        cmd, cwd="/root/repo", timeout=600, capture_output=True
+        cmd, cwd="/root/repo", timeout=600,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
 
@@ -291,7 +292,10 @@ def test_sqlite_sink_hard_kill_restart(spark, tmp_path):
         p1.wait()
         log1.close()
 
-    p2 = subprocess.run(cmd, cwd="/root/repo", timeout=600, capture_output=True)
+    p2 = subprocess.run(
+        cmd, cwd="/root/repo", timeout=600,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
     assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
 
     with sqlite3.connect(db) as c:
@@ -362,7 +366,10 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
         p1.wait()
         log1.close()
 
-    p2 = subprocess.run(cmd, cwd="/root/repo", timeout=900, capture_output=True)
+    p2 = subprocess.run(
+        cmd, cwd="/root/repo", timeout=900,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
     assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
     wall_s = round(time.monotonic() - t0, 1)
 
@@ -407,11 +414,14 @@ def test_s5_single_huge_transaction(spark):
     assert got["n"] == n and got["s"] == n * (n + 1) // 2
 
 
-def _single_tx_wire_frames(spark, n, txid=42):
-    """ONE pgoutput transaction inserting ids 1..n (values matching
-    _insert_events) as wire frames in a single self-contained segment:
-    Relation, Begin, n Inserts, Commit — the reference's scenario-5
-    shape at the wire level."""
+def _wire_frames(spark, n, n_txns=1, txid_base=42):
+    """``n`` inserts (ids 1..n, values matching _insert_events) as
+    pgoutput wire frames, split across ``n_txns`` transactions, each
+    transaction a self-contained WAL segment: Relation, Begin, the
+    slice's Inserts, Commit. ``n_txns=1`` is the reference's scenario-5
+    shape (one mega-transaction); higher counts model the realistic
+    steady-state stream (many commits). The expected replica is shared
+    either way: apply_changes over _insert_events."""
     import datetime
 
     import pandas as pd
@@ -419,37 +429,38 @@ def _single_tx_wire_frames(spark, n, txid=42):
 
     from pg2any_spark.sources import pgoutput as P
 
-    rel = P.encode_relation(
-        1, "public", "t1",
-        [(P.COL_KEY_FLAG, "id", 25, -1), (0, "val", 25, -1),
-         (0, "col1", 25, -1), (0, "col2", 25, -1)],
-        "default",
-    )
+    per = n // n_txns
+    assert per * n_txns == n, "row count must divide evenly into txns"
+    cols = [(P.COL_KEY_FLAG, "id", 25, -1), (0, "val", 25, -1),
+            (0, "col1", 25, -1), (0, "col2", 25, -1)]
     ts = datetime.datetime(2026, 1, 1)
 
     def gen(it):
         for pdf in it:
             rows = []
-            for i in pdf["id"]:
-                i = int(i) + 1
-                rows.append((0, i + 10, i, P.encode_insert(
-                    1, [str(i), str(i * 10), "x", "y"])))
+            for i0 in pdf["id"]:
+                i0 = int(i0)
+                gid = i0 + 1
+                t = i0 // per
+                rows.append((t, i0 - t * per + 10, gid, P.encode_insert(
+                    1, [str(gid), str(gid * 10), "x", "y"])))
             yield pd.DataFrame(
                 rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
             )
 
     data = spark.range(n).mapInPandas(gen, P.WAL_FRAME_SCHEMA)
-    marks = spark.createDataFrame(
-        [
-            Row(segment_id=0, seq=0, wal_lsn=0, frame=bytearray(rel)),
-            Row(segment_id=0, seq=1, wal_lsn=0,
-                frame=bytearray(P.encode_begin(n + 1, ts, txid))),
-            Row(segment_id=0, seq=n + 100, wal_lsn=n + 1,
-                frame=bytearray(P.encode_commit(n + 1, n + 1, ts))),
-        ],
-        P.WAL_FRAME_SCHEMA,
-    )
-    return marks.unionByName(data)
+    marks = []
+    rel = P.encode_relation(1, "public", "t1", cols, "default")
+    for t in range(n_txns):
+        hi = (t + 1) * per
+        marks.extend([
+            Row(segment_id=t, seq=0, wal_lsn=0, frame=bytearray(rel)),
+            Row(segment_id=t, seq=1, wal_lsn=0,
+                frame=bytearray(P.encode_begin(hi, ts, txid_base + t))),
+            Row(segment_id=t, seq=per + 100, wal_lsn=hi,
+                frame=bytearray(P.encode_commit(hi, hi, ts))),
+        ])
+    return spark.createDataFrame(marks, P.WAL_FRAME_SCHEMA).unionByName(data)
 
 
 def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
@@ -476,7 +487,7 @@ def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
     src = str(tmp_path / "frames")
     target = str(tmp_path / "replica")
     ckpt = str(tmp_path / "ckpt")
-    _single_tx_wire_frames(spark, n, txid=42).repartition(8).write.parquet(src)
+    _wire_frames(spark, n).repartition(8).write.parquet(src)
 
     t0 = time.monotonic()
     cmd = [
@@ -511,7 +522,10 @@ def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
         p1.wait()
         log1.close()
 
-    p2 = subprocess.run(cmd, cwd="/root/repo", timeout=900, capture_output=True)
+    p2 = subprocess.run(
+        cmd, cwd="/root/repo", timeout=900,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
     assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
     wall_s = round(time.monotonic() - t0, 1)
 
@@ -538,43 +552,25 @@ def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
             )
 
 
-def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
-    """Reference chaos-script parity (chaos_script.sh:23-60): the
-    container is restarted REPEATEDLY at random intervals, not killed
-    once. One transaction inserting the chaos row count streams in 16
-    micro-batches through the bucketed applier; the runner process
-    group is SIGKILLed after every observed checkpoint-commit advance
-    (random strike offset inside the window), restarted on the same
-    checkpoint, up to 4 kills, then drained. The replica must be
-    exact: count, id checksum, zero row diff — each restart must
-    replay only its interrupted batch, never resurrect or lose one.
-
-    ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
-    (recorded as CHAOS_MULTIKILL_3M.json); suite default 300k keeps
-    the multi-kill loop under ~3 min alongside the 1M single-kill
-    test."""
-    import json
+def _run_kill_loop(cmd, ckpt, tmp_path, kills_max=4, seed=42):
+    """Shared repeated-kill chaos harness: launch ``cmd`` (its own
+    process group), SIGKILL it after every observed checkpoint-commit
+    advance (random strike offset inside the window), restart on the
+    same checkpoint up to ``kills_max`` times, then drain to
+    completion. Returns ``(kills, wall_s)`` where wall includes the
+    final drain. Skips the calling test when the runner drained every
+    batch before a single SIGKILL landed (possible on a very fast
+    machine at the suite row count): replication was exact but no
+    chaos was exercised — an explicit skip, never a flaky red."""
     import os
     import random
     import signal
     import subprocess
-    import sys
     import time
 
-    from pg2any_spark.streaming.pipeline import read_bucketed_replica
+    import pytest
 
-    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
-    kills_max = 4
-    rng = random.Random(42)
-    src = str(tmp_path / "events")
-    target = str(tmp_path / "replica")
-    ckpt = str(tmp_path / "ckpt")
-    _to_events(_insert_events(spark, n, txid=42)).repartition(16).write.parquet(src)
-
-    cmd = [
-        sys.executable, "scripts/run_cdc_stream.py", src,
-        f"bucketed:{target}", ckpt, "1",
-    ]
+    rng = random.Random(seed)
     commits_dir = os.path.join(ckpt, "commits")
 
     def n_commits():
@@ -585,7 +581,8 @@ def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
     t0 = time.monotonic()
     kills = 0
     for attempt in range(kills_max):
-        log = open(str(tmp_path / f"run{attempt}.log"), "wb")
+        log_path = str(tmp_path / f"run{attempt}.log")
+        log = open(log_path, "wb")
         p = subprocess.Popen(
             cmd, cwd="/root/repo", start_new_session=True,
             stdout=log, stderr=subprocess.STDOUT,
@@ -604,35 +601,72 @@ def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
             if p.poll() is not None:
                 # drained everything before we could strike
                 assert p.returncode == 0, (
-                    open(str(tmp_path / f"run{attempt}.log"), "rb")
-                    .read().decode(errors="replace")[-2000:]
+                    open(log_path, "rb").read().decode(errors="replace")[-2000:]
                 )
                 break
             assert advanced, "no checkpoint progress before deadline"
             time.sleep(rng.uniform(0.3, 2.5))  # random strike offset
         finally:
+            # count the strike ONLY against a still-running runner —
+            # killpg against an already-exited (zombie) child succeeds
+            # but interrupted nothing.
+            struck = p.poll() is None
             try:
                 os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-                kills += 1
             except ProcessLookupError:
                 pass
+            else:
+                if struck:
+                    kills += 1
             p.wait()
             log.close()
 
-    pf = subprocess.run(cmd, cwd="/root/repo", timeout=900, capture_output=True)
+    pf = subprocess.run(
+        cmd, cwd="/root/repo", timeout=900,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
     assert pf.returncode == 0, pf.stdout.decode(errors="replace")[-2000:]
     wall_s = round(time.monotonic() - t0, 1)
     if kills == 0:
-        # the runner drained all batches before a strike could land —
-        # possible on a very fast machine at the suite row count.
-        # Replication was exact but no chaos was exercised: surface it
-        # as an explicit skip (never a flaky red), with the remedy.
-        import pytest
-
         pytest.skip(
             "runner drained before any SIGKILL landed; raise "
             "PG2ANY_CHAOS_ROWS for this machine"
         )
+    return kills, wall_s
+
+
+def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
+    """Reference chaos-script parity (chaos_script.sh:23-60): the
+    container is restarted REPEATEDLY at random intervals, not killed
+    once. One transaction inserting the chaos row count streams in 16
+    micro-batches through the bucketed applier; the runner process
+    group is SIGKILLed after every observed checkpoint-commit advance
+    (random strike offset inside the window), restarted on the same
+    checkpoint, up to 4 kills, then drained. The replica must be
+    exact: count, id checksum, zero row diff — each restart must
+    replay only its interrupted batch, never resurrect or lose one.
+
+    ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
+    (recorded as CHAOS_MULTIKILL_3M.json); suite default 300k keeps
+    the multi-kill loop under ~3 min alongside the 1M single-kill
+    test."""
+    import json
+    import os
+    import sys
+
+    from pg2any_spark.streaming.pipeline import read_bucketed_replica
+
+    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    _to_events(_insert_events(spark, n, txid=42)).repartition(16).write.parquet(src)
+
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src,
+        f"bucketed:{target}", ckpt, "1",
+    ]
+    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path)
 
     final = read_bucketed_replica(spark, target)
     got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
@@ -650,5 +684,62 @@ def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
                 {"rows": n, "wall_seconds": wall_s, "kills": kills,
                  "rows_per_second": round(n / wall_s, 1),
                  "scenario": "s5_single_tx_multi_sigkill_bucketed"},
+                f,
+            )
+
+
+def test_s5_multi_kill_wire(spark, tmp_path):
+    """Repeated-kill chaos THROUGH THE WIRE: a 16-transaction pgoutput
+    backlog (segment-per-file layout) streams through the constant-
+    memory decode in file-bounded micro-batches (wireseg target,
+    maxFilesPerTrigger=1), and the runner process group is SIGKILLed
+    after every observed checkpoint-commit advance — the reference's
+    chaos-script shape (random repeated restarts,
+    chaos_script.sh:23-60) against the full wire ingest, where the
+    single-kill wire test (CHAOS_3M_WIRE) strikes only once. Exact
+    replica required after the final drain: count, checksum, zero row
+    diff.
+
+    ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
+    (recorded as CHAOS_MULTIKILL_3M_WIRE.json); suite default 300k."""
+    import json
+    import os
+    import sys
+
+    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
+    n_txns = 16
+    src = str(tmp_path / "frames")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    # repartition BY segment_id: a segment never splits across files
+    # (two segments may share a file — still whole), which is the
+    # wireseg file-alignment contract.
+    _wire_frames(spark, n, n_txns, txid_base=100).repartition(
+        n_txns, "segment_id"
+    ).write.parquet(src)
+
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src,
+        f"wireseg:{target}", ckpt, "1",
+    ]
+    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, seed=43)
+
+    final = spark.read.parquet(target)
+    got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
+    assert got["n"] == n, f"row count {got['n']} != {n} after {kills} wire kills"
+    assert got["s"] == n * (n + 1) // 2
+    expected = apply_changes(
+        _insert_events(spark, n, txid=42), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    assert final.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(final).isEmpty()
+    if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
+        label = f"{n // 1_000_000}M"
+        with open(f"/root/repo/CHAOS_MULTIKILL_{label}_WIRE.json", "w") as f:
+            json.dump(
+                {"rows": n, "wall_seconds": wall_s, "kills": kills,
+                 "txns": n_txns,
+                 "rows_per_second": round(n / wall_s, 1),
+                 "scenario": "multi_tx_multi_sigkill_wire_pgoutput"},
                 f,
             )
