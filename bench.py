@@ -64,8 +64,10 @@ HEADLINE = [
     # round 5b: full wire path (pgoutput encode -> segment decode -> apply)
     "cdc_apply_pgoutput",
     # round 6: unchanged-TOAST merge apply (per-column latest-set
-    # aggregate + stored-row fallback join through the wire)
+    # aggregate + stored-row fallback join through the wire); PQ ANN
+    # (integer-exact asymmetric-distance scan over 8x subquantizers)
     "cdc_apply_toast",
+    "pq_ann_topk",
 ]
 
 

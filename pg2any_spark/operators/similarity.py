@@ -688,26 +688,31 @@ def ivf_topk_arrow(
 def dim_min_max(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
     """Per-dimension corpus min/max, as two driver-side lists.
 
-    128 column aggregates (JVM codegen, map-side combined) over one
-    scan — never an explode of |corpus|×dim rows. The result is
-    2×dim scalars: bounded driver data by construction, same class as
-    the IVF centroids.
+    ``posexplode → groupBy(pos).agg(min, max)``: the explode is
+    streamed straight into a partially-aggregated hash agg (never
+    materialized), so the shuffle carries only dim rows PER PARTITION
+    and the driver collects 2×dim scalars — bounded by construction,
+    same class as the IVF centroids. (The first cut used 2×dim wide
+    column aggregates instead; at dim=64 that is 128 generated agg
+    expressions and Janino paid ~4 s compiling the stage —
+    data-independent, but pure overhead on every plan that embeds it.)
     """
-    head = df.select(vec_col).first()
-    if head is None or head[0] is None:
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    if not rows:
         raise ValueError(
             f"dim_min_max: no non-null '{vec_col}' row to derive the "
             "dimensionality from (empty corpus?)"
         )
-    dim = len(head[0])
-    v = F.col(vec_col)
-    row = df.agg(
-        *[F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(F.element_at(v, i + 1)).alias(f"mx{i}") for i in range(dim)],
-    ).first()
+    by_pos = {r["pos"]: r for r in rows}
+    dim = max(by_pos) + 1
     return (
-        [float(row[f"mn{i}"]) for i in range(dim)],
-        [float(row[f"mx{i}"]) for i in range(dim)],
+        [float(by_pos[i]["mn"]) for i in range(dim)],
+        [float(by_pos[i]["mx"]) for i in range(dim)],
     )
 
 
@@ -904,18 +909,6 @@ def pq_codebooks(
     ]
 
 
-def _sub_d2(sub_codes: Column, codeword: list[int]) -> Column:
-    """Integer squared L2 distance between an int8 subvector column
-    and a literal codeword — a fixed-length fold, exact in any engine
-    (max term 255² · 16 per subspace: fits comfortably in long)."""
-    lit = F.array(*[F.lit(int(c)) for c in codeword])
-    return F.aggregate(
-        F.zip_with(sub_codes, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    )
-
-
 def pq_encode(
     df: DataFrame,
     books: list[list[list[int]]],
@@ -923,30 +916,51 @@ def pq_encode(
     out_col: str = "pqcode",
 ) -> DataFrame:
     """Attach the m-byte PQ code: per subspace, the argmin-distance
-    codeword id (integer distances, min-cid tiebreak — a total order,
-    so the assignment is deterministic with no rounding step).
+    codeword id (integer distances; numpy ``argmin`` returns the FIRST
+    minimum, so ties break to the lowest cid — a total order,
+    deterministic with no rounding step).
 
-    Pure projection: the codebooks are plan literals, so encoding is
-    one codegen pass with NO join and NO shuffle — the corpus-side
-    cost model that survives 100 TB (same shape as ``ivf_assign``).
-    The output is m small ints per vector: a dim·4-byte float vector
-    compresses to m bytes (64× at dim=64, m=4 — the reason PQ is the
-    standard memory layout for billion-vector indexes)."""
+    Vectorized numpy over Arrow batches (``mapInPandas``): per batch,
+    ONE broadcasted ``(n, K, sd)`` integer subtract-square-sum per
+    subspace — the same Arrow-BLAS doctrine as the brute-force ANN
+    scan. Still a pure projection: NO join and NO shuffle — the
+    corpus-side cost model that survives 100 TB (same shape as
+    ``ivf_assign``). Expression-only alternatives both lose: unrolled
+    per-codeword subtrees cost ~10 s of Janino compile per plan at
+    m×K=64, and higher-order functions are interpreted (no codegen) at
+    ~5 ms/row. The output is m small ints per vector: a dim·4-byte
+    float vector compresses to m bytes (64× at dim=64, m=4 — the
+    reason PQ is the standard memory layout for billion-vector
+    indexes)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(books)
     sd = len(books[0][0])
-    subs = []
-    for s, book in enumerate(books):
-        sub = F.slice(F.col(code_col), s * sd + 1, sd)
-        entries = F.array(
-            *[
-                F.struct(
-                    _sub_d2(sub, cw).alias("d2"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, cw in enumerate(book)
-            ]
-        )
-        subs.append(F.array_sort(entries)[0]["cid"])
-    return df.withColumn(out_col, F.array(*subs))
+    B = np.asarray(books, dtype=np.int64)  # m × K × sd
+    # NOT df.schema.add(...): DataFrame.schema is cached and .add
+    # mutates it in place, corrupting df's own column list.
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[code_col]])
+            out = np.empty((X.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                sub = X[:, s * sd : (s + 1) * sd]  # n × sd
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = d2.argmin(axis=1)  # first min → lowest cid
+            pdf[out_col] = list(out)
+            yield pdf
+
+    return df.mapInPandas(enc, out_schema)
 
 
 def pq_adc_topk(
@@ -964,41 +978,80 @@ def pq_adc_topk(
     neighbor's codeword). Every arithmetic step is integer, so ranks
     (and the DuckDB oracle) are exact — tie-break on neighbor id.
 
-    Scale shape: corpus side is encode (projection, no shuffle) once;
-    the search is a broadcast nested loop of |Q| queries against the
-    m-byte codes — the corpus never re-shuffles and never rehydrates
-    floats. This is brute-force ADC, the PQ baseline; composing with
-    the IVF cell pruning (``ivf_topk``) gives IVF-PQ, cutting
-    candidates by cells probed. Returns (query_id, neighbor_id,
-    adc_d2, rank).
+    The textbook ADC split: each query PREcomputes its m×K distance
+    lookup table once (``qlut[s][cid]``), so the per-pair cost in the
+    |corpus|×|Q| scan is exactly m array lookups + a sum — no
+    arithmetic against codewords in the hot loop. Scale shape: corpus
+    side is encode (projection, no shuffle) once; the search is a
+    broadcast nested loop of |Q| query LUTs against the m-byte codes —
+    the corpus never re-shuffles and never rehydrates floats. This is
+    brute-force ADC, the PQ baseline; composing with the IVF cell
+    pruning (``ivf_topk``) gives IVF-PQ, cutting candidates by cells
+    probed. Returns (query_id, neighbor_id, adc_d2, rank).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
     mins, maxes = dim_min_max(corpus, vec_col)
     codes = quantize_int8(corpus, mins, maxes, vec_col).select(
         id_col, "code"
     )
     books = pq_codebooks(codes, id_col, "code", m, num_codewords)
     sd = len(books[0][0])
+    B = np.asarray(books, dtype=np.int64)  # m × K × sd
     enc = pq_encode(codes, books).select(
         F.col(id_col).alias("neighbor_id"), "pqcode"
     )
-    q = F.broadcast(
-        codes.filter(F.col(id_col) % query_mod == 0).select(
-            F.col(id_col).alias("query_id"), F.col("code").alias("qcode")
-        )
+
+    qin = codes.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), "code"
     )
-    terms = []
-    for s, book in enumerate(books):
-        cw = F.array(*[F.array(*[F.lit(int(c)) for c in w]) for w in book])
-        qsub = F.slice(F.col("qcode"), s * sd + 1, sd)
-        chosen = F.element_at(cw, F.col("pqcode")[s] + 1)
-        terms.append(
-            F.aggregate(
-                F.zip_with(qsub, chosen, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x.cast("long"),
+    lut_schema = StructType(
+        [
+            qin.schema["query_id"],
+            StructField("qlut", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+
+    def lut_fn(batches):
+        # qlut[s][cid] = d²(query subvector s, codeword cid): each
+        # query pays its m×K table ONCE here, so the |corpus|×|Q|
+        # scan below does no codeword arithmetic at all.
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "qlut": []})
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["code"]])
+            luts = np.stack(
+                [
+                    ((X[:, None, s * sd : (s + 1) * sd] - B[s][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    for s in range(m)
+                ],
+                axis=1,
+            )  # n × m × K
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "qlut": [l.tolist() for l in luts]}
             )
-        )
-    adc = sum(terms[1:], terms[0])
+
+    q = F.broadcast(qin.mapInPandas(lut_fn, lut_schema))
+    # unrolled m-term lookup sum: plain element_at chains stay inside
+    # whole-stage codegen (an F.aggregate over F.sequence would drop
+    # the whole pair scan to interpreted evaluation).
+    adc = sum(
+        (
+            F.element_at(
+                F.element_at(F.col("qlut"), s + 1),
+                F.element_at(F.col("pqcode"), s + 1).cast("int") + 1,
+            )
+            for s in range(1, m)
+        ),
+        F.element_at(
+            F.element_at(F.col("qlut"), 1),
+            F.element_at(F.col("pqcode"), 1).cast("int") + 1,
+        ),
+    )
     sims = (
         enc.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))

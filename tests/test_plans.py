@@ -200,6 +200,11 @@ ARROW_STAGE_ALLOWED = {
     "media_image_features",
     "media_resize",
     "training_pipeline_docs",
+    # PQ: numpy-vectorized encode + per-query ADC lookup tables
+    # (expression-only forms lose: unrolled = ~10 s Janino compile,
+    # HOFs = interpreted ~5 ms/row; see operators/similarity.py)
+    "pq_ann_topk",
+    "pq_code_balance",
 }
 
 _PY_NODES = (
