@@ -1061,3 +1061,148 @@ def pq_adc_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _np_quantize(X, mn, mx):
+    """Vectorized int8 quantization, identical to ``quantize_int8``'s
+    formula INCLUDING the rounding mode: Spark's F.round and DuckDB's
+    ROUND are half-up for the non-negative operand here, while numpy's
+    round() is half-to-even — so round via floor(v + 0.5)."""
+    import numpy as np
+
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+    v = (X - mn) / safe * 255.0
+    c = np.clip(np.floor(v + 0.5).astype(np.int64) - 128, -128, 127)
+    return np.where(rng > 0, c, 0)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    num_codewords: int = 16,
+    query_mod: int = 50,
+) -> DataFrame:
+    """IVF-PQ top-k — the composition ``pq_adc_topk``'s docstring
+    points at, and the standard billion-vector index layout: IVF cell
+    pruning cuts the candidate set to nprobe/cells of the corpus, and
+    PQ asymmetric distance ranks those candidates through m-byte codes
+    — the scan touches neither the full corpus nor any float vector.
+
+    Determinism composes from its parts: cell assignment is the
+    9dp-rounded argmax with min-cid tiebreak (``ivf_topk_arrow``),
+    distances are integer ADC sums (``pq_adc_topk``), ranks tie-break
+    on neighbor id. Scale shape: ONE corpus pass (a single
+    ``mapInPandas`` normalizes → assigns the cell, quantizes → PQ
+    encodes, then scores only the queries probing that row's cell with
+    a local top-k) — the closure carries centroids + codebooks +
+    per-query LUTs + probe sets (all ≲ |Q|·m·K ints), and the final
+    window ranks ≤ |partitions|·|Q|·k rows. Use a cell-keyed join
+    form when the query set outgrows the closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mins, maxes = dim_min_max(corpus, vec_col)
+    mn = np.asarray(mins, dtype=np.float64)
+    mx = np.asarray(maxes, dtype=np.float64)
+    dim = len(mins)
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    sd = dim // m
+
+    cents = sorted(ivf_centroids(corpus, id_col, vec_col, num_centroids))
+    c_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    c_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    # codebooks: the num_codewords lowest-id vectors' int8 subvectors
+    # (pq_codebooks' seed doctrine, quantized driver-side)
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(num_codewords).collect()
+    )
+    if not seed_rows:
+        raise ValueError("ivfpq_topk: empty corpus")
+    seeds = _np_quantize(
+        np.array([r[vec_col] for r in seed_rows], dtype=np.float64), mn, mx
+    )
+    B = np.stack([seeds[:, s * sd : (s + 1) * sd] for s in range(m)])  # m×K×sd
+
+    q_rows = (
+        corpus.filter(F.col(id_col) % query_mod == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_d2 long, rank int"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Qv = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Qv, axis=1)
+    qn[qn == 0.0] = 1.0
+    q_sims = np.round((Qv / qn[:, None]) @ c_mat.T, 9)
+    probe_sets = [
+        np.array(sorted(c_ids[np.lexsort((c_ids, -q_sims[j]))[:nprobe]]))
+        for j in range(len(q_ids))
+    ]
+    Qc = _np_quantize(Qv, mn, mx)
+    luts = np.stack(
+        [
+            ((Qc[:, None, s * sd : (s + 1) * sd] - B[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )  # nq × m × K
+
+    out_schema = "query_id long, neighbor_id long, adc_d2 long"
+    sub_idx = np.arange(m)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["__v"].to_numpy())
+            nn = np.linalg.norm(X, axis=1)
+            nn[nn == 0.0] = 1.0
+            cells = c_ids[np.argmax(np.round((X / nn[:, None]) @ c_mat.T, 9), axis=1)]
+            C = _np_quantize(X, mn, mx)
+            codes = np.stack(
+                [
+                    ((C[:, None, s * sd : (s + 1) * sd] - B[s][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for s in range(m)
+                ],
+                axis=1,
+            )  # n × m
+            frames = []
+            for j in range(len(q_ids)):
+                mask = np.isin(cells, probe_sets[j]) & (ids != q_ids[j])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                adc = luts[j][sub_idx[None, :], codes[cand]].sum(axis=1)
+                order = np.lexsort((ids[cand], adc))[:k]
+                pick = cand[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": ids[pick],
+                            "adc_d2": adc[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    sims = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -3723,3 +3723,134 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("sub", "cid")
     )
+
+
+#: Shared IVF-PQ CTE chain: ann_ivf_topk's cell index (9dp-rounded
+#: assignment, min-cid tiebreak) feeding pq_ann_topk's integer ADC
+#: ranking over the probed cells' candidates. Ends in ``ivfpq_ranked``.
+_IVFPQ_CTES = f"""{_IVF_NRM_SQL},
+    ivf_assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
+                   ) AS rn
+            FROM nrm n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    ivf_probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
+                   ) AS rn
+            FROM nrm n CROSS JOIN cent c
+            WHERE n.vec_id % 50 = 0
+        ) WHERE rn <= 2
+    ),
+    {_PQ_CTES},
+    ivfpq_adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, SUM(l.d2) AS adc_d2
+        FROM ivf_probes p
+        JOIN ivf_assign a ON a.cell = p.cell
+        JOIN pq_enc e ON e.vec_id = a.vec_id
+        JOIN pq_lut l ON l.query_id = p.query_id
+                     AND l.sub = e.sub AND l.cid = e.cid
+        WHERE a.vec_id <> p.query_id
+        GROUP BY p.query_id, a.vec_id
+    ),
+    ivfpq_ranked AS (
+        SELECT query_id, neighbor_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rank
+        FROM ivfpq_adc
+    )"""
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, neighbor_id, adc_d2, rank
+    FROM ivfpq_ranked WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5: IVF cell pruning (16 deterministic centroids,
+    2-cell probe — ann_ivf_topk's index) picks the candidates, PQ
+    asymmetric integer distance (pq_ann_topk's m=4 codebooks) ranks
+    them — the standard billion-vector composition, where the search
+    touches nprobe/cells of the corpus and only its m-byte codes
+    (operators.similarity.ivfpq_topk: one corpus pass, map-side
+    top-k). Cell assignment reuses the proven 9dp-rounded argmax;
+    every distance is an integer sum."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.ivfpq_topk(emb, k=5, num_centroids=16, nprobe=2).select(
+        "query_id", "neighbor_id", "adc_d2", "rank"
+    )
+
+
+@query(
+    "ann_ivfpq_recall",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    exact_top AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM pq_base q JOIN pq_base c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    e5 AS (SELECT query_id, neighbor_id FROM exact_top WHERE rnk <= 5),
+    a5 AS (SELECT query_id, neighbor_id FROM ivfpq_ranked WHERE rank <= 5),
+    ov AS (
+        SELECT e5.query_id, COUNT(*) AS n_overlap
+        FROM e5 JOIN a5 USING (query_id, neighbor_id)
+        GROUP BY e5.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5, 6)
+               AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM e5) q
+    LEFT JOIN ov USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ index vs exact float search — the QA
+    gate every production ANN deployment runs before flipping traffic
+    to a compressed index, isolating the COMBINED loss of cell pruning
+    (candidates outside the probed cells) and PQ code resolution
+    (ADC mis-ranking inside them); compare against ann_int8_recall
+    (quantization loss alone) to attribute a recall drop. Same
+    integer-ratio output shape as the other recall reports."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = S.brute_force_topk_arrow(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.ivfpq_topk(emb, k=5).select("query_id", "neighbor_id")
+    ov = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 5, 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

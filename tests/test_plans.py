@@ -205,6 +205,8 @@ ARROW_STAGE_ALLOWED = {
     # HOFs = interpreted ~5 ms/row; see operators/similarity.py)
     "pq_ann_topk",
     "pq_code_balance",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
 }
 
 _PY_NODES = (
