@@ -1063,11 +1063,12 @@ _IVF_NRM_SQL = """
     cent AS (SELECT vec_id AS cid, v AS cv FROM nrm ORDER BY vec_id LIMIT 16)
 """
 
-
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH {_IVF_NRM_SQL},
+#: Shared IVF cell index CTEs over {_IVF_NRM_SQL}'s nrm/cent:
+#: ``assign`` (every vector's nearest cell — 9dp-rounded dot, min-cid
+#: tiebreak) and ``probes`` (each query's nprobe=2 nearest cells).
+#: One copy so the assignment tiebreak can never drift between the
+#: IVF and IVF-PQ oracles.
+_IVF_ASSIGN_PROBES_SQL = """
     assign AS (
         SELECT vec_id, cid AS cell FROM (
             SELECT n.vec_id, c.cid,
@@ -1088,7 +1089,15 @@ _IVF_NRM_SQL = """
             FROM nrm n CROSS JOIN cent c
             WHERE n.vec_id % 50 = 0
         ) WHERE rn <= 2
-    ),
+    )
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_NRM_SQL},
+    {_IVF_ASSIGN_PROBES_SQL},
     sims AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
                ROUND(list_dot_product(qn.v, cn.v), 6) AS cos_sim
@@ -3729,32 +3738,12 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: assignment, min-cid tiebreak) feeding pq_ann_topk's integer ADC
 #: ranking over the probed cells' candidates. Ends in ``ivfpq_ranked``.
 _IVFPQ_CTES = f"""{_IVF_NRM_SQL},
-    ivf_assign AS (
-        SELECT vec_id, cid AS cell FROM (
-            SELECT n.vec_id, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vec_id
-                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
-                   ) AS rn
-            FROM nrm n CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
-    ivf_probes AS (
-        SELECT vec_id AS query_id, cid AS cell FROM (
-            SELECT n.vec_id, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vec_id
-                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
-                   ) AS rn
-            FROM nrm n CROSS JOIN cent c
-            WHERE n.vec_id % 50 = 0
-        ) WHERE rn <= 2
-    ),
+    {_IVF_ASSIGN_PROBES_SQL},
     {_PQ_CTES},
     ivfpq_adc AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, SUM(l.d2) AS adc_d2
-        FROM ivf_probes p
-        JOIN ivf_assign a ON a.cell = p.cell
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
         JOIN pq_enc e ON e.vec_id = a.vec_id
         JOIN pq_lut l ON l.query_id = p.query_id
                      AND l.sub = e.sub AND l.cid = e.cid
@@ -3787,9 +3776,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k). Cell assignment reuses the proven 9dp-rounded argmax;
     every distance is an integer sum."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.ivfpq_topk(emb, k=5, num_centroids=16, nprobe=2).select(
-        "query_id", "neighbor_id", "adc_d2", "rank"
-    )
+    # every index parameter pinned: the oracle SQL hardcodes them all
+    return S.ivfpq_topk(
+        emb, m=4, k=5, num_centroids=16, nprobe=2,
+        num_codewords=16, query_mod=50,
+    ).select("query_id", "neighbor_id", "adc_d2", "rank")
 
 
 @query(
@@ -3835,7 +3826,10 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk_arrow(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
-    approx = S.ivfpq_topk(emb, k=5).select("query_id", "neighbor_id")
+    approx = S.ivfpq_topk(
+        emb, m=4, k=5, num_centroids=16, nprobe=2,
+        num_codewords=16, query_mod=50,
+    ).select("query_id", "neighbor_id")
     ov = (
         exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")

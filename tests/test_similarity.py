@@ -279,6 +279,34 @@ class TestInt8NumpyParity:
         for i in range(50):
             assert got[i] == list(want[i]), f"row {i}: {got[i]} != {list(want[i])}"
 
+    def test_np_quantize_matches_spark(self, spark):
+        """operators.similarity._np_quantize (the IVF-PQ closure's
+        vectorized quantizer) must stay byte-identical to
+        quantize_int8's codegen output — the PQ family's integer-exact
+        cross-engine guarantee rides on the three implementations
+        (Spark expression, oracle SQL, numpy) never drifting."""
+        import numpy as np
+
+        from pg2any_spark.operators.similarity import (
+            _np_quantize,
+            dim_min_max,
+            quantize_int8,
+        )
+
+        rng = np.random.default_rng(11)
+        mat = rng.normal(0, 100, (50, 6))
+        mat[:, 2] = 3.25  # constant dimension
+        mat[:, 4] *= 1e6  # extreme magnitudes
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        mins, maxes = dim_min_max(df)
+        want = _np_quantize(
+            mat, np.asarray(mins, dtype=np.float64), np.asarray(maxes, dtype=np.float64)
+        )
+        got = {r["vec_id"]: r["code"] for r in quantize_int8(df, mins, maxes).collect()}
+        for i in range(50):
+            assert got[i] == list(want[i]), f"row {i}: {got[i]} != {list(want[i])}"
+
 
 class TestKnnLabel:
     def test_majority_vote_and_tiebreak(self, spark):
