@@ -136,6 +136,12 @@ class CdcConfig:
     protocol_version: int = 1
     binary_format: bool = False
     streaming: bool = True
+    #: request the publication's two_phase option (reference
+    #: config.rs:41): prepared transactions arrive as Begin Prepare /
+    #: Prepare / Commit Prepared frames — sources.pgoutput decodes
+    #: them (release deferred to Commit Prepared, Rollback Prepared
+    #: discards)
+    two_phase: bool = False
     connection_timeout_secs: int = 30
     query_timeout_secs: int = 10
     #: producer→consumer queue bound → maxFilesPerTrigger / maxOffsetsPerTrigger
@@ -242,6 +248,7 @@ def load_config_from_env(env: Mapping[str, str] | None = None) -> CdcConfig:
         protocol_version=_parse_int(env, "CDC_PROTOCOL_VERSION", 1),
         binary_format=_parse_bool(env, "CDC_BINARY_FORMAT", False),
         streaming=_parse_bool(env, "CDC_STREAMING", True),
+        two_phase=_parse_bool(env, "CDC_TWO_PHASE", False),
         connection_timeout_secs=_parse_int(env, "CDC_CONNECTION_TIMEOUT", 30),
         query_timeout_secs=_parse_int(env, "CDC_QUERY_TIMEOUT", 10),
         channel_capacity=_parse_int_fallback(

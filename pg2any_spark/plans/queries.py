@@ -160,6 +160,40 @@ def cdc_apply_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_two_phase",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'PREPARED-' || CAST(c_custkey AS VARCHAR)
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_apply_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase commit through the wire (publication option
+    ``two_phase``, reference knob ``config.rs:41``): every change is a
+    PREPARED transaction — Begin Prepare / data / Prepare — released
+    only by Commit Prepared; every fifth customer additionally carries
+    a prepared balance-corrupting UPDATE that is ROLLED BACK
+    (Rollback Prepared) and must leave zero trace. An apply that
+    releases at Prepare instead of Commit Prepared, or that leaks a
+    rolled-back prepared buffer, flips the final state."""
+    from pg2any_spark.sources.pgoutput import (
+        decode_wal_segments,
+        synth_customer_two_phase_wal_frames,
+    )
+
+    frames = synth_customer_two_phase_wal_frames(spark, sf_dir)
+    events = decode_wal_segments(frames)
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        events, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
+
+
+@query(
     "cdc_apply_multi_table",
     oracle="""
     SELECT 'customer' AS table_name, COUNT(*) AS n_rows,

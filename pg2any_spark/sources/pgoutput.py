@@ -212,6 +212,69 @@ def encode_stream_abort(xid: int, subxid: int) -> bytes:
     return b"A" + struct.pack(">II", xid, subxid)
 
 
+# -- two-phase commit (publication option two_phase; protocol §55.5.
+# The reference exposes the knob at config.rs:41 and its decoder crate
+# carries the frames; here they are first-class codec surface.) -------
+
+
+def encode_begin_prepare(
+    prepare_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
+) -> bytes:
+    return (
+        b"b"
+        + struct.pack(">QQqI", prepare_lsn, end_lsn, ts_to_pg_us(ts), xid)
+        + _cstr(gid)
+    )
+
+
+def encode_prepare(
+    prepare_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
+) -> bytes:
+    return (
+        b"P"
+        + struct.pack(">BQQqI", 0, prepare_lsn, end_lsn, ts_to_pg_us(ts), xid)
+        + _cstr(gid)
+    )
+
+
+def encode_stream_prepare(
+    prepare_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
+) -> bytes:
+    return (
+        b"p"
+        + struct.pack(">BQQqI", 0, prepare_lsn, end_lsn, ts_to_pg_us(ts), xid)
+        + _cstr(gid)
+    )
+
+
+def encode_commit_prepared(
+    commit_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
+) -> bytes:
+    return (
+        b"K"
+        + struct.pack(">BQQqI", 0, commit_lsn, end_lsn, ts_to_pg_us(ts), xid)
+        + _cstr(gid)
+    )
+
+
+def encode_rollback_prepared(
+    prepare_end_lsn: int,
+    rollback_end_lsn: int,
+    prepare_ts: datetime.datetime,
+    rollback_ts: datetime.datetime,
+    xid: int,
+    gid: str,
+) -> bytes:
+    return (
+        b"r"
+        + struct.pack(
+            ">BQQqqI", 0, prepare_end_lsn, rollback_end_lsn,
+            ts_to_pg_us(prepare_ts), ts_to_pg_us(rollback_ts), xid,
+        )
+        + _cstr(gid)
+    )
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -310,6 +373,10 @@ class PgOutputDecoder:
         # Commit must release them all (arrival order) and Stream
         # Abort of a subxid must discard only that subxact's buffer
         self.stream_children: dict[int, list[int]] = {}
+        # two-phase: xid -> gid for transactions Prepared but not yet
+        # Committed/Rolled-back Prepared; their buffers stay in self.tx
+        # so an unresolved prepare at segment end is flagged open
+        self.prepared: dict[int, str] = {}
 
     # -- helpers ---------------------------------------------------------
 
@@ -471,6 +538,64 @@ class PgOutputDecoder:
             # behavior downstream CDC consumers (e.g. Debezium's
             # pgoutput adapter) default to. Raising here would wedge a
             # stream on frames that are explicitly informational.
+            return []
+        if t == b"b":
+            # Begin Prepare: opens a two-phase transaction — data
+            # buffers exactly like Begin's; release is deferred past
+            # Prepare to Commit Prepared.
+            _plsn, _elsn, _ts, xid = struct.unpack_from(">QQqI", frame, 1)
+            self.current_xid = xid
+            self.tx.setdefault(xid, [])
+            return []
+        if t in (b"P", b"p"):
+            # Prepare / Stream Prepare: the transaction's changes are
+            # complete but HELD — PREPARE TRANSACTION decoupled its
+            # durability from its visibility. Nothing releases until
+            # Commit Prepared ('K'); Rollback Prepared ('r') discards.
+            _f, _plsn, _elsn, _ts, xid = struct.unpack_from(">BQQqI", frame, 1)
+            gid, _ = _read_cstr(frame, 30)
+            if xid not in self.tx:
+                raise ValueError(
+                    f"Prepare for unknown transaction {xid} (gid {gid!r}): "
+                    "missing Begin Prepare / Stream Start"
+                )
+            self.prepared[xid] = gid
+            if xid == self.current_xid:
+                self.current_xid = None
+            return []
+        if t == b"K":
+            # Commit Prepared: release exactly like Commit — including
+            # a streamed-prepared toplevel's subtransaction buffers.
+            _f, _clsn, _elsn, ts_us, xid = struct.unpack_from(">BQQqI", frame, 1)
+            gid, _ = _read_cstr(frame, 30)
+            if xid not in self.prepared:
+                raise ValueError(
+                    f"Commit Prepared for unprepared transaction {xid} "
+                    f"(gid {gid!r}): segments must carry Prepare and its "
+                    "resolution together"
+                )
+            del self.prepared[xid]
+            rows = self._release(xid, ts_us)
+            for kid in self.stream_children.pop(xid, []):
+                if kid != xid:
+                    rows.extend(self._release(kid, ts_us, txid=xid))
+            return rows
+        if t == b"r":
+            # Rollback Prepared: the prepared buffer (and any streamed
+            # subtransaction buffers) dies without a trace.
+            (_f, _pelsn, _relsn, _pts, _rts, xid) = struct.unpack_from(
+                ">BQQqqI", frame, 1
+            )
+            gid, _ = _read_cstr(frame, 38)
+            if xid not in self.prepared:
+                raise ValueError(
+                    f"Rollback Prepared for unprepared transaction {xid} "
+                    f"(gid {gid!r})"
+                )
+            del self.prepared[xid]
+            for kid in self.stream_children.pop(xid, []):
+                self.tx.pop(kid, None)
+            self.tx.pop(xid, None)
             return []
         if t == b"A":
             xid, subxid = struct.unpack_from(">II", frame, 1)
@@ -661,6 +786,15 @@ class StreamingPgOutputDecoder(PgOutputDecoder):
             else:
                 self._instances.pop(subxid, None)
                 self._open_rows.pop(subxid, None)
+        elif frame[0:1] == b"r":
+            # Rollback Prepared: same instance-death rule — the rolled
+            # back rows (already emitted) must never join a marker
+            (xid,) = struct.unpack_from(">I", frame, 34)
+            for kid in self.stream_children.get(xid, []):
+                self._instances.pop(kid, None)
+                self._open_rows.pop(kid, None)
+            self._instances.pop(xid, None)
+            self._open_rows.pop(xid, None)
         markers = super().feed(frame, wal_lsn)
         out = self._pending
         self._pending = []
@@ -1246,3 +1380,111 @@ def synth_streaming_tx_wal_frames(
         m(7 * B, encode_stream_commit(300, 60_000_000, 60_000_000, ts))
     mark_df = spark.createDataFrame(marks, WAL_FRAME_SCHEMA)
     return mark_df.unionByName(data)
+
+
+def synth_customer_two_phase_wal_frames(
+    spark, sf_dir: str, n_segments: int = 8
+) -> DataFrame:
+    """Wire-exact TWO-PHASE pgoutput stream (publication option
+    ``two_phase``; reference knob ``config.rs:41``): every change
+    arrives as a PREPARED transaction — Begin Prepare / data / Prepare
+    — resolved in-segment by Commit Prepared or Rollback Prepared.
+    Per customer: a prepared-and-committed INSERT; for custkey%3==0 a
+    prepared-and-committed UPDATE (``c_mktsegment`` →
+    ``PREPARED-<k>``); for custkey%5==0 a prepared UPDATE bumping
+    ``c_acctbal`` by 999999 that is ROLLED BACK (must leave zero
+    trace — an apply that releases at Prepare instead of Commit
+    Prepared corrupts every fifth balance); for custkey%7==0 a
+    prepared-and-committed DELETE.
+
+    Final-state oracle::
+
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'PREPARED-' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0
+    """
+    import pandas as pd
+    from pyspark.sql import Row, functions as F
+
+    from pg2any_spark.sources.fixtures import load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    cols = cust.columns
+    key = "c_custkey"
+    text = lambda c: F.col(c).cast("string")  # noqa: E731
+    mk_map = lambda acct: F.map_from_arrays(  # noqa: E731
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[acct.cast("string") if c == "c_acctbal" else text(c)
+                  for c in cols]),
+    )
+    base = cust.select(
+        F.col(key).alias("k"),
+        mk_map(F.col("c_acctbal")).alias("m_ins"),
+        mk_map(F.col("c_acctbal") + 999999.0).alias("m_bad"),
+    )
+    ts = datetime.datetime(2026, 1, 1)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+
+            def tx(k, lsn, data_frame, commit=True):
+                seg = int(k) % n_segments
+                gid = f"gid-{lsn}"
+                rows.append((seg, lsn * 8 + 1, lsn,
+                             encode_begin_prepare(lsn, lsn, ts, lsn, gid)))
+                rows.append((seg, lsn * 8 + 2, lsn, data_frame))
+                rows.append((seg, lsn * 8 + 3, lsn,
+                             encode_prepare(lsn, lsn, ts, lsn, gid)))
+                if commit:
+                    rows.append((seg, lsn * 8 + 4, lsn,
+                                 encode_commit_prepared(lsn, lsn, ts, lsn, gid)))
+                else:
+                    rows.append((seg, lsn * 8 + 4, lsn,
+                                 encode_rollback_prepared(
+                                     lsn, lsn, ts, ts, lsn, gid)))
+
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                ins = [r.m_ins.get(c) for c in cols]
+                old = [r.m_ins.get(c) if c == key else None for c in cols]
+                tx(k, k * 10, encode_insert(_CUSTOMER_REL_ID, ins))
+                if k % 3 == 0:
+                    u1 = [
+                        f"PREPARED-{k}" if c == "c_mktsegment"
+                        else r.m_ins.get(c)
+                        for c in cols
+                    ]
+                    tx(k, k * 10 + 1, encode_update(
+                        _CUSTOMER_REL_ID, u1, old_values=old, old_kind="K"))
+                if k % 5 == 0:
+                    bad = [
+                        r.m_bad.get(c) if c == "c_acctbal"
+                        else f"PREPARED-{k}" if c == "c_mktsegment" and k % 3 == 0
+                        else r.m_ins.get(c)
+                        for c in cols
+                    ]
+                    tx(k, k * 10 + 2, encode_update(
+                        _CUSTOMER_REL_ID, bad, old_values=old, old_kind="K"),
+                        commit=False)
+                if k % 7 == 0:
+                    tx(k, k * 10 + 3,
+                       encode_delete(_CUSTOMER_REL_ID, old, old_kind="K"))
+            yield pd.DataFrame(
+                rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
+            )
+
+    data_frames = base.mapInPandas(gen, WAL_FRAME_SCHEMA)
+    rel = encode_relation(
+        _CUSTOMER_REL_ID, "public", "customer",
+        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
+        "default",
+    )
+    rel_frames = spark.createDataFrame(
+        [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
+         for s in range(n_segments)],
+        WAL_FRAME_SCHEMA,
+    )
+    return rel_frames.unionByName(data_frames)

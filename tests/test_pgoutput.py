@@ -639,3 +639,73 @@ def test_wire_stream_restart_applies_new_segments_once(spark, tmp_path):
     assert len(after) == len(before)  # nothing double-applied or lost
     del after[some_key], before[some_key]
     assert after == before
+
+
+class TestTwoPhase:
+    """Two-phase commit frames (publication option two_phase):
+    prepared transactions release only at Commit Prepared; Rollback
+    Prepared discards without a trace; an unresolved prepare at
+    segment end is truncation."""
+
+    def test_prepared_tx_releases_on_commit_prepared(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin_prepare(5, 5, TS, 77, "g1"), 1)
+        assert dec.feed(P.encode_insert(7, ["1", "a"]), 2) == []
+        # Prepare HOLDS — nothing may release yet
+        assert dec.feed(P.encode_prepare(5, 5, TS, 77, "g1"), 3) == []
+        assert dec.tx[77]  # buffer intact, held as prepared
+        rows = dec.feed(P.encode_commit_prepared(6, 6, TS, 77, "g1"), 4)
+        assert [(r["op"], r["txid"], r["commit_ts"]) for r in rows] == [
+            ("c", 77, TS)
+        ]
+        assert 77 not in dec.prepared and 77 not in dec.tx
+
+    def test_rollback_prepared_discards(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin_prepare(5, 5, TS, 88, "g2"), 1)
+        dec.feed(P.encode_insert(7, ["9", "z"]), 2)
+        dec.feed(P.encode_prepare(5, 5, TS, 88, "g2"), 3)
+        assert dec.feed(
+            P.encode_rollback_prepared(5, 6, TS, TS, 88, "g2"), 4
+        ) == []
+        assert 88 not in dec.tx and 88 not in dec.prepared
+        dec.check_closed("seg")  # nothing open
+
+    def test_streamed_two_phase_releases_children(self):
+        dec = P.PgOutputDecoder(protocol_version=2)
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_stream_start(50, True), 1)
+        dec.feed(P.encode_insert(7, ["1", "a"], stream_xid=50), 2)
+        dec.feed(P.encode_insert(7, ["2", "b"], stream_xid=51), 3)  # subxact
+        dec.feed(P.encode_stream_stop(), 4)
+        assert dec.feed(P.encode_stream_prepare(5, 5, TS, 50, "g3"), 5) == []
+        rows = dec.feed(P.encode_commit_prepared(6, 6, TS, 50, "g3"), 6)
+        assert [(r["txid"], r["after"]["id"]) for r in rows] == [
+            (50, "1"), (50, "2")
+        ]
+
+    def test_commit_prepared_without_prepare_raises(self):
+        dec = P.PgOutputDecoder()
+        with pytest.raises(ValueError, match="unprepared"):
+            dec.feed(P.encode_commit_prepared(6, 6, TS, 5, "gx"), 0)
+
+    def test_unresolved_prepare_is_open_at_segment_end(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin_prepare(5, 5, TS, 42, "g4"), 1)
+        dec.feed(P.encode_insert(7, ["1", "x"]), 2)
+        dec.feed(P.encode_prepare(5, 5, TS, 42, "g4"), 3)
+        with pytest.raises(ValueError, match="still open"):
+            dec.check_closed("seg")
+
+    def test_chunked_decode_matches_batch(self, spark):
+        # the full two-phase scenario (commits + rollbacks) through
+        # the constant-memory wire path must equal the batch decode —
+        # a rolled-back prepared instance's rows never join a marker
+        TestChunkedDecode()._assert_equivalent(
+            P.synth_customer_two_phase_wal_frames(
+                spark, "/root/testdata/sf0.001"
+            )
+        )

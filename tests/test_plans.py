@@ -190,6 +190,7 @@ ARROW_STAGE_ALLOWED = {
     "cdc_apply_pgoutput",
     "cdc_apply_pgoutput_streamed",
     "cdc_apply_toast",  # wire codec: Arrow encode + segment decode
+    "cdc_apply_two_phase",  # wire codec: Arrow encode + segment decode
     "ann_ivf_topk",
     "ann_lsh_topk",
     "embedding_near_dup",

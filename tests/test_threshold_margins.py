@@ -312,6 +312,7 @@ DETERMINISTIC_EXACT = {
     ("cdc_apply_pgoutput_streamed", "c_acctbal"),
     ("cdc_apply_streaming_tx", "c_acctbal"),
     ("cdc_apply_toast", "c_acctbal"),
+    ("cdc_apply_two_phase", "c_acctbal"),
     ("cdc_apply_orders_full_identity", "o_totalprice"),
     ("cdc_debezium_envelope", "after_acctbal"),
     ("cdc_envelope_roundtrip", "c_acctbal"),
