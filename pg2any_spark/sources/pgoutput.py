@@ -227,34 +227,35 @@ def encode_begin_prepare(
     )
 
 
+def _prepare_frame(
+    type_byte: bytes, lsn1: int, lsn2: int, ts: datetime.datetime,
+    xid: int, gid: str,
+) -> bytes:
+    # shared layout of Prepare ('P') / Stream Prepare ('p') / Commit
+    # Prepared ('K'): flags, two LSNs, timestamp, xid, gid
+    return (
+        type_byte
+        + struct.pack(">BQQqI", 0, lsn1, lsn2, ts_to_pg_us(ts), xid)
+        + _cstr(gid)
+    )
+
+
 def encode_prepare(
     prepare_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
 ) -> bytes:
-    return (
-        b"P"
-        + struct.pack(">BQQqI", 0, prepare_lsn, end_lsn, ts_to_pg_us(ts), xid)
-        + _cstr(gid)
-    )
+    return _prepare_frame(b"P", prepare_lsn, end_lsn, ts, xid, gid)
 
 
 def encode_stream_prepare(
     prepare_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
 ) -> bytes:
-    return (
-        b"p"
-        + struct.pack(">BQQqI", 0, prepare_lsn, end_lsn, ts_to_pg_us(ts), xid)
-        + _cstr(gid)
-    )
+    return _prepare_frame(b"p", prepare_lsn, end_lsn, ts, xid, gid)
 
 
 def encode_commit_prepared(
     commit_lsn: int, end_lsn: int, ts: datetime.datetime, xid: int, gid: str
 ) -> bytes:
-    return (
-        b"K"
-        + struct.pack(">BQQqI", 0, commit_lsn, end_lsn, ts_to_pg_us(ts), xid)
-        + _cstr(gid)
-    )
+    return _prepare_frame(b"K", commit_lsn, end_lsn, ts, xid, gid)
 
 
 def encode_rollback_prepared(
@@ -429,10 +430,39 @@ class PgOutputDecoder:
 
     # -- main ------------------------------------------------------------
 
+    def _guard_prepared_xid(self, xid: int) -> None:
+        # PostgreSQL cannot reassign an xid while its prepared
+        # transaction is pending, so a new Begin/Stream Start reusing
+        # one means stream corruption or a lost resolution frame —
+        # merging onto the held buffer would release prepared rows
+        # under an unrelated commit (and make the later Rollback
+        # Prepared a silent no-op). Fail loudly instead.
+        if xid in self.prepared:
+            raise ValueError(
+                f"transaction {xid} began while still PREPARED "
+                f"(gid {self.prepared[xid]!r}): missing Commit/Rollback "
+                "Prepared — corrupt or truncated stream"
+            )
+
+    def _pop_prepared(self, frame: bytes, xid: int, gid: str, what: str) -> None:
+        held = self.prepared.get(xid)
+        if held is None:
+            raise ValueError(
+                f"{what} for unprepared transaction {xid} (gid {gid!r}): "
+                "segments must carry Prepare and its resolution together"
+            )
+        if held != gid:
+            raise ValueError(
+                f"{what} for transaction {xid} names gid {gid!r} but the "
+                f"prepared gid is {held!r}: mis-paired resolution frame"
+            )
+        del self.prepared[xid]
+
     def feed(self, frame: bytes, wal_lsn: int) -> list[dict]:
         t = frame[0:1]
         if t == b"B":
             final_lsn, ts_us, xid = struct.unpack_from(">QqI", frame, 1)
+            self._guard_prepared_xid(xid)
             self.current_xid = xid
             self.tx.setdefault(xid, [])
             return []
@@ -517,6 +547,7 @@ class PgOutputDecoder:
             return self._release(self.current_xid, ts_us)
         if t == b"S":
             (xid,) = struct.unpack_from(">I", frame, 1)
+            self._guard_prepared_xid(xid)
             self.in_stream = xid
             self.tx.setdefault(xid, [])
             return []
@@ -544,6 +575,7 @@ class PgOutputDecoder:
             # buffers exactly like Begin's; release is deferred past
             # Prepare to Commit Prepared.
             _plsn, _elsn, _ts, xid = struct.unpack_from(">QQqI", frame, 1)
+            self._guard_prepared_xid(xid)
             self.current_xid = xid
             self.tx.setdefault(xid, [])
             return []
@@ -568,13 +600,7 @@ class PgOutputDecoder:
             # a streamed-prepared toplevel's subtransaction buffers.
             _f, _clsn, _elsn, ts_us, xid = struct.unpack_from(">BQQqI", frame, 1)
             gid, _ = _read_cstr(frame, 30)
-            if xid not in self.prepared:
-                raise ValueError(
-                    f"Commit Prepared for unprepared transaction {xid} "
-                    f"(gid {gid!r}): segments must carry Prepare and its "
-                    "resolution together"
-                )
-            del self.prepared[xid]
+            self._pop_prepared(frame, xid, gid, "Commit Prepared")
             rows = self._release(xid, ts_us)
             for kid in self.stream_children.pop(xid, []):
                 if kid != xid:
@@ -587,12 +613,7 @@ class PgOutputDecoder:
                 ">BQQqqI", frame, 1
             )
             gid, _ = _read_cstr(frame, 38)
-            if xid not in self.prepared:
-                raise ValueError(
-                    f"Rollback Prepared for unprepared transaction {xid} "
-                    f"(gid {gid!r})"
-                )
-            del self.prepared[xid]
+            self._pop_prepared(frame, xid, gid, "Rollback Prepared")
             for kid in self.stream_children.pop(xid, []):
                 self.tx.pop(kid, None)
             self.tx.pop(xid, None)
@@ -617,10 +638,13 @@ class PgOutputDecoder:
 
     def open_xids(self) -> list[int]:
         """Transactions left open at stream end: any xid with buffered
-        rows no Commit released, plus an un-committed current
-        transaction. Zero-row streamed registrations (Stream Start
-        with no data) are not flagged — nothing would be lost."""
+        rows no Commit released, every PREPARED-but-unresolved
+        transaction (even zero-row: its missing resolution frame is
+        truncation), plus an un-committed current transaction.
+        Zero-row streamed registrations (Stream Start with no data)
+        are not flagged — nothing would be lost."""
         xids = {x for x, rows in self.tx.items() if rows}
+        xids.update(self.prepared)
         if self.current_xid is not None:
             xids.add(self.current_xid)
         return sorted(xids)
@@ -803,10 +827,12 @@ class StreamingPgOutputDecoder(PgOutputDecoder):
 
     def open_xids(self) -> list[int]:
         """Transactions left open at stream end — emitted rows without
-        a Commit (their rows would silently vanish in the commit join)
-        plus an un-committed current transaction, mirroring the batch
-        decoder's truncation check."""
+        a Commit (their rows would silently vanish in the commit join),
+        prepared-but-unresolved transactions, plus an un-committed
+        current transaction, mirroring the batch decoder's truncation
+        check."""
         xids = {x for x in self.tx if self._open_rows.get(x, 0) > 0}
+        xids.update(self.prepared)
         if self.current_xid is not None:
             xids.add(self.current_xid)
         return sorted(xids)
@@ -1098,6 +1124,50 @@ WAL_FRAME_SCHEMA = "segment_id long, seq long, wal_lsn long, frame binary"
 _CUSTOMER_REL_ID = 1
 
 
+def _customer_text_maps(spark, sf_dir: str, extra: dict[str, float]):
+    """Shared scaffold of the customer wire synths: ``(cols, base)``
+    where ``base`` carries ``k`` (custkey), ``m_ins`` (every column
+    rendered to text via the SAME Spark cast the event synthesis
+    uses), and one additional map per ``extra`` entry with
+    ``c_acctbal`` shifted by that delta."""
+    from pyspark.sql import functions as F
+
+    from pg2any_spark.sources.fixtures import load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    cols = cust.columns
+    text = lambda c: F.col(c).cast("string")  # noqa: E731
+    mk_map = lambda acct: F.map_from_arrays(  # noqa: E731
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[acct.cast("string") if c == "c_acctbal" else text(c)
+                  for c in cols]),
+    )
+    sel = [
+        F.col("c_custkey").alias("k"),
+        mk_map(F.col("c_acctbal")).alias("m_ins"),
+    ]
+    for name, delta in extra.items():
+        sel.append(mk_map(F.col("c_acctbal") + delta).alias(name))
+    return cols, cust.select(*sel)
+
+
+def _customer_rel_frames(spark, cols, n_segments: int) -> DataFrame:
+    """One customer Relation frame per segment (segments are
+    self-contained: each re-sends Relation before first use)."""
+    from pyspark.sql import Row
+
+    rel = encode_relation(
+        _CUSTOMER_REL_ID, "public", "customer",
+        [(COL_KEY_FLAG if c == "c_custkey" else 0, c, 25, -1) for c in cols],
+        "default",
+    )
+    return spark.createDataFrame(
+        [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
+         for s in range(n_segments)],
+        WAL_FRAME_SCHEMA,
+    )
+
+
 def synth_customer_wal_frames(
     spark, sf_dir: str, n_segments: int = 8
 ) -> DataFrame:
@@ -1168,19 +1238,9 @@ def synth_customer_wal_frames(
             )
 
     data_frames = events.mapInPandas(gen, WAL_FRAME_SCHEMA)
-    rel = encode_relation(
-        _CUSTOMER_REL_ID,
-        "public",
-        "customer",
-        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
-        "default",
+    return _customer_rel_frames(spark, cols, n_segments).unionByName(
+        data_frames
     )
-    rel_frames = spark.createDataFrame(
-        [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
-         for s in range(n_segments)],
-        WAL_FRAME_SCHEMA,
-    )
-    return rel_frames.unionByName(data_frames)
 
 
 def synth_customer_toast_wal_frames(
@@ -1210,24 +1270,9 @@ def synth_customer_toast_wal_frames(
         FROM customer WHERE c_custkey % 7 <> 0
     """
     import pandas as pd
-    from pyspark.sql import Row, functions as F
 
-    from pg2any_spark.sources.fixtures import load_table
-
-    cust = load_table(spark, "customer", sf_dir)
-    cols = cust.columns
+    cols, base = _customer_text_maps(spark, sf_dir, {"m_upd": 1000.0})
     key = "c_custkey"
-    text = lambda c: F.col(c).cast("string")  # noqa: E731
-    mk_map = lambda acct: F.map_from_arrays(  # noqa: E731
-        F.array(*[F.lit(c) for c in cols]),
-        F.array(*[acct.cast("string") if c == "c_acctbal" else text(c)
-                  for c in cols]),
-    )
-    base = cust.select(
-        F.col(key).alias("k"),
-        mk_map(F.col("c_acctbal")).alias("m_ins"),
-        mk_map(F.col("c_acctbal") + 1000.0).alias("m_upd"),
-    )
     ts = datetime.datetime(2026, 1, 1)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1269,17 +1314,9 @@ def synth_customer_toast_wal_frames(
             )
 
     data_frames = base.mapInPandas(gen, WAL_FRAME_SCHEMA)
-    rel = encode_relation(
-        _CUSTOMER_REL_ID, "public", "customer",
-        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
-        "default",
+    return _customer_rel_frames(spark, cols, n_segments).unionByName(
+        data_frames
     )
-    rel_frames = spark.createDataFrame(
-        [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
-         for s in range(n_segments)],
-        WAL_FRAME_SCHEMA,
-    )
-    return rel_frames.unionByName(data_frames)
 
 
 def synth_streaming_tx_wal_frames(
@@ -1406,24 +1443,9 @@ def synth_customer_two_phase_wal_frames(
         FROM customer WHERE c_custkey % 7 <> 0
     """
     import pandas as pd
-    from pyspark.sql import Row, functions as F
 
-    from pg2any_spark.sources.fixtures import load_table
-
-    cust = load_table(spark, "customer", sf_dir)
-    cols = cust.columns
+    cols, base = _customer_text_maps(spark, sf_dir, {"m_bad": 999999.0})
     key = "c_custkey"
-    text = lambda c: F.col(c).cast("string")  # noqa: E731
-    mk_map = lambda acct: F.map_from_arrays(  # noqa: E731
-        F.array(*[F.lit(c) for c in cols]),
-        F.array(*[acct.cast("string") if c == "c_acctbal" else text(c)
-                  for c in cols]),
-    )
-    base = cust.select(
-        F.col(key).alias("k"),
-        mk_map(F.col("c_acctbal")).alias("m_ins"),
-        mk_map(F.col("c_acctbal") + 999999.0).alias("m_bad"),
-    )
     ts = datetime.datetime(2026, 1, 1)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1477,14 +1499,6 @@ def synth_customer_two_phase_wal_frames(
             )
 
     data_frames = base.mapInPandas(gen, WAL_FRAME_SCHEMA)
-    rel = encode_relation(
-        _CUSTOMER_REL_ID, "public", "customer",
-        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols],
-        "default",
+    return _customer_rel_frames(spark, cols, n_segments).unionByName(
+        data_frames
     )
-    rel_frames = spark.createDataFrame(
-        [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
-         for s in range(n_segments)],
-        WAL_FRAME_SCHEMA,
-    )
-    return rel_frames.unionByName(data_frames)

@@ -709,3 +709,32 @@ class TestTwoPhase:
                 spark, "/root/testdata/sf0.001"
             )
         )
+
+    def test_begin_reusing_prepared_xid_raises(self):
+        # PostgreSQL cannot reassign an xid while its prepared tx is
+        # pending — a reuse means corruption, and merging onto the
+        # held buffer would commit prepared rows under a stranger
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin_prepare(5, 5, TS, 7, "g"), 1)
+        dec.feed(P.encode_insert(7, ["1", "a"]), 2)
+        dec.feed(P.encode_prepare(5, 5, TS, 7, "g"), 3)
+        with pytest.raises(ValueError, match="still PREPARED"):
+            dec.feed(P.encode_begin(9, TS, 7), 4)
+
+    def test_gid_mismatch_raises(self):
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin_prepare(5, 5, TS, 7, "right"), 1)
+        dec.feed(P.encode_prepare(5, 5, TS, 7, "right"), 2)
+        with pytest.raises(ValueError, match="mis-paired"):
+            dec.feed(P.encode_commit_prepared(6, 6, TS, 7, "wrong"), 3)
+
+    def test_zero_row_unresolved_prepare_is_open(self):
+        # even an EMPTY prepared tx left unresolved is truncation: the
+        # missing resolution frame is information loss
+        dec = P.PgOutputDecoder()
+        dec.feed(P.encode_begin_prepare(5, 5, TS, 9, "g"), 0)
+        dec.feed(P.encode_prepare(5, 5, TS, 9, "g"), 1)
+        with pytest.raises(ValueError, match="still open"):
+            dec.check_closed("seg")
