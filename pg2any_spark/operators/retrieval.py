@@ -1,0 +1,192 @@
+"""Full-text retrieval over the document corpus: inverted-index
+postings and Okapi BM25 top-k ranking.
+
+The shape mirrors what a training-data pipeline needs from retrieval
+(targeted corpus probes, contamination look-ups, eval-set neighbor
+audits) re-expressed Spark-first:
+
+- The postings list is ONE map-side-combinable aggregate over the
+  exploded token stream; document length rides along functionally
+  (computed per doc BEFORE the explode) so no corpus-sized dl join is
+  ever needed.
+- The query set is tiny by construction, so every query-side join is
+  a broadcast: postings are filtered to query terms FIRST (the
+  inverted-index probe — candidate volume is docs-containing-a-term,
+  never the corpus), and the per-term document frequencies derived
+  from that filtered slice form a ≤|query vocab| row table, also
+  broadcast.
+- Per-(query, doc) score assembly is a pivot-by-term-position into a
+  FIXED-ORDER scalar sum, so both engines add the per-term scores in
+  the same textual order and the score is reproducible bit-for-bit
+  (the same doctrine as the tfidf operator's per-row expression).
+- Top-k per query uses the same two-phase salted ranking as the ANN
+  family (`similarity.ranked_topk`): a hot query term at corpus scale
+  (millions of candidate docs) fans phase 1 across
+  ``(query, pmod(doc_id, S))`` salt groups before the final ≤ S·k
+  reduce, exact by the total (score desc, doc_id) tiebreak.
+
+At 100 TB: tokenize+postings is a single shuffle keyed on
+(doc, term) with partial aggregation; candidate generation touches
+only the probed terms' postings (predicate pushdown via the broadcast
+semi-join); nothing corpus-sized ever crosses a second shuffle.
+
+Reference scope note: the reference engine (isdaniel/pg2any) has no
+retrieval surface — this belongs to the engine's LLM-data-pipeline
+extension mandate, alongside dedup/ANN/quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pg2any_spark.operators.text import tokens
+
+#: BM25 free parameters (Robertson et al.; the Lucene defaults).
+K1 = 1.2
+B = 0.75
+
+#: Widest query the fixed-order pivot supports; queries() instances
+#: stay well under it.  Raising it just adds pivot columns.
+MAX_QUERY_TERMS = 4
+
+
+def doc_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, dl, term, tf)`` postings with document length
+    attached. ``dl`` is computed per document BEFORE the explode and
+    carried through the aggregate as a grouping column (it is
+    functionally dependent on the doc id), so downstream scoring
+    never joins a corpus-sized length table."""
+    toked = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    return (
+        toked.select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _idf(n_docs: Column, df: Column) -> Column:
+    """BM25+ smoothed idf — ln((N - df + 0.5)/(df + 0.5) + 1), always
+    positive; operand order matches the oracle text exactly."""
+    return F.log(
+        ((n_docs - df).cast("double") + F.lit(0.5))
+        / (df.cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    num_salts: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query.
+
+    Returns ``(query_id, rnk, doc_id, n_terms_hit, tf_total, bm25)``
+    with ``bm25`` rounded to 6dp and ranking tie-broken on the
+    rounded score then ``doc_id`` (both engines agree on the order by
+    construction: every score input is an exact integer statistic and
+    the per-term scores combine in a fixed textual order).
+    """
+    spark = docs.sparkSession
+    terms = [
+        (qid, pos, t)
+        for qid, ts in queries
+        for pos, t in enumerate(ts)
+    ]
+    if any(pos >= MAX_QUERY_TERMS for _, pos, _ in terms):
+        raise ValueError(f"queries wider than {MAX_QUERY_TERMS} terms")
+    qterms = spark.createDataFrame(
+        terms, "query_id string, pos int, term string"
+    )
+
+    post = doc_postings(docs, id_col, text_col)
+    # corpus stats straight off the base table: two exact integer
+    # aggregates, map-side combinable, NO shuffle of the postings.
+    stats = (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col)))).alias("sum_dl"),
+        )
+    )
+
+    # inverted-index probe: candidate postings = query terms only.
+    cand = post.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+    dft = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    scored = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "pos",
+            "doc_id",
+            "tf",
+            (
+                _idf(F.col("n_docs"), F.col("df"))
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * F.col("dl").cast("double") / avgdl
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+
+    # fixed-order per-(query, doc) combine: pivot each term position to
+    # its own column, then add left-to-right — never a float SUM().
+    pivots = [
+        F.max(F.when(F.col("pos") == i, F.col("s"))).alias(f"__s{i}")
+        for i in range(MAX_QUERY_TERMS)
+    ]
+    g = scored.groupBy("query_id", "doc_id").agg(
+        *pivots,
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+    )
+    score = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, MAX_QUERY_TERMS):
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    g = g.select(
+        "query_id",
+        "doc_id",
+        "n_terms_hit",
+        "tf_total",
+        F.round(score, 6).alias("bm25"),
+    )
+
+    order = [F.col("bm25").desc(), F.col("doc_id")]
+    if num_salts and num_salts > 1:
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.col("doc_id"), F.lit(num_salts))
+        ).orderBy(*order)
+        g = (
+            g.withColumn("__salt_rank", F.row_number().over(w1))
+            .filter(F.col("__salt_rank") <= k)
+            .drop("__salt_rank")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "n_terms_hit", "tf_total", "bm25")
+    )

@@ -344,6 +344,10 @@ DETERMINISTIC_EXACT = {
     ("ann_ivf_topk", "cos_sim"),
     ("ann_lsh_topk", "cos_sim"),
     ("tfidf_top_terms_per_doc", "tfidf"),
+    # every score input is an exact integer statistic (tf, dl, df, N,
+    # sum_dl) and the per-term scores combine via a pivot into one
+    # fixed textual-order scalar sum — never a parallel float SUM()
+    ("retrieval_bm25_topk", "bm25"),
     ("dedup_keep_best", "quality"),
     # int64-exact accumulation then one correctly-rounded IEEE op
     ("media_audio_features", "rms"),
