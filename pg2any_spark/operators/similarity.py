@@ -357,6 +357,58 @@ def cosine_near_dup_pairs(
     )
 
 
+def semdedup_flags(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering then
+    within-cluster cosine pruning. Returns ``(cell, id, dropped)`` —
+    one row per corpus vector; ``dropped`` marks every vector that has
+    a near-duplicate (6dp-rounded cosine ≥ threshold) with a SMALLER
+    id in the same cluster, i.e. each ε-neighborhood keeps its min-id
+    exemplar (the paper keeps one random member; min-id is the
+    deterministic equivalent both engines reproduce).
+
+    Cluster assignment reuses the deterministic IVF centroids
+    (`ivf_centroids` / `ivf_assign`), so the index is reproducible
+    and shared with the ANN family. The pair scan joins ON THE CELL —
+    never all-pairs: the cluster count bounds the quadratic term
+    exactly as in the paper (at corpus scale, size ``num_centroids``
+    so cells stay ~√corpus; a runaway cell is the same hot-key shape
+    the LSH path caps via `dedup.hot_band_keys`)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    tagged = _normalized(corpus, id_col, "id", vec_col, "vec").withColumn(
+        "cell", ivf_assign(F.col("vec"), cents)
+    )
+    if materialize:
+        tagged = tagged.persist()
+    a = tagged.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
+    )
+    b = tagged.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(dot(F.col("vec_a"), F.col("vec_b")), 6) >= F.lit(threshold)
+        )
+        .select("id_b")
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return tagged.select("cell", "id").join(
+        dropped, tagged["id"] == dropped["id_b"], "left"
+    ).select(
+        "cell", "id", F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF: inverted-file cells around deterministic centroids
 # ---------------------------------------------------------------------------

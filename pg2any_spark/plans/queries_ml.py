@@ -1052,6 +1052,82 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semdedup_cells",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding::DOUBLE[], x -> x * 0.5)
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+        FROM base
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM nrm ORDER BY vec_id LIMIT 16),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT n.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND(list_dot_product(n.v, c.cv), 9) DESC, c.cid
+                   ) AS rn
+            FROM nrm n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT sb.vec_id
+        FROM assign sa
+        JOIN assign sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+        JOIN nrm na ON na.vec_id = sa.vec_id
+        JOIN nrm nb ON nb.vec_id = sb.vec_id
+        WHERE ROUND(list_dot_product(na.v, nb.v), 6) >= CAST(0.95 AS DOUBLE)
+    )
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN a.vec_id ELSE 0 END)
+                AS BIGINT) AS dropped_id_sum
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cell ORDER BY a.cell
+    """,
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-cluster prune report
+    (`similarity.semdedup_flags`): corpus ∪ 0.5-scaled copies (scaled
+    copies normalize to bit-identical unit vectors, so every copy is
+    a guaranteed within-cell exact near-dup — planted ground truth),
+    k-means-cell blocking bounds the pair scan, each ε-neighborhood
+    keeps its min-id exemplar. Per cell: vector count, dropped count,
+    exact integer checksum of the dropped ids."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), dbl.alias("embedding")).unionByName(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(dbl, lambda x: x * 0.5).alias("embedding"),
+        )
+    )
+    flags = S.semdedup_flags(base, num_centroids=16, threshold=0.95)
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("dropped"), F.col("id")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dropped_id_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
 _IVF_NRM_SQL = """
     nrm AS (
         SELECT vec_id,

@@ -404,3 +404,41 @@ class TestPQ:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestSemDedup:
+    def test_min_id_exemplar_survives(self, spark):
+        df = vecs(
+            spark,
+            [
+                (1, [1, 0, 0, 0]),
+                (2, [1, 0, 0, 0]),        # exact dup of 1 -> dropped
+                (3, [0, 1, 0, 0]),        # orthogonal -> kept
+                (4, [0.9999, 0.01, 0, 0]),  # cos ~0.99995 to 1 -> dropped
+            ],
+        )
+        out = {
+            r["id"]: r["dropped"]
+            for r in S.semdedup_flags(df, num_centroids=2).collect()
+        }
+        assert out == {1: False, 2: True, 3: False, 4: True}
+
+    def test_planted_copies_all_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = emb.select("vec_id", dbl.alias("embedding")).unionByName(
+            emb.select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.transform(dbl, lambda x: x * 0.5).alias("embedding"),
+            )
+        )
+        flags = S.semdedup_flags(base, num_centroids=16).collect()
+        # a 0.5-scaled copy normalizes to a bit-identical unit vector:
+        # same cell as its original, cosine exactly 1.0 -> every copy
+        # (the larger id of its pair) must be dropped
+        copies = {r["id"]: r["dropped"] for r in flags if r["id"] >= 100000}
+        assert copies and all(copies.values())

@@ -263,7 +263,8 @@ THRESHOLDED_METRICS = [
          "dedup_keep_best"],
     ),
     ("dup_ngram_frac", _DUP_FRAC_RAW_SQL, [0.2], 1e-6, ["corpus_filter_funnel"]),
-    ("pair_cosine", _PAIR_COS_RAW_SQL, [0.95], 1e-6, ["embedding_near_dup"]),
+    ("pair_cosine", _PAIR_COS_RAW_SQL, [0.95], 1e-6,
+     ["embedding_near_dup", "semdedup_cells"]),
     ("centroid_cosine", _CENTROID_COS_RAW_SQL, [0.0], 1e-6, ["embedding_outliers"]),
     (
         "planted_pair_cosine",
