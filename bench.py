@@ -68,6 +68,10 @@ HEADLINE = [
     # (integer-exact asymmetric-distance scan over 8x subquantizers)
     "cdc_apply_toast",
     "pq_ann_topk",
+    # round 6b: BM25 inverted-index retrieval; cluster-blocked
+    # semantic dedup (SemDeDup)
+    "retrieval_bm25_topk",
+    "semdedup_cells",
 ]
 
 

@@ -363,7 +363,6 @@ def semdedup_flags(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     threshold: float = 0.95,
-    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering then
     within-cluster cosine pruning. Returns ``(cell, id, dropped)`` —
@@ -374,38 +373,58 @@ def semdedup_flags(
     deterministic equivalent both engines reproduce).
 
     Cluster assignment reuses the deterministic IVF centroids
-    (`ivf_centroids` / `ivf_assign`), so the index is reproducible
-    and shared with the ANN family. The pair scan joins ON THE CELL —
-    never all-pairs: the cluster count bounds the quadratic term
-    exactly as in the paper (at corpus scale, size ``num_centroids``
-    so cells stay ~√corpus; a runaway cell is the same hot-key shape
-    the LSH path caps via `dedup.hot_band_keys`)."""
-    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
-    tagged = _normalized(corpus, id_col, "id", vec_col, "vec").withColumn(
-        "cell", ivf_assign(F.col("vec"), cents)
-    )
-    if materialize:
-        tagged = tagged.persist()
-    a = tagged.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
-    )
-    b = tagged.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(dot(F.col("vec_a"), F.col("vec_b")), 6) >= F.lit(threshold)
+    (`ivf_centroids`; numpy argmax-first ≡ the 9dp min-cid tiebreak,
+    same kernel doctrine as `ivf_topk_arrow`), so the index is
+    reproducible and shared with the ANN family. The pair scan is one
+    gram matmul PER CELL inside `applyInPandas` — never all-pairs and
+    never an interpreted per-element fold: the cluster count bounds
+    the quadratic term exactly as in the paper, and the only shuffle
+    is the partition-by-cell that the group-map requires. At corpus
+    scale, size ``num_centroids`` so cells stay ~√corpus (the paper's
+    own assumption that a cluster fits a worker); a runaway cell is
+    the same hot-key shape the LSH path caps via
+    `dedup.hot_band_keys`."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(ivf_centroids(corpus, id_col, vec_col, num_centroids))
+    c_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    c_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            mat = np.stack(pdf["__v"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            mat = mat / norms[:, None]
+            cells = c_ids[np.argmax(np.round(mat @ c_mat.T, 9), axis=1)]
+            yield pd.DataFrame(
+                {"cell": cells, "id": ids, "v": list(mat)}
+            )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64))
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["v"].to_numpy()[order])
+        sims = np.round(mat @ mat.T, 6)
+        # dropped[j] = some i < j (ids ascending) with sims[i, j] >= t
+        near = np.triu(sims >= threshold, k=1)
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "id": ids,
+                "dropped": near.any(axis=0),
+            }
         )
-        .select("id_b")
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    return tagged.select("cell", "id").join(
-        dropped, tagged["id"] == dropped["id_b"], "left"
-    ).select(
-        "cell", "id", F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped")
+
+    tagged = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(assign, "cell long, id long, v array<double>")
+    return tagged.groupBy("cell").applyInPandas(
+        prune, "cell long, id long, dropped boolean"
     )
 
 
