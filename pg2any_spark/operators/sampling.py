@@ -93,6 +93,57 @@ def stratified_hash_sample(
     return df.filter(b < threshold)
 
 
+def upsample_epochs(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    epochs: Mapping[str, float],
+    default_epochs: float = 1.0,
+    salt: str = "epochs",
+) -> DataFrame:
+    """Replicate rows to hit FRACTIONAL per-stratum epoch counts — the
+    upsampling half of corpus mixing (e.g. "2.5 epochs of Wikipedia,
+    1 epoch of Common Crawl"). Every row gets ``floor(e)`` copies,
+    plus one more iff its hash bucket clears the fractional
+    remainder — so a 2.5-epoch source emits each row 2 or 3 times,
+    deterministically (the SAME rows get the extra copy on every
+    run/engine — no RNG), averaging e epochs exactly in expectation.
+
+    Adds an ``epoch`` column (0-based copy index) via
+    ``explode(sequence(...))`` — a narrow per-row fan-out, no shuffle,
+    no driver involvement; downstream packing/shuffling sees the
+    copies as ordinary rows. Strata absent from ``epochs`` get
+    ``default_epochs``."""
+    b = hash_bucket(F.col(key_col), HASH_MOD, salt)
+    whole = None
+    frac_th = None
+    for stratum, e in sorted(epochs.items()):
+        w, f = int(e), int(round((e - int(e)) * HASH_MOD))
+        cond = F.col(strata_col) == stratum
+        whole = (
+            F.when(cond, F.lit(w)) if whole is None else whole.when(cond, F.lit(w))
+        )
+        frac_th = (
+            F.when(cond, F.lit(f))
+            if frac_th is None
+            else frac_th.when(cond, F.lit(f))
+        )
+    dw = int(default_epochs)
+    dfr = int(round((default_epochs - dw) * HASH_MOD))
+    whole = F.lit(dw) if whole is None else whole.otherwise(F.lit(dw))
+    frac_th = F.lit(dfr) if frac_th is None else frac_th.otherwise(F.lit(dfr))
+    n_copies = whole + (b < frac_th).cast("int")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
 def weighted_mix(
     sources: Mapping[str, tuple[DataFrame, float]],
     key_col: str,

@@ -78,6 +78,61 @@ def quality_score(text: Column) -> Column:
     )
 
 
+#: Stopword probe set for the Gopher stop-hit rule (rule 8 in the
+#: paper's repetition-free battery): a document failing to contain at
+#: least 2 of these is flagged.
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def gopher_rules(col: str) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    every threshold rephrased as an EXACT INTEGER comparison so no
+    float ever exists to jitter between engines (10·n_sym > n_words
+    instead of n_sym/n_words > 0.1, etc.) — flags are bit-stable by
+    construction and need no flip-margin classification.
+
+    Returns named boolean fail-flag Columns over text column ``col``:
+
+    - ``fail_words``:    word count outside [50, 100_000]
+    - ``fail_mwl``:      mean word length outside [3, 10]
+                         (3·n_words ≤ chars ≤ 10·n_words)
+    - ``fail_symbol``:   symbol-to-word ratio ('#', '...') > 0.1
+    - ``fail_bullet``:   > 90% of lines start with a bullet
+    - ``fail_ellipsis``: > 30% of lines end with an ellipsis
+    - ``fail_alpha``:    < 80% of words contain an alphabetic char
+    - ``fail_stop``:     < 2 distinct stopword hits
+
+    Pure codegen'd projections (regex counts, LIKE-filtered line
+    splits) — no shuffle, no UDF; filters compose directly on the
+    scan."""
+    t = F.col(col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_hash = F.length(t) - F.length(F.expr(f"replace({col}, '#', '')"))
+    n_ell = (
+        (F.length(t) - F.length(F.expr(f"replace({col}, '...', '')"))) / 3
+    ).cast("long")
+    n_lines = F.expr(f"size(split({col}, '\\n'))")
+    n_bullet = F.expr(f"size(filter(split({col}, '\\n'), x -> x LIKE '- %'))")
+    n_ell_lines = F.expr(
+        f"size(filter(split({col}, '\\n'), x -> x LIKE '%...'))"
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = sum(
+        F.array_contains(toks, s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    return {
+        "fail_words": (n_words < 50) | (n_words > 100_000),
+        "fail_mwl": (chars < 3 * n_words) | (chars > 10 * n_words),
+        "fail_symbol": 10 * (n_hash + n_ell) > n_words,
+        "fail_bullet": 10 * n_bullet > 9 * n_lines,
+        "fail_ellipsis": 10 * n_ell_lines > 3 * n_lines,
+        "fail_alpha": 5 * n_alpha < 4 * n_words,
+        "fail_stop": n_stop < 2,
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts."""
     toks = tokens(text)

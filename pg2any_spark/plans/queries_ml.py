@@ -1128,6 +1128,182 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOP_SQL = " + ".join(
+    "(CASE WHEN list_contains(string_split_regex(trim(lower(t)), '\\s+'), "
+    f"'{s}') THEN 1 ELSE 0 END)"
+    for s in ("the", "a", "and", "of", "to")
+)
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               CASE doc_id % 5
+                   WHEN 1 THEN '- ' || text
+                        || chr(10) || '- filler item'
+                        || chr(10) || '- filler item'
+                        || chr(10) || '- filler item'
+                   WHEN 2 THEN text || repeat(' 42', 40)
+                   WHEN 3 THEN text || repeat(' #', 20)
+                   WHEN 4 THEN text || ' ...'
+                   ELSE text END AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT lang,
+               len(string_split_regex(trim(lower(t)), '\\s+')) AS n_words,
+               length(regexp_replace(t, '\\s', '', 'g')) AS chars,
+               length(t) - length(replace(t, '#', '')) AS n_hash,
+               CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT)
+                   AS n_ell,
+               len(string_split(t, chr(10))) AS n_lines,
+               len(list_filter(string_split(t, chr(10)),
+                               x -> x LIKE '- %')) AS n_bullet,
+               len(list_filter(string_split(t, chr(10)),
+                               x -> x LIKE '%...')) AS n_ell_lines,
+               len(list_filter(string_split_regex(trim(lower(t)), '\\s+'),
+                               x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+               {_GOPHER_STOP_SQL} AS n_stop
+        FROM aug
+    ),
+    f AS (
+        SELECT lang,
+               (n_words < 50 OR n_words > 100000) AS fail_words,
+               (chars < 3 * n_words OR chars > 10 * n_words) AS fail_mwl,
+               (10 * (n_hash + n_ell) > n_words) AS fail_symbol,
+               (10 * n_bullet > 9 * n_lines) AS fail_bullet,
+               (10 * n_ell_lines > 3 * n_lines) AS fail_ellipsis,
+               (5 * n_alpha < 4 * n_words) AS fail_alpha,
+               (n_stop < 2) AS fail_stop
+        FROM m
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fail_words THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_words,
+           CAST(SUM(CASE WHEN fail_mwl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_mwl,
+           CAST(SUM(CASE WHEN fail_symbol THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_symbol,
+           CAST(SUM(CASE WHEN fail_bullet THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_bullet,
+           CAST(SUM(CASE WHEN fail_ellipsis THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_ellipsis,
+           CAST(SUM(CASE WHEN fail_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_alpha,
+           CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_stop,
+           CAST(SUM(CASE WHEN NOT (fail_words OR fail_mwl OR fail_symbol
+                                   OR fail_bullet OR fail_ellipsis
+                                   OR fail_alpha OR fail_stop)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-battery report (`text.gopher_rules`, Rae et al.
+    2021 §A1.1): per-language counts of documents failing each of the
+    seven structural quality rules. Every threshold is an exact
+    integer comparison (10·n_sym > n_words, never a float ratio), so
+    the flags are bit-stable across engines with no flip-margin
+    hazard. The fixture corpus contains none of the defect shapes, so
+    four are planted deterministically from doc_id (bullet-wrapped,
+    numeric-flood, symbol-flood, ellipsis-tail — BOTH engines build
+    the same string); word-count and stopword rules fire on natural
+    corpus variation. Pure projection + one map-side-combinable
+    aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    mod = F.col("doc_id") % 5
+    aug = (
+        F.when(
+            mod == 1,
+            F.concat(
+                F.lit("- "),
+                F.col("text"),
+                F.lit("\n- filler item\n- filler item\n- filler item"),
+            ),
+        )
+        .when(mod == 2, F.concat(F.col("text"), F.lit(" 42" * 40)))
+        .when(mod == 3, F.concat(F.col("text"), F.lit(" #" * 20)))
+        .when(mod == 4, F.concat(F.col("text"), F.lit(" ...")))
+        .otherwise(F.col("text"))
+    )
+    flags = T.gopher_rules("__t")
+    pass_col = None
+    for c in flags.values():
+        pass_col = c if pass_col is None else (pass_col | c)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for name, c in flags.items():
+        aggs.append(
+            F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"n_{name}")
+        )
+    aggs.append(
+        F.sum(F.when(~pass_col, 1).otherwise(0)).cast("bigint").alias("n_pass")
+    )
+    return (
+        docs.withColumn("__t", aug)
+        .groupBy("lang")
+        .agg(*aggs)
+        .orderBy("lang")
+    )
+
+
+@query(
+    "upsample_epochs_by_source",
+    oracle="""
+    WITH b AS (
+        SELECT source, doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epochs'),
+                                    1, 8)) AS BIGINT) % 1000000 AS bucket,
+               CAST(substr(source, 4, 10) AS INTEGER) % 4 AS k
+        FROM documents
+    ),
+    n AS (
+        SELECT source, doc_id,
+               (CASE WHEN k >= 2 THEN 2 ELSE 1 END
+                + CASE WHEN k % 2 = 1 AND bucket < 500000
+                       THEN 1 ELSE 0 END) AS n_copies
+        FROM b
+    ),
+    e AS (
+        SELECT source, doc_id, CAST(r.i AS BIGINT) AS epoch
+        FROM n, UNNEST(range(n_copies)) AS r(i)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted,
+           CAST(SUM(doc_id) AS BIGINT) AS emitted_docid_sum
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def upsample_epochs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling report (`sampling.upsample_epochs`):
+    each source is replicated to 1.0/1.5/2.0/2.5 epochs (derived from
+    its source number), the fractional remainder chosen by the same
+    deterministic hash-bucket machinery as the split/mix family — the
+    SAME rows get the extra copy on every run and in both engines.
+    Per source: doc count, emitted row count, exact checksum over the
+    replicated stream. The fan-out is a narrow explode — no shuffle
+    until the reporting aggregate."""
+    docs = load_table(spark, "documents", sf_dir).select("source", "doc_id")
+    epochs = {f"src{k}": 1.0 + (k % 4) * 0.5 for k in range(20)}
+    up = SA.upsample_epochs(docs, "doc_id", "source", epochs)
+    return (
+        up.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+            F.sum("doc_id").cast("bigint").alias("emitted_docid_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 _IVF_NRM_SQL = """
     nrm AS (
         SELECT vec_id,

@@ -316,3 +316,50 @@ class TestDsir:
             self._toy(spark), F.col("tgt"), n_buckets=64
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestUpsampleEpochs:
+    def _df(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_id=i, src="x" if i < 50 else "y") for i in range(100)]
+        )
+
+    def test_whole_epochs_exact(self, spark):
+        from pg2any_spark.operators.sampling import upsample_epochs
+
+        out = upsample_epochs(
+            self._df(spark), "doc_id", "src", {"x": 2.0, "y": 1.0}
+        ).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r["epoch"])
+        for i in range(50):
+            assert sorted(per[i]) == [0, 1]
+        for i in range(50, 100):
+            assert per[i] == [0]
+
+    def test_fractional_epochs_deterministic(self, spark):
+        from pg2any_spark.operators.sampling import upsample_epochs
+
+        df = self._df(spark)
+        a = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in upsample_epochs(df, "doc_id", "src", {"x": 1.5}).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in upsample_epochs(df, "doc_id", "src", {"x": 1.5}).collect()
+        )
+        assert a == b
+        counts = {}
+        for i, _ in a:
+            counts[i] = counts.get(i, 0) + 1
+        x_total = sum(v for i, v in counts.items() if i < 50)
+        # fractional half: between 50 (none extra) and 100 (all extra),
+        # strictly both copies present somewhere at n=50
+        assert 50 <= x_total <= 100
+        assert {counts[i] for i in range(50)} <= {1, 2}
+        # unmapped stratum gets default 1.0 epoch
+        assert all(counts[i] == 1 for i in range(50, 100))

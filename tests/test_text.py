@@ -445,3 +445,37 @@ class TestNaiveBayes:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestGopherRules:
+    def _flags(self, spark, text):
+        from pyspark.sql import Row, functions as F
+
+        from pg2any_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame([Row(t=text)])
+        rules = gopher_rules("t")
+        row = df.select(
+            *[c.alias(n) for n, c in rules.items()]
+        ).collect()[0]
+        return row.asDict()
+
+    def test_clean_doc_passes(self, spark):
+        text = "the a " + "apple banana " * 30
+        flags = self._flags(spark, text.strip())
+        assert not any(flags.values()), flags
+
+    def test_each_defect_fires_its_rule(self, spark):
+        base = "the a " + "apple banana " * 30
+        cases = {
+            "fail_words": "the a apple",
+            "fail_bullet": "- aaa\n- bbb",
+            "fail_ellipsis": base.strip() + "...",
+            "fail_symbol": base + "# " * 10,
+            "fail_alpha": base + "42 " * 40,
+            "fail_mwl": "the a " + "xy " * 60,
+            "fail_stop": "apple banana " * 30,
+        }
+        for rule, text in cases.items():
+            flags = self._flags(spark, text.strip())
+            assert flags[rule], (rule, flags)
