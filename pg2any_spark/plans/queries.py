@@ -160,6 +160,49 @@ def cdc_apply_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'TIER-' || CAST(c_custkey % 5 AS VARCHAR)
+           END AS c_tier
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_apply_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution through the wire: the publisher
+    ALTERs customer to add a text column while replication is live, so
+    pgoutput re-sends the Relation message with six columns before the
+    next DML (protocol §55.5). Old-schema rows backfill the new column
+    as NULL (missing map key → NULL under ``typed_from_map``), new-
+    schema updates carry it; the destination schema is the evolved
+    one. The reference picks up the same re-send through its
+    replication crate's relation cache — a decoder that pins the first
+    Relation it saw mis-zips every post-change tuple."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pg2any_spark.sources.pgoutput import (
+        decode_wal_segments,
+        synth_customer_schema_evo_wal_frames,
+    )
+
+    frames = synth_customer_schema_evo_wal_frames(spark, sf_dir)
+    events = decode_wal_segments(frames)
+    cust = load_table(spark, "customer", sf_dir)
+    evolved = StructType(
+        list(cust.schema.fields) + [StructField("c_tier", StringType())]
+    )
+    return apply_changes(
+        events, evolved, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
+
+
+@query(
     "cdc_apply_two_phase",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal,

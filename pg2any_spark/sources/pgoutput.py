@@ -1319,6 +1319,111 @@ def synth_customer_toast_wal_frames(
     )
 
 
+def synth_customer_schema_evo_wal_frames(
+    spark, sf_dir: str, n_segments: int = 8
+) -> DataFrame:
+    """Wire-exact pgoutput stream exercising MID-STREAM SCHEMA
+    EVOLUTION: the publisher's table gains a column (``ALTER TABLE
+    customer ADD COLUMN c_tier text``) while replication is live.
+    PostgreSQL signals this by re-sending the Relation message with
+    the new column list before the next DML on the relation (protocol
+    §55.5: a Relation message is sent "before the first DML after a
+    schema change"); the reference inherits the updated column set the
+    same way, through its replication crate's relation cache.
+
+    Phases (``seq`` orders decode inside each segment; apply order is
+    by ``lsn``):
+
+    1. old 5-column schema — insert every customer, delete %7==0;
+    2. Relation re-sent with 6 columns (one frame per segment — each
+       segment is an independent decode unit, like a reconnect);
+    3. new schema — for %3==0 an UPDATE carrying all six columns:
+       ``c_acctbal + 1000`` and ``c_tier = 'TIER-<k%5>'``.
+
+    Rows decoded under the old schema simply lack ``c_tier`` in their
+    images; ``typed_from_map`` projects the missing key to NULL, so
+    the destination backfills NULL exactly like ``ALTER TABLE ADD
+    COLUMN`` does. A decoder that pins the first Relation it saw (or
+    conflates the re-send with corruption) mis-zips the 6-value
+    tuples and corrupts every post-change row.
+
+    Final-state oracle::
+
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'TIER-' || CAST(c_custkey % 5 AS VARCHAR)
+               END AS c_tier
+        FROM customer WHERE c_custkey % 7 <> 0
+    """
+    import pandas as pd
+    from pyspark.sql import Row
+
+    cols, base = _customer_text_maps(spark, sf_dir, {"m_upd": 1000.0})
+    cols2 = [*cols, "c_tier"]
+    key = "c_custkey"
+    ts = datetime.datetime(2026, 1, 1)
+    # Relation-v2 frames sit above every phase-1 seq at any SF; phase-2
+    # data frames sit above the re-send.
+    REL2_SEQ = 10**15
+
+    rel2 = encode_relation(
+        _CUSTOMER_REL_ID, "public", "customer",
+        [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols2],
+        "default",
+    )
+    rel2_frames = spark.createDataFrame(
+        [Row(segment_id=s, seq=REL2_SEQ, wal_lsn=0, frame=bytearray(rel2))
+         for s in range(n_segments)],
+        WAL_FRAME_SCHEMA,
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+
+            def tx(k, seq_base, lsn, data_frame):
+                seg = int(k) % n_segments
+                rows.append((seg, seq_base + 1, lsn, encode_begin(lsn, ts, lsn)))
+                rows.append((seg, seq_base + 2, lsn, data_frame))
+                rows.append((seg, seq_base + 3, lsn, encode_commit(lsn, lsn, ts)))
+
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                ins = [r.m_ins.get(c) for c in cols]
+                old = [r.m_ins.get(c) if c == key else None for c in cols]
+                # phase 1: old schema
+                tx(k, k * 10, k * 10, encode_insert(_CUSTOMER_REL_ID, ins))
+                if k % 7 == 0:
+                    # delete outranks the phase-2 update by LSN, so
+                    # %21 keys stay deleted
+                    tx(k, k * 10 + 6, k * 10 + 3,
+                       encode_delete(_CUSTOMER_REL_ID, old, old_kind="K"))
+                # phase 3: new 6-column schema
+                if k % 3 == 0:
+                    u = [
+                        r.m_upd.get(c) if c == "c_acctbal"
+                        else r.m_ins.get(c)
+                        for c in cols
+                    ] + [f"TIER-{k % 5}"]
+                    old2 = [r.m_ins.get(c) if c == key else None
+                            for c in cols2]
+                    tx(k, REL2_SEQ + k * 10, k * 10 + 1, encode_update(
+                        _CUSTOMER_REL_ID, u, old_values=old2, old_kind="K"))
+            yield pd.DataFrame(
+                rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
+            )
+
+    data_frames = base.mapInPandas(gen, WAL_FRAME_SCHEMA)
+    return (
+        _customer_rel_frames(spark, cols, n_segments)
+        .unionByName(rel2_frames)
+        .unionByName(data_frames)
+    )
+
+
 def synth_streaming_tx_wal_frames(
     spark, sf_dir: str, n_segments: int = 4
 ) -> DataFrame:

@@ -45,6 +45,41 @@ class TestGoldenBytes:
         assert rel.key_columns == ["id"]
         assert rel.identity == "default"
 
+    def test_relation_resend_evolves_schema(self):
+        # ALTER TABLE mid-stream: the server re-sends Relation with the
+        # new column list before the next DML (§55.5); later tuples zip
+        # against the NEW registration, earlier rows simply lack the
+        # added key in their images
+        dec = P.PgOutputDecoder()
+        dec.feed(rel_frame(), 0)
+        dec.feed(P.encode_begin(10, TS, 1), 10)
+        dec.feed(P.encode_insert(7, ["1", "a"]), 10)
+        r1 = dec.feed(P.encode_commit(10, 10, TS), 10)
+        rel2 = P.encode_relation(
+            7, "public", "t1",
+            [(P.COL_KEY_FLAG if c == "id" else 0, c, 25, -1)
+             for c in ("id", "val", "extra")],
+        )
+        dec.feed(rel2, 11)
+        dec.feed(P.encode_begin(20, TS, 2), 20)
+        dec.feed(P.encode_insert(7, ["2", "b", "x"]), 20)
+        r2 = dec.feed(P.encode_commit(20, 20, TS), 20)
+        assert r1[0]["after"] == {"id": "1", "val": "a"}
+        assert "extra" not in r1[0]["after"]
+        assert r2[0]["after"] == {"id": "2", "val": "b", "extra": "x"}
+        # key redefinition travels too (REPLICA IDENTITY change)
+        rel3 = P.encode_relation(
+            7, "public", "t1",
+            [(P.COL_KEY_FLAG, c, 25, -1) for c in ("id", "val")],
+            "index",
+        )
+        dec.feed(rel3, 21)
+        dec.feed(P.encode_begin(30, TS, 3), 30)
+        dec.feed(P.encode_insert(7, ["3", "c"]), 30)
+        r3 = dec.feed(P.encode_commit(30, 30, TS), 30)
+        assert r3[0]["key_columns"] == ["id", "val"]
+        assert r3[0]["replica_identity"] == "index"
+
 
 class TestTransactionSemantics:
     def _decode(self, frames):
