@@ -371,6 +371,55 @@ def pack_sequences(
     )
 
 
+def chunk_token_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    min_tail: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream
+    into overlapping ``window``-token training examples advancing by
+    ``stride`` (overlap = window - stride, the standard
+    long-document-to-context-length move). Tail fragments shorter
+    than ``min_tail`` are dropped unless they are the document's ONLY
+    chunk (a short document still yields one example).
+
+    Returns one row per (doc, chunk): ``chunk_idx`` (0-based stride
+    ordinal), ``n_tokens``, ``chunk_text``.
+
+    Scale (100 TB): a pure projection — tokenize, generate the start
+    offsets with ``sequence`` (closed form, ≤ ceil(len/stride) per
+    row), ``slice`` each window out. No shuffle, no UDF; fan-out is
+    bounded by window/stride (< 1.4× the corpus tokens here), and each
+    chunk row is independent so downstream packing/sharding
+    repartitions freely.
+    """
+    from pg2any_spark.operators.text import tokens
+
+    d = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, tokens(F.col(text_col)).alias("t"))
+        .withColumn("n", F.size("t"))
+        .select(
+            id_col, "t", "n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+            ).alias("start"),
+        )
+        .withColumn("ct", F.slice("t", F.col("start") + 1, window))
+        .withColumn("n_tokens", F.size("ct"))
+        .filter((F.col("start") == 0) | (F.col("n_tokens") >= min_tail))
+    )
+    return d.select(
+        id_col,
+        F.expr(f"start div {stride}").cast("int").alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.array_join("ct", " ").alias("chunk_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (hashed n-gram LLR)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,95 @@
+"""Mergeable frequency sketches for corpus-scale statistics.
+
+The reference never aggregates — it replicates — but a training-data
+pipeline needs frequency answers ("how often does this token /
+n-gram / domain occur across 100 TB?") where the exact distinct-key
+table is itself too large to hold, let alone broadcast. The
+count-min sketch (Cormode & Muthukrishnan 2005) is the standard
+answer: ``depth`` hash rows × ``width`` counters; point estimate =
+min over rows; overestimates only, never under. Two properties make
+it Spark-native:
+
+- **mergeable**: cell-wise addition, so partial sketches from every
+  partition combine map-side — the shuffle carries at most
+  ``depth × width`` rows TOTAL, independent of corpus size;
+- **deterministic**: hashes are md5-prefix parses (the engine-wide
+  cross-engine idiom), so re-runs, backfills, and the DuckDB oracle
+  produce bit-identical cells — estimates are reproducible, not
+  "approximately similar".
+
+Here the sketch is a tall DataFrame ``(i, bucket, n)`` rather than a
+driver-side array: it stays distributed, persists as parquet,
+unions with the next shard's sketch, and joins against probe keys —
+no collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _cms_bucket(key: Column, i: Column | int, width: int) -> Column:
+    """Row-``i`` counter index of ``key``: an 8-hex md5 prefix of the
+    salted key, parsed base-16, mod ``width`` — the same cross-engine
+    hash family every dedup/sampling operator uses."""
+    salted = F.concat(
+        (F.lit(i) if isinstance(i, int) else i).cast("string"),
+        F.lit("|"),
+        key.cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    return (h % width).cast("int")
+
+
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the sketch: one ``(i, bucket, n)`` row per non-empty
+    counter (≤ depth × width rows regardless of input size).
+
+    Feed raw occurrences (``weight_col=None`` counts rows) or
+    pre-aggregated ``(key, count)`` pairs (``weight_col`` sums) — the
+    cells are identical, so build from whichever is narrower. Partial
+    aggregation combines per-partition cells before the shuffle, the
+    whole point of the sketch at scale.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.col(key_col).alias("_k"),
+        w.alias("_w"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    ).select(
+        "i",
+        _cms_bucket(F.col("_k"), F.col("i"), width).alias("bucket"),
+        "_w",
+    )
+    return (
+        rows.groupBy("i", "bucket")
+        .agg(F.sum("_w").cast("long").alias("n"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, probes: DataFrame, key_col: str,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each probe key against the sketch: min over the
+    ``depth`` counters the key hashes to. Probes fan out ×depth, join
+    the ≤ depth×width cell table (broadcast by size), and a per-key
+    min folds them back — a missing cell means no occurrence ever
+    landed there, i.e. counter value 0."""
+    fan = probes.select(
+        key_col,
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    ).select(
+        key_col, "i",
+        _cms_bucket(F.col(key_col), F.col("i"), width).alias("bucket"),
+    )
+    joined = fan.join(F.broadcast(cells), ["i", "bucket"], "left").select(
+        key_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return joined.groupBy(key_col).agg(F.min("n").alias("cms_n"))

@@ -2684,6 +2684,118 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.pack_sequences(docs, budget=2048)
 
 
+@query(
+    "chunk_context_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(r.i // 48 AS INTEGER) AS chunk_idx,
+               r.i AS start,
+               t[CAST(r.i + 1 AS INTEGER):CAST(LEAST(r.i + 64, len(t)) AS INTEGER)] AS ct
+        FROM toks CROSS JOIN UNNEST(range(0, len(t), 48)) AS r(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(ct) AS INTEGER) AS n_tokens,
+           array_to_string(ct, ' ') AS chunk_text
+    FROM c
+    WHERE start = 0 OR len(ct) >= 16
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, stride 48): long
+    documents become overlapping fixed-length training examples, the
+    counterpart move to packing for documents LONGER than the context.
+    Tail fragments under 16 tokens drop unless they are the doc's only
+    chunk. Pure projection — sequence+slice, no shuffle, no UDF; the
+    sort here is presentation-only for the oracle compare."""
+    docs = load_table(spark, "documents", sf_dir)
+    return SA.chunk_token_windows(
+        docs, window=64, stride=48, min_tail=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# frequency sketches
+# ---------------------------------------------------------------------------
+
+_CMS_BUCKET = (
+    "CAST(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || {key}), "
+    "1, 8)) AS BIGINT) % 1024 AS INTEGER)"
+)
+
+
+@query(
+    "cms_token_frequency",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tc AS (SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token),
+    cells AS (
+        SELECT r.i AS i, {_CMS_BUCKET.format(key='token')} AS bucket,
+               SUM(n_exact) AS n
+        FROM tc CROSS JOIN UNNEST(range(4)) AS r(i)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, n_exact FROM tc
+        ORDER BY n_exact DESC, token LIMIT 20
+    ),
+    est AS (
+        SELECT t.token, MIN(c.n) AS cms_n
+        FROM top t
+        CROSS JOIN UNNEST(range(4)) AS r(i)
+        JOIN cells c
+          ON c.i = r.i AND c.bucket = {_CMS_BUCKET.format(key='t.token')}
+        GROUP BY t.token
+    )
+    SELECT t.token, CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(e.cms_n AS BIGINT) AS cms_n,
+           CAST(e.cms_n - t.n_exact AS BIGINT) AS overcount
+    FROM top t JOIN est e ON t.token = e.token
+    ORDER BY n_exact DESC, t.token
+    """,
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token frequencies (4×1024, md5-hash rows)
+    against exact counts for the 20 most frequent tokens: the
+    mergeable-sketch path for frequency stats over a corpus whose
+    distinct-key table is itself too big. The sketch build shuffles
+    ≤ depth×width cell rows TOTAL (map-side partial agg), estimates
+    broadcast-join the tiny cell table; ``overcount`` is the sketch's
+    collision overestimate, ≥ 0 by construction — a negative value
+    anywhere is a correctness bug, and both engines must agree on
+    every cell because the hash family is deterministic md5."""
+    from pg2any_spark.operators.sketch import cms_estimate, count_min_cells
+
+    docs = load_table(spark, "documents", sf_dir)
+    tc = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    cells = count_min_cells(tc, "token", weight_col="n_exact")
+    top = tc.orderBy(F.col("n_exact").desc(), "token").limit(20)
+    est = cms_estimate(cells, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("cms_n").cast("bigint").alias("cms_n"),
+            (F.col("cms_n") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 4 additions: incremental dedup index, LM quality scoring,
 # kNN label propagation, vocabulary growth

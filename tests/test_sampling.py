@@ -363,3 +363,47 @@ class TestUpsampleEpochs:
         assert {counts[i] for i in range(50)} <= {1, 2}
         # unmapped stratum gets default 1.0 epoch
         assert all(counts[i] == 1 for i in range(50, 100))
+
+
+class TestChunkTokenWindows:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_short_doc_yields_single_chunk(self, spark):
+        out = SA.chunk_token_windows(
+            self._docs(spark, ["a b c"]), window=8, stride=4, min_tail=2
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_idx"] == 0
+        assert out[0]["n_tokens"] == 3
+        assert out[0]["chunk_text"] == "a b c"
+
+    def test_windows_overlap_by_stride(self, spark):
+        words = " ".join(str(i) for i in range(10))
+        rows = (
+            SA.chunk_token_windows(
+                self._docs(spark, [words]), window=6, stride=4, min_tail=2
+            )
+            .orderBy("chunk_idx")
+            .collect()
+        )
+        # starts 0, 4, 8 → lengths 6, 6, 2
+        assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+        assert rows[0]["chunk_text"] == "0 1 2 3 4 5"
+        assert rows[1]["chunk_text"] == "4 5 6 7 8 9"
+        assert rows[2]["chunk_text"] == "8 9"
+
+    def test_tiny_tail_dropped(self, spark):
+        words = " ".join(str(i) for i in range(9))  # starts 0,4,8; tail len 1
+        rows = SA.chunk_token_windows(
+            self._docs(spark, [words]), window=6, stride=4, min_tail=2
+        ).collect()
+        assert sorted(r["chunk_idx"] for r in rows) == [0, 1]
+
+    def test_blank_doc_yields_nothing(self, spark):
+        out = SA.chunk_token_windows(
+            self._docs(spark, ["   ", "x y"]), window=4, stride=4
+        ).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 1
