@@ -357,6 +357,56 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic decontamination: flag train vectors whose embedding is
+    near-identical (cosine ≥ threshold) to ANY eval/benchmark vector —
+    the embedding-space complement of the n-gram overlap check
+    (``sampling.decontaminate_ngram_overlap``), catching paraphrases
+    and re-renderings that share no 8-gram. Returns one row per
+    contaminated train vector: ``(train_id, eval_id, cos_sim)`` with
+    ``eval_id`` the best match (highest cosine, smallest id on ties —
+    deterministic, so re-runs and the oracle agree).
+
+    Scale shape: both sides SRP-bucket in one Arrow pass, candidates
+    come from the bucket equi-join (never train × eval), and the eval
+    side of a real pipeline is tiny (benchmarks), so Spark broadcasts
+    it under AQE; the argmax is a per-train-id window over the few
+    surviving pairs."""
+    from pyspark.sql import Window
+
+    t = _bucketed_normalized(
+        train, id_col, "train_id", vec_col, "vec_t", dim, num_planes
+    )
+    e = _bucketed_normalized(
+        eval_df, id_col, "eval_id", vec_col, "vec_e", dim, num_planes
+    )
+    pairs = (
+        t.join(e, "bucket")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(dot(F.col("vec_t"), F.col("vec_e")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cos_sim").desc(), F.col("eval_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def semdedup_flags(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -2288,6 +2288,76 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH train AS (
+        SELECT vec_id AS train_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id + 100000 AS eval_id,
+               list_transform(embedding::DOUBLE[], x -> x * 0.5) AS v
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    planes AS ({_srp_planes_sql(8)}),
+    tb AS (
+        SELECT pr.id AS train_id,
+               SUM(CASE WHEN pr.proj > 0 THEN CAST(pow(2, pr.p) AS BIGINT)
+                        ELSE 0 END) AS bucket
+        FROM (
+            SELECT t.train_id AS id, pl.p, SUM(t.v[pl.d + 1] * pl.sign) AS proj
+            FROM train t, planes pl GROUP BY t.train_id, pl.p
+        ) pr GROUP BY pr.id
+    ),
+    eb AS (
+        SELECT pr.id AS eval_id,
+               SUM(CASE WHEN pr.proj > 0 THEN CAST(pow(2, pr.p) AS BIGINT)
+                        ELSE 0 END) AS bucket
+        FROM (
+            SELECT e.eval_id AS id, pl.p, SUM(e.v[pl.d + 1] * pl.sign) AS proj
+            FROM ev e, planes pl GROUP BY e.eval_id, pl.p
+        ) pr GROUP BY pr.id
+    ),
+    pairs AS (
+        SELECT tb.train_id, eb.eval_id,
+               ROUND(list_cosine_similarity(t.v, e.v), 6) AS cos_sim
+        FROM tb JOIN eb ON tb.bucket = eb.bucket
+        JOIN train t ON t.train_id = tb.train_id
+        JOIN ev e ON e.eval_id = eb.eval_id
+        WHERE ROUND(list_cosine_similarity(t.v, e.v), 6) >= 0.95
+    )
+    SELECT train_id, eval_id, cos_sim
+    FROM (
+        SELECT pairs.*, ROW_NUMBER() OVER (
+            PARTITION BY train_id ORDER BY cos_sim DESC, eval_id
+        ) AS rn FROM pairs
+    ) WHERE rn = 1
+    ORDER BY train_id
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (`similarity.semantic_decontaminate`):
+    train vectors near-identical (cosine ≥ 0.95 after SRP-bucket
+    blocking) to any eval/benchmark vector, each with its best eval
+    match — the embedding-space complement of the 8-gram overlap
+    check, catching paraphrases that share no n-gram. Eval here is a
+    0.5-scaled copy of every 20th embedding (cosine- and
+    bucket-invariant, so every planted contaminant is guaranteed
+    found). Candidates come from the bucket equi-join, never
+    train × eval."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    train = emb.select("vec_id", dbl.alias("embedding"))
+    ev = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(dbl, lambda x: x * 0.5).alias("embedding"),
+    )
+    return (
+        S.semantic_decontaminate(train, ev, threshold=0.95)
+        .orderBy("train_id")
+    )
+
+
+@query(
     "decontaminate_ngram_overlap",
     oracle="""
     WITH tagged AS (

@@ -442,3 +442,43 @@ class TestSemDedup:
         # (the larger id of its pair) must be dropped
         copies = {r["id"]: r["dropped"] for r in flags if r["id"] >= 100000}
         assert copies and all(copies.values())
+
+
+class TestSemanticDecontaminate:
+    def test_planted_contaminant_found_with_best_match(self, spark):
+        import math
+
+        # dim-4 unit-ish vectors; eval 100 = exact scaled copy of
+        # train 1; eval 101 close to train 2; train 3 orthogonal
+        train = vecs(spark, [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ])
+        eps = 0.05
+        n = math.sqrt(1 + eps * eps)
+        ev = vecs(spark, [
+            (100, [0.5, 0.0, 0.0, 0.0]),
+            (101, [eps / n, 1.0 / n, 0.0, 0.0]),
+        ])
+        out = {
+            r["train_id"]: (r["eval_id"], r["cos_sim"])
+            for r in S.semantic_decontaminate(
+                train, ev, dim=4, num_planes=6, threshold=0.95
+            ).collect()
+        }
+        assert out[1] == (100, 1.0)
+        assert 2 in out and out[2][0] == 101 and out[2][1] >= 0.95
+        assert 3 not in out
+
+    def test_tie_breaks_to_smallest_eval_id(self, spark):
+        train = vecs(spark, [(1, [1.0, 0.0, 0.0, 0.0])])
+        ev = vecs(spark, [
+            (200, [2.0, 0.0, 0.0, 0.0]),
+            (100, [0.5, 0.0, 0.0, 0.0]),
+        ])
+        out = S.semantic_decontaminate(
+            train, ev, dim=4, num_planes=6, threshold=0.95
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["eval_id"] == 100  # both cos 1.0 → smallest id

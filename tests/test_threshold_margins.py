@@ -264,7 +264,10 @@ THRESHOLDED_METRICS = [
     ),
     ("dup_ngram_frac", _DUP_FRAC_RAW_SQL, [0.2], 1e-6, ["corpus_filter_funnel"]),
     ("pair_cosine", _PAIR_COS_RAW_SQL, [0.95], 1e-6,
-     ["embedding_near_dup", "semdedup_cells"]),
+     # decontaminate_semantic's pair population is a subset of
+     # embedding_near_dup's (train × scaled-%20-eval ⊂ base ∪ scaled
+     # pairs, cosine is scale-invariant), so this raw scan covers it
+     ["embedding_near_dup", "semdedup_cells", "decontaminate_semantic"]),
     ("centroid_cosine", _CENTROID_COS_RAW_SQL, [0.0], 1e-6, ["embedding_outliers"]),
     (
         "planted_pair_cosine",
