@@ -72,6 +72,13 @@ HEADLINE = [
     # semantic dedup (SemDeDup)
     "retrieval_bm25_topk",
     "semdedup_cells",
+    # round 6c: mid-stream schema evolution through the wire;
+    # context-window chunking; count-min sketch frequencies;
+    # embedding-space decontamination
+    "cdc_apply_schema_evolution",
+    "chunk_context_windows",
+    "cms_token_frequency",
+    "decontaminate_semantic",
 ]
 
 
