@@ -73,6 +73,83 @@ def count_min_cells(
     )
 
 
+def histogram_cells(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-edge histogram of ``value_col``: one ``(bucket, n)`` row
+    per non-empty bin (≤ ``bins`` rows regardless of input size).
+    Out-of-range values clamp into the edge bins, so the histogram is
+    total. Like the count-min cells: mergeable by cell-wise addition,
+    partial-agg'd map-side, and deterministic — bucketing is one
+    scalar expression, so shards, re-runs, and the oracle agree."""
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.greatest(
+            F.floor((v - lo) / (hi - lo) * bins).cast("int"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    cells: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from histogram cells: for each q, find the
+    first bin whose cumulative count reaches q·N and interpolate
+    linearly inside it — the classic mergeable-histogram quantile
+    (error ≤ one bin width), the deterministic counterpart to
+    ``approx_percentile``'s rows-only sketch. Everything after the
+    cell build runs on ≤ ``bins`` rows: the cumulative window, the
+    per-quantile min-bin lookup, and the interpolation are all
+    broadcast-sized."""
+    from pyspark.sql import Window
+
+    total = cells.agg(F.sum("n").alias("total_n"))
+    cum = (
+        cells.withColumn(
+            "cum", F.sum("n").over(Window.orderBy("bucket"))
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    qs = cells.sparkSession.createDataFrame(
+        [(q,) for q in quantiles], "q double"
+    )
+    hits = (
+        qs.join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("total_n"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    width = (hi - lo) / bins
+    est = (
+        hits.join(F.broadcast(cum), ["bucket"])
+        .select(
+            "q",
+            F.round(
+                F.lit(lo)
+                + F.col("bucket") * width
+                + (F.col("q") * F.col("total_n") - (F.col("cum") - F.col("n")))
+                / F.col("n")
+                * width,
+                4,
+            ).alias("est"),
+        )
+    )
+    return est
+
+
 def cms_estimate(
     cells: DataFrame, probes: DataFrame, key_col: str,
     depth: int = 4, width: int = 1024,

@@ -2866,6 +2866,57 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hist_quantile_order_value",
+    oracle="""
+    WITH cells AS (
+        SELECT LEAST(GREATEST(CAST(floor(
+                   CAST(o_totalprice AS DOUBLE) / 600000.0 * 512
+               ) AS INTEGER), 0), 511) AS bucket,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, n,
+               SUM(n) OVER (ORDER BY bucket) AS cum,
+               SUM(n) OVER () AS total
+        FROM cells
+    ),
+    hits AS (
+        SELECT q.q, MIN(c.bucket) AS bucket
+        FROM (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9, 0.99]
+                                 AS DOUBLE[])) AS q) q
+        JOIN cum c ON c.cum >= q.q * c.total
+        GROUP BY q.q
+    )
+    SELECT h.q,
+           ROUND(h.bucket * (600000.0 / 512)
+                 + (h.q * c.total - (c.cum - c.n)) / c.n
+                   * (600000.0 / 512), 4) AS est
+    FROM hits h JOIN cum c ON c.bucket = h.bucket
+    ORDER BY h.q
+    """,
+)
+def hist_quantile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantiles of order value (512 fixed bins,
+    linear interpolation inside the target bin): the deterministic,
+    oracle-checkable counterpart to ``approx_percentile``'s rows-only
+    sketch. The histogram build is the only corpus-sized pass and its
+    shuffle is ≤ bins cells (map-side partial agg, same shape as the
+    count-min build); cumulative window, quantile lookup, and
+    interpolation all run on the ≤ 512-row cell table."""
+    from pg2any_spark.operators.sketch import (
+        histogram_cells,
+        histogram_quantiles,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cells = histogram_cells(orders, "o_totalprice", 0.0, 600000.0, bins=512)
+    return histogram_quantiles(
+        cells, [0.25, 0.5, 0.75, 0.9, 0.99], 0.0, 600000.0, bins=512
+    ).orderBy("q")
+
+
 # ---------------------------------------------------------------------------
 # round 4 additions: incremental dedup index, LM quality scoring,
 # kNN label propagation, vocabulary growth

@@ -62,3 +62,49 @@ def test_sketches_merge_cellwise(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+class TestHistogramQuantiles:
+    def _cells(self, spark, vals, lo=0.0, hi=100.0, bins=10):
+        from pg2any_spark.operators.sketch import histogram_cells
+
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        return histogram_cells(df, "v", lo, hi, bins=bins)
+
+    def test_estimate_within_one_bin_of_exact(self, spark):
+        from pg2any_spark.operators.sketch import histogram_quantiles
+
+        vals = list(range(100))  # uniform 0..99, bins of width 10
+        cells = self._cells(spark, vals)
+        got = {
+            r["q"]: r["est"]
+            for r in histogram_quantiles(
+                cells, [0.1, 0.5, 0.9], 0.0, 100.0, bins=10
+            ).collect()
+        }
+        import numpy as np
+
+        for q in (0.1, 0.5, 0.9):
+            exact = float(np.quantile(vals, q))
+            assert abs(got[q] - exact) <= 10.0, (q, got[q], exact)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        cells = {
+            r["bucket"]: r["n"]
+            for r in self._cells(spark, [-50.0, -1.0, 150.0]).collect()
+        }
+        assert cells == {0: 2, 9: 1}
+
+    def test_cells_merge_equals_direct(self, spark):
+        from pyspark.sql import functions as F
+
+        a = self._cells(spark, range(0, 60))
+        b = self._cells(spark, range(40, 100))
+        merged = (
+            a.unionByName(b).groupBy("bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        direct = self._cells(spark, list(range(0, 60)) + list(range(40, 100)))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )

@@ -356,6 +356,10 @@ DETERMINISTIC_EXACT = {
     ("dedup_keep_best", "quality"),
     # int64-exact accumulation then one correctly-rounded IEEE op
     ("media_audio_features", "rms"),
+    # every input is an exact integer count (bin n, cumulative, total)
+    # or a literal (q, lo, hi, width); the interpolation is one
+    # fixed-order scalar expression per output row
+    ("hist_quantile_order_value", "est"),
 }
 
 #: (query, column) → (raw-metric id) for order-dependent float
