@@ -20,7 +20,7 @@ from pg2any_spark.operators import multimodal as M
 from pg2any_spark.operators import sampling as SA
 from pg2any_spark.operators import similarity as S
 from pg2any_spark.operators import text as T
-from pg2any_spark.plans.queries import query
+from pg2any_spark.plans.queries import _fresh_workdir, query
 from pg2any_spark.sources.fixtures import load_table
 
 # shared SQL fragments ------------------------------------------------------
@@ -2799,9 +2799,7 @@ _CMS_BUCKET = (
 )
 
 
-@query(
-    "cms_token_frequency",
-    oracle=f"""
+_CMS_TOKEN_ORACLE = f"""
     WITH tok AS (
         SELECT unnest({_TOKS}) AS token
         FROM documents WHERE trim(text) <> ''
@@ -2830,8 +2828,10 @@ _CMS_BUCKET = (
            CAST(e.cms_n - t.n_exact AS BIGINT) AS overcount
     FROM top t JOIN est e ON t.token = e.token
     ORDER BY n_exact DESC, t.token
-    """,
-)
+    """
+
+
+@query("cms_token_frequency", oracle=_CMS_TOKEN_ORACLE)
 def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch token frequencies (4×1024, md5-hash rows)
     against exact counts for the 20 most frequent tokens: the
@@ -2852,6 +2852,60 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     cells = count_min_cells(tc, "token", weight_col="n_exact")
+    top = tc.orderBy(F.col("n_exact").desc(), "token").limit(20)
+    est = cms_estimate(cells, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("cms_n").cast("bigint").alias("cms_n"),
+            (F.col("cms_n") - F.col("n_exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
+@query("cms_streaming_tokens", oracle=_CMS_TOKEN_ORACLE)
+def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained CONTINUOUSLY: token rows stream
+    in three micro-batches (documents sharded by doc_id%3), each batch
+    landing its partial cells under its own ingest partition
+    (``pipeline.cms_apply_batch``), and the merged read-back sketch
+    answers the SAME top-20 comparison as the one-shot build — same
+    oracle, because cell-wise mergeability makes streamed == batch
+    exactly, not approximately."""
+    from pg2any_spark.operators.sketch import cms_estimate
+    from pg2any_spark.streaming.pipeline import (
+        read_cms_cells,
+        start_streaming_cms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.trim(F.col("text")) != ""
+    )
+    work = _fresh_workdir("pg2any_cms_")
+    src = f"{work}/tokens"
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).select(
+            F.explode(T.tokens(F.col("text"))).alias("token")
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_streaming_cms(
+        stream, f"{work}/cells", f"{work}/ckpt", key_col="token"
+    )
+    q.awaitTermination(300)
+
+    cells = read_cms_cells(spark, f"{work}/cells")
+    tc = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
     top = tc.orderBy(F.col("n_exact").desc(), "token").limit(20)
     est = cms_estimate(cells, top.select("token"), "token")
     return (

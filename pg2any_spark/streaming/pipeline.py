@@ -1383,6 +1383,89 @@ def start_streaming_embedding_dedup(
     return writer.start()
 
 
+def cms_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cells_path: str,
+    key_col: str = "key",
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """One micro-batch of continuous count-min sketch maintenance:
+    build the batch's partial cells (``sketch.count_min_cells``) and
+    land them under the batch's own ``ingest_batch`` partition — the
+    same replay-idempotence contract as the dedup indexes
+    (deterministic rows + own-partition overwrite), and because the
+    sketch is mergeable by cell-wise addition, the merged view over
+    all partitions IS the sketch of everything ingested so far.
+
+    Storage is one flat partition level: rows are ``(cell, n)`` with
+    ``cell = i*width + bucket`` — no bucket sub-dirs, because the
+    sketch is always read whole (≤ depth×width rows after merge;
+    there is nothing for pruning to prune, unlike the LSH/embedding
+    indexes whose corpus-sized trees need it)."""
+    from pg2any_spark.operators.sketch import count_min_cells
+
+    _recover_replica(cells_path)
+    if batch_df.limit(1).count() == 0:
+        return
+    cells = count_min_cells(batch_df, key_col, weight_col, depth, width)
+    flat = cells.select(
+        (F.col("i").cast("long") * width + F.col("bucket")).alias("cell"),
+        "n",
+    )
+    _overwrite_ingest_partition(flat, cells_path, batch_id)
+
+
+def read_cms_cells(
+    spark: SparkSession, cells_path: str, width: int = 1024
+) -> DataFrame:
+    """The accumulated sketch: cell-wise sum of every ingest batch's
+    partial cells (mergeability in action), reshaped back to the
+    operator-facing ``(i, bucket, n)`` so ``sketch.cms_estimate``
+    probes it directly."""
+    flat = spark.read.parquet(cells_path)
+    merged = flat.groupBy("cell").agg(F.sum("n").cast("long").alias("n"))
+    return merged.select(
+        F.expr(f"cell div {width}").cast("int").alias("i"),
+        (F.col("cell") % width).cast("int").alias("bucket"),
+        "n",
+    )
+
+
+def start_streaming_cms(
+    rows: DataFrame,
+    cells_path: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    weight_col: str | None = None,
+    available_now: bool = True,
+    **kwargs,
+) -> StreamingQuery:
+    """Continuously maintain a count-min frequency sketch over an
+    ingest stream — the streaming twin of a one-shot
+    ``count_min_cells`` build, with the appliers' checkpoint/restart
+    contract. At any point ``read_cms_cells`` + ``cms_estimate``
+    answer "how often has this key occurred so far" without ever
+    materializing the distinct-key table."""
+    spark = rows.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        cms_apply_batch(
+            spark, batch_df, batch_id, cells_path, key_col, weight_col,
+            **kwargs,
+        )
+
+    writer = rows.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: Base partition id for compacted dedup-index state: strictly below
 #: every real micro-batch id, so the probe filter
 #: ``ingest_batch < batch_id`` always includes it.

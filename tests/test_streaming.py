@@ -1631,3 +1631,82 @@ class TestLegacyIndexCompat:
         got = {(r["incoming_id"], r["corpus_id"])
                for r in spark.read.parquet(m).collect()}
         assert (10, 1) in got
+
+
+class TestStreamingCms:
+    def _rows(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
+        import time
+
+        from pg2any_spark.operators.sketch import (
+            cms_estimate,
+            count_min_cells,
+        )
+        from pg2any_spark.streaming.pipeline import (
+            read_cms_cells,
+            start_streaming_cms,
+        )
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        cells_path = str(tmp_path / "cells")
+        ckpt = str(tmp_path / "ckpt")
+        chunks = [
+            [f"k{i % 7}" for i in range(40)],
+            [f"k{i % 5}" for i in range(30)],
+            [f"k{i % 3}" for i in range(20)],
+        ]
+        for j, ch in enumerate(chunks):
+            self._rows(spark, ch).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"stage{j}")
+            )
+            import shutil
+
+            staged = next((tmp_path / f"stage{j}").glob("*.parquet"))
+            shutil.copy(staged, src / f"b{j}.parquet")
+            time.sleep(0.05)
+
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_cms(stream, cells_path, ckpt, depth=3, width=64)
+        q.awaitTermination(120)
+
+        everything = self._rows(spark, sum(chunks, []))
+        want = count_min_cells(everything, "key", depth=3, width=64)
+        got = read_cms_cells(spark, cells_path, width=64)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # and the merged sketch answers estimates exactly like the
+        # one-shot build
+        probes = self._rows(spark, [f"k{i}" for i in range(7)]).distinct()
+        est_stream = cms_estimate(got, probes, "key", depth=3, width=64)
+        est_batch = cms_estimate(want, probes, "key", depth=3, width=64)
+        assert sorted(map(tuple, est_stream.collect())) == sorted(
+            map(tuple, est_batch.collect())
+        )
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from pg2any_spark.streaming.pipeline import (
+            cms_apply_batch,
+            read_cms_cells,
+        )
+
+        cells_path = str(tmp_path / "cells")
+        batch = self._rows(spark, ["a", "a", "b"])
+        cms_apply_batch(spark, batch, 0, cells_path, depth=2, width=16)
+        once = sorted(
+            map(tuple, read_cms_cells(spark, cells_path, 16).collect())
+        )
+        # a foreachBatch replay after a crash re-delivers the same
+        # batch id — the partition must be rewritten, not doubled
+        cms_apply_batch(spark, batch, 0, cells_path, depth=2, width=16)
+        twice = sorted(
+            map(tuple, read_cms_cells(spark, cells_path, 16).collect())
+        )
+        assert once == twice
