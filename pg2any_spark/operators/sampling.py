@@ -93,6 +93,38 @@ def stratified_hash_sample(
     return df.filter(b < threshold)
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n: int,
+    salt: str = "fixn",
+) -> DataFrame:
+    """Keep EXACTLY ``n`` rows per stratum (or all, if the stratum is
+    smaller): rank rows inside each stratum by their md5 hash (key as
+    tiebreak) and keep rank ≤ n. The fixed-size counterpart to
+    ``stratified_hash_sample``'s fixed-fraction filter — "50 eval docs
+    per language" style draws, where the quota must be exact however
+    skewed the strata. Deterministic: the hash order is a pure
+    function of the key, so the same rows survive on every run, on
+    every engine, and when the corpus grows only the hash-largest
+    stragglers rotate out.
+
+    Cost: one shuffle (partition by stratum for the rank window).
+    Strata counts are usually ≪ partitions, so skewed strata are the
+    hot-key shape — AQE splits them; for million-row strata prefer the
+    fraction filter, which needs no shuffle at all."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def upsample_epochs(
     df: DataFrame,
     key_col: str,

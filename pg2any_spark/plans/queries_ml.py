@@ -2866,6 +2866,35 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_fixed_n_per_lang",
+    oracle="""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'fixn'), doc_id
+        ) AS rk
+        FROM documents
+    ) WHERE rk <= 40
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_fixed_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified draw (`sampling.stratified_fixed_n`):
+    exactly 40 documents per language, chosen by deterministic md5
+    order — the "fixed eval set per stratum" move, reproducible across
+    runs/engines and stable-ish under corpus growth (only hash-largest
+    stragglers rotate out). One shuffle for the per-stratum rank
+    window."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        SA.stratified_fixed_n(docs, "doc_id", "lang", 40)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 @query("cms_streaming_tokens", oracle=_CMS_TOKEN_ORACLE)
 def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min sketch maintained CONTINUOUSLY: token rows stream

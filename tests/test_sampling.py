@@ -407,3 +407,31 @@ class TestChunkTokenWindows:
             self._docs(spark, ["   ", "x y"]), window=4, stride=4
         ).collect()
         assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
+class TestStratifiedFixedN:
+    def _docs(self, spark):
+        rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_exact_quota_and_small_stratum_kept_whole(self, spark):
+        out = SA.stratified_fixed_n(self._docs(spark), "doc_id", "lang", 20)
+        counts = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert counts == {"big": 20, "small": 10}
+
+    def test_deterministic_and_grows_stably(self, spark):
+        a = {r["doc_id"] for r in SA.stratified_fixed_n(
+            self._docs(spark), "doc_id", "lang", 20).collect()}
+        b = {r["doc_id"] for r in SA.stratified_fixed_n(
+            self._docs(spark), "doc_id", "lang", 20).collect()}
+        assert a == b
+        # widening the quota only ADDS rows (hash order is a total
+        # order per stratum)
+        c = {r["doc_id"] for r in SA.stratified_fixed_n(
+            self._docs(spark), "doc_id", "lang", 30).collect()}
+        assert a <= c
