@@ -150,6 +150,57 @@ def histogram_quantiles(
     return est
 
 
+#: KMV hash space: 15 hex digits of md5 = 60 bits, exactly
+#: representable as a double (and always positive in a signed parse).
+KMV_SPACE = float(16**15)
+
+
+def kmv_cells(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 128,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.
+    2002): per group, the ``k`` smallest DISTINCT md5-hash values of
+    the key — ``(group…, rk, h)`` rows, ≤ k per group. The third
+    member of the sketch family (count-min = frequency, histogram =
+    quantiles, KMV = cardinality), with the same two scale
+    properties: mergeable (union two shards' cells and re-take the k
+    smallest) and deterministic (md5 order, so shards/re-runs/the
+    oracle agree on every cell)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    dedup = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        dedup.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_distinct(
+    cells: DataFrame, group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """Cardinality estimate from KMV cells: with fewer than k distinct
+    hashes the sketch IS the exact answer; otherwise the k-th smallest
+    hash ``h_k`` estimates density — (k−1) · SPACE / h_k. One exact
+    integer aggregate per group, then a single fixed-order scalar
+    expression, rounded to 2dp."""
+    agg = cells.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("hk")
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * KMV_SPACE / F.col("hk"), 2)
+    )
+    return agg.select(*group_cols, est.alias("kmv_est"))
+
+
 def cms_estimate(
     cells: DataFrame, probes: DataFrame, key_col: str,
     depth: int = 4, width: int = 1024,

@@ -2950,6 +2950,75 @@ def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, {_TOKS} AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+        SELECT lang,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 3 AS INTEGER)] AS gram
+        FROM toks CROSS JOIN UNNEST(range(len(t) - 2)) AS r(i)
+        WHERE len(t) >= 3
+    ),
+    hashed AS (
+        SELECT DISTINCT lang,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+        FROM g
+    ),
+    cells AS (
+        SELECT lang, h, rk FROM (
+            SELECT lang, h, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY h
+            ) AS rk FROM hashed
+        ) WHERE rk <= 128
+    ),
+    agg AS (
+        SELECT lang, COUNT(*) AS n_seen, MAX(h) AS hk
+        FROM cells GROUP BY lang
+    ),
+    exact AS (
+        SELECT lang, COUNT(DISTINCT gram) AS n_exact FROM g GROUP BY lang
+    )
+    SELECT e.lang, CAST(e.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN a.n_seen < 128 THEN CAST(a.n_seen AS DOUBLE)
+                ELSE ROUND(127.0 * 1152921504606846976.0 / a.hk, 2)
+           END AS kmv_est
+    FROM exact e JOIN agg a ON e.lang = a.lang
+    ORDER BY e.lang
+    """,
+)
+def kmv_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch vs exact: distinct word-3-grams per
+    language (thousands per stratum here; the corpus-scale question
+    is "how many distinct n-grams/URLs/users, per group, without a
+    distinct-key shuffle that carries them all"). The sketch keeps
+    only the 128 smallest md5 values per group — mergeable across
+    shards, deterministic across engines — and its estimate lands
+    within ~1/√k of exact (asserted in tests; the oracle proves
+    cell-level equality, not closeness)."""
+    from pg2any_spark.operators.sketch import kmv_cells, kmv_distinct
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.trim(F.col("text")) != ""
+    )
+    grams = docs.select(
+        "lang", F.explode(T.word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    cells = kmv_cells(grams, "gram", ["lang"], k=128)
+    est = kmv_distinct(cells, ["lang"], k=128)
+    exact = grams.groupBy("lang").agg(
+        F.countDistinct("gram").cast("bigint").alias("n_exact")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "n_exact", "kmv_est"
+    ).orderBy("lang")
+
+
+@query(
     "hist_quantile_order_value",
     oracle="""
     WITH cells AS (

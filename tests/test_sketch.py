@@ -108,3 +108,58 @@ class TestHistogramQuantiles:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, direct.collect())
         )
+
+
+class TestKmv:
+    def _keys(self, spark, groups):
+        # groups: {name: n_distinct}; each key appears twice so
+        # DISTINCT matters
+        rows = []
+        for g, n in groups.items():
+            for i in range(n):
+                rows += [(g, f"{g}-key-{i}")] * 2
+        return spark.createDataFrame(rows, "grp string, key string")
+
+    def test_below_k_is_exact(self, spark):
+        from pg2any_spark.operators.sketch import kmv_cells, kmv_distinct
+
+        df = self._keys(spark, {"a": 30})
+        cells = kmv_cells(df, "key", ["grp"], k=128)
+        got = kmv_distinct(cells, ["grp"], k=128).collect()
+        assert got[0]["kmv_est"] == 30.0
+
+    def test_estimate_within_tolerance(self, spark):
+        from pg2any_spark.operators.sketch import kmv_cells, kmv_distinct
+
+        df = self._keys(spark, {"a": 5000})
+        cells = kmv_cells(df, "key", ["grp"], k=128)
+        est = kmv_distinct(cells, ["grp"], k=128).collect()[0]["kmv_est"]
+        # ~1/sqrt(k) ≈ 8.8%; allow 4 sigma
+        assert abs(est - 5000) / 5000 < 0.36, est
+
+    def test_cells_merge_by_retaking_k_min(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.operators.sketch import kmv_cells
+
+        a = self._keys(spark, {"g": 400})
+        b = spark.createDataFrame(
+            [("g", f"g-key-{i}") for i in range(300, 700)],
+            "grp string, key string",
+        )
+        whole = a.unionByName(b)
+        direct = kmv_cells(whole, "key", ["grp"], k=64)
+        merged_pool = (
+            kmv_cells(a, "key", ["grp"], k=64)
+            .unionByName(kmv_cells(b, "key", ["grp"], k=64))
+            .select("grp", "h").distinct()
+        )
+        w = Window.partitionBy("grp").orderBy("h")
+        remerged = (
+            merged_pool.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 64)
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, remerged.collect())
+        )
