@@ -163,6 +163,36 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+#: Zero-width characters stripped by ``clean_unicode``: ZWSP, ZWNJ,
+#: ZWJ, BOM/ZWNBSP. Python resolves the escapes BEFORE the pattern
+#: reaches either engine, so Java regex (Spark) and RE2 (DuckDB) see
+#: the identical literal-character class (neither needs \uXXXX
+#: support).
+ZERO_WIDTH_CLASS = "[\u200b\u200c\u200d\ufeff]"
+
+#: No-break space, same literal-character treatment.
+NBSP = "\u00a0"
+
+
+def clean_unicode(text: Column) -> Column:
+    """Unicode hygiene pass (the CCNet/C4-style pre-filter cleanup):
+    normalize legacy newlines (CRLF/CR → LF), strip zero-width
+    characters, map NBSP to space, collapse space/tab runs, strip
+    spaces hugging newlines, cap blank runs at one empty line, trim.
+    Rule ORDER matters (zero-width removal must precede space
+    collapsing or ``' \\u200b '`` survives as two spaces) and is
+    mirrored verbatim by the SQL oracle. Pure codegen'd
+    ``regexp_replace`` chain — no UDF, patterns kept to syntax Java
+    regex and RE2 interpret identically."""
+    t = F.regexp_replace(text, "\r\n?", "\n")
+    t = F.regexp_replace(t, ZERO_WIDTH_CLASS, "")
+    t = F.regexp_replace(t, " ", " ")
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, " *\n *", "\n")
+    t = F.regexp_replace(t, "\n{3,}", "\n\n")
+    return F.trim(t)
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of normalized text (identical in any
     engine with md5 — the cross-engine rolling-hash stand-in)."""

@@ -2949,6 +2949,81 @@ def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NL, _CR, _TAB = "\n", "\r", "\t"
+_NBSP, _ZWSP, _BOM = "\u00a0", "\u200b", "\ufeff"
+_ZW_CLASS = "[\u200b\u200c\u200d\ufeff]"
+
+
+@query(
+    "clean_unicode_docs",
+    oracle=f"""
+    WITH noisy AS (
+        SELECT doc_id, text,
+               CASE
+                   WHEN doc_id % 4 = 0 THEN replace(text, ' ', '{_NBSP}')
+                   WHEN doc_id % 4 = 1 THEN replace(text, ' ', '  ')
+                   WHEN doc_id % 4 = 2
+                       THEN '{_BOM}' || replace(text, ' ', ' {_ZWSP}')
+                   ELSE text
+               END AS n
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, text, n,
+               trim(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(n, '{_CR}{_NL}?', '{_NL}', 'g'),
+                   '{_ZW_CLASS}', '', 'g'),
+                   '{_NBSP}', ' ', 'g'),
+                   '[ {_TAB}]+', ' ', 'g'),
+                   ' *{_NL} *', '{_NL}', 'g'),
+                   '{_NL}{{3,}}', '{_NL}{_NL}', 'g')
+               ) AS z
+        FROM noisy
+    )
+    SELECT doc_id,
+           CAST(length(n) AS INTEGER) AS len_noisy,
+           CAST(length(z) AS INTEGER) AS len_clean,
+           (z = trim(text)) AS restored
+    FROM norm
+    ORDER BY doc_id
+    """,
+)
+def clean_unicode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (`text.clean_unicode`) over a deterministically
+    corrupted corpus: docs %4==0 get every space turned NBSP, %4==1
+    doubled spaces, %4==2 a BOM prefix plus a zero-width space after
+    every word, %4==3 untouched. The defects are chosen to be exactly
+    REVERSIBLE by the normalizer, so ``restored`` proves the cleanup
+    end-to-end (a wrong rule order — e.g. collapsing before stripping
+    zero-widths — flips it). Pure codegen'd regexp chain; the oracle
+    mirrors the rule order verbatim."""
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    sp = F.lit(" ")
+    noisy = (
+        F.when(F.col("doc_id") % 4 == 0, F.replace(text, sp, F.lit(_NBSP)))
+        .when(F.col("doc_id") % 4 == 1, F.replace(text, sp, F.lit("  ")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(_BOM), F.replace(text, sp, F.lit(" " + _ZWSP))),
+        )
+        .otherwise(text)
+    )
+    d = docs.select("doc_id", "text", noisy.alias("n"))
+    z = T.clean_unicode(F.col("n"))
+    return d.select(
+        "doc_id",
+        F.length("n").cast("int").alias("len_noisy"),
+        F.length(z).cast("int").alias("len_clean"),
+        (z == F.trim(F.col("text"))).alias("restored"),
+    ).orderBy("doc_id")
+
+
 @query(
     "kmv_distinct_ngrams",
     oracle=f"""

@@ -479,3 +479,30 @@ class TestGopherRules:
         for rule, text in cases.items():
             flags = self._flags(spark, text.strip())
             assert flags[rule], (rule, flags)
+
+
+class TestCleanUnicode:
+    def _one(self, spark, raw):
+        from pg2any_spark.operators.text import clean_unicode
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(raw,)], "t string")
+        return df.select(clean_unicode(F.col("t")).alias("z")).collect()[0]["z"]
+
+    def test_legacy_newlines_normalize(self, spark):
+        assert self._one(spark, "a\r\nb\rc\nd") == "a\nb\nc\nd"
+
+    def test_zero_width_stripped_before_collapse(self, spark):
+        # ' ​ ' must collapse to ONE space — rule order matters —
+        # while zero-widths with no neighbouring space just vanish
+        assert self._one(spark, "a ​ b‌‍﻿c") == "a bc"
+        assert self._one(spark, "x ​​ y") == "x y"
+
+    def test_nbsp_tabs_and_runs_collapse(self, spark):
+        assert self._one(spark, "a b  \t c") == "a b c"
+
+    def test_spaces_hugging_newlines_and_blank_runs(self, spark):
+        assert self._one(spark, "a \n  b\n\n\n\n\nc") == "a\nb\n\nc"
+
+    def test_trim(self, spark):
+        assert self._one(spark, "  x  ") == "x"
