@@ -79,6 +79,12 @@ HEADLINE = [
     "chunk_context_windows",
     "cms_token_frequency",
     "decontaminate_semantic",
+    # round 6c cont.: histogram quantiles, KMV cardinality, unicode
+    # hygiene, exact-quota sampling
+    "hist_quantile_order_value",
+    "kmv_distinct_ngrams",
+    "clean_unicode_docs",
+    "sample_fixed_n_per_lang",
 ]
 
 

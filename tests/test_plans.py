@@ -208,6 +208,15 @@ ARROW_STAGE_ALLOWED = {
     "pq_code_balance",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    # SemDeDup: per-cell numpy gram kernel (applyInPandas) — the
+    # all-pairs cosine inside a cluster cell is exactly the
+    # interpreted-HOF hazard the PQ note documents
+    "semdedup_cells",
+    # SRP bucketing + normalization in one Arrow pass
+    # (similarity._bucketed_normalized), same stage the ANN family uses
+    "decontaminate_semantic",
+    # wire codec: Arrow encode + segment decode, like cdc_apply_pgoutput
+    "cdc_apply_schema_evolution",
 }
 
 _PY_NODES = (
