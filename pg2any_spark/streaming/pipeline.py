@@ -1466,6 +1466,87 @@ def start_streaming_cms(
     return writer.start()
 
 
+def hist_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cells_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> None:
+    """Streaming histogram maintenance: the batch's partial fixed-edge
+    cells land under their own ingest partition — additive merge, same
+    contract as ``cms_apply_batch`` (the histogram is the second
+    additively-mergeable sketch; KMV below needs union-re-rank
+    instead)."""
+    from pg2any_spark.operators.sketch import histogram_cells
+
+    _recover_replica(cells_path)
+    if batch_df.limit(1).count() == 0:
+        return
+    cells = histogram_cells(batch_df, value_col, lo, hi, bins)
+    _overwrite_ingest_partition(
+        cells.select(F.col("bucket").alias("cell"), "n"), cells_path, batch_id
+    )
+
+
+def read_hist_cells(spark: SparkSession, cells_path: str) -> DataFrame:
+    """Accumulated histogram: cell-wise sum over ingest batches,
+    reshaped for ``sketch.histogram_quantiles``."""
+    flat = spark.read.parquet(cells_path)
+    return (
+        flat.groupBy("cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.col("cell").cast("int").alias("bucket"), "n")
+    )
+
+
+def kmv_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cells_path: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 128,
+) -> None:
+    """Streaming KMV maintenance: the batch's own k-minimum distinct
+    hashes land under the batch partition. KMV merges by UNION then
+    re-taking the k smallest (not by addition), so the read path —
+    not the write path — owns the fold; per-batch state is still ≤ k
+    rows per group and replays still rewrite identical partitions."""
+    from pg2any_spark.operators.sketch import kmv_cells
+
+    _recover_replica(cells_path)
+    if batch_df.limit(1).count() == 0:
+        return
+    cells = kmv_cells(batch_df, key_col, group_cols, k)
+    _overwrite_ingest_partition(cells, cells_path, batch_id)
+
+
+def read_kmv_cells(
+    spark: SparkSession, cells_path: str, group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """Accumulated KMV sketch: distinct-union every batch's hash pool
+    and re-take the k smallest per group — the KMV merge operation.
+    Input is ≤ k × batches rows per group; output ≤ k, ready for
+    ``sketch.kmv_distinct``."""
+    from pyspark.sql import Window
+
+    pool = (
+        spark.read.parquet(cells_path)
+        .select(*group_cols, "h")
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pool.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 #: Base partition id for compacted dedup-index state: strictly below
 #: every real micro-batch id, so the probe filter
 #: ``ingest_batch < batch_id`` always includes it.

@@ -1710,3 +1710,67 @@ class TestStreamingCms:
             map(tuple, read_cms_cells(spark, cells_path, 16).collect())
         )
         assert once == twice
+
+
+class TestStreamingHistAndKmv:
+    def test_streamed_hist_equals_batch(self, spark, tmp_path):
+        from pg2any_spark.operators.sketch import (
+            histogram_cells,
+            histogram_quantiles,
+        )
+        from pg2any_spark.streaming.pipeline import (
+            hist_apply_batch,
+            read_hist_cells,
+        )
+
+        cells_path = str(tmp_path / "hist")
+        chunks = [
+            [float(v) for v in range(0, 60)],
+            [float(v) for v in range(40, 100)],
+        ]
+        for i, ch in enumerate(chunks):
+            df = spark.createDataFrame([(v,) for v in ch], "v double")
+            hist_apply_batch(spark, df, i, cells_path, "v", 0.0, 100.0, 10)
+        got = read_hist_cells(spark, cells_path)
+        whole = spark.createDataFrame(
+            [(v,) for v in chunks[0] + chunks[1]], "v double"
+        )
+        want = histogram_cells(whole, "v", 0.0, 100.0, 10)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # quantiles straight off the streamed cells
+        q = histogram_quantiles(got, [0.5], 0.0, 100.0, 10).collect()
+        assert abs(q[0]["est"] - 50.0) <= 10.0
+        # replay idempotence
+        df0 = spark.createDataFrame([(v,) for v in chunks[0]], "v double")
+        hist_apply_batch(spark, df0, 0, cells_path, "v", 0.0, 100.0, 10)
+        again = read_hist_cells(spark, cells_path)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+
+    def test_streamed_kmv_equals_batch(self, spark, tmp_path):
+        from pg2any_spark.operators.sketch import kmv_cells, kmv_distinct
+        from pg2any_spark.streaming.pipeline import (
+            kmv_apply_batch,
+            read_kmv_cells,
+        )
+
+        cells_path = str(tmp_path / "kmv")
+        chunks = [
+            [("g", f"k{i}") for i in range(400)],
+            [("g", f"k{i}") for i in range(300, 700)],
+        ]
+        for i, ch in enumerate(chunks):
+            df = spark.createDataFrame(ch, "grp string, key string")
+            kmv_apply_batch(spark, df, i, cells_path, "key", ["grp"], k=64)
+        got = read_kmv_cells(spark, cells_path, ["grp"], k=64)
+        whole = spark.createDataFrame(
+            chunks[0] + chunks[1], "grp string, key string"
+        )
+        want = kmv_cells(whole, "key", ["grp"], k=64)
+        assert sorted(map(tuple, got.select("grp", "h", "rk").collect())) == \
+            sorted(map(tuple, want.select("grp", "h", "rk").collect()))
+        est = kmv_distinct(got, ["grp"], k=64).collect()[0]["kmv_est"]
+        assert abs(est - 700) / 700 < 0.5
