@@ -237,6 +237,49 @@ def cdc_apply_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_apply_quarantined_feed",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_apply_quarantined_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer CDC scenario through a DAMAGED event-mode feed:
+    events persist as JSON lines, two corrupt lines are planted (one
+    malformed JSON, one well-formed-but-unrelated object), and the
+    dead-letter-queue reader diverts them while every clean event
+    applies — the final replica must be IDENTICAL to the undamaged
+    run (same oracle as ``cdc_apply_customer``), proving the DLQ path
+    loses nothing but the poison. The reference hard-fails here
+    (``transaction_manager.rs:1792-1801``), which is right for its own
+    IR; the quarantine mode is the operational alternative a replayed
+    partner feed needs."""
+    import os
+
+    from pg2any_spark.sources.jsonlines import (
+        read_events_jsonl_quarantine,
+        write_events_jsonl,
+    )
+
+    events = synth_customer_events(spark, sf_dir)
+    work = _fresh_workdir("pg2any_dlq_")
+    feed, dlq = f"{work}/feed", f"{work}/dlq"
+    write_events_jsonl(events, feed)
+    with open(os.path.join(feed, "damaged.json"), "w") as f:
+        f.write('{"op": "c", "table": "customer", truncated-garbage\n')
+        f.write('{"utterly": "unrelated", "shape": 1}\n')
+    clean = read_events_jsonl_quarantine(spark, feed, dlq)
+    cust = load_table(spark, "customer", sf_dir)
+    return apply_changes(
+        clean, cust.schema, ["c_custkey"], table="customer",
+        scan_for_truncate=False,
+    )
+
+
+@query(
     "cdc_apply_multi_table",
     oracle="""
     SELECT 'customer' AS table_name, COUNT(*) AS n_rows,

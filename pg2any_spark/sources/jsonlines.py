@@ -51,3 +51,56 @@ def read_events_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def read_events_jsonl_quarantine(
+    spark: SparkSession, path: str, quarantine_path: str | None = None
+) -> DataFrame:
+    """Dead-letter-queue variant of the event reader: corrupt lines are
+    DIVERTED, never silently dropped and never fatal.
+
+    The reference (and ``read_events_jsonl``) hard-fails on the first
+    corrupt line — correct for an IR the engine itself wrote, but an
+    operator replaying a partner-supplied or disk-damaged feed needs
+    the Debezium-style DLQ alternative: keep the good 99.999%, land
+    every bad line VERBATIM somewhere auditable. PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` gives the split; the contract here
+    is that the two outputs PARTITION the input — rows where every
+    schema field is null but the raw line is not are corrupt (a JSON
+    object that parses but matches nothing), rows with a populated
+    corrupt column are malformed JSON.
+
+    Returns the clean typed events; if ``quarantine_path`` is given,
+    the corrupt raw lines (plus a ``reason``) are written there first
+    — one extra pass over the corrupt subset only, since the filter
+    pushes to the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(CHANGE_EVENT_SCHEMA.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    data_cols = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+    all_null = None
+    for c in data_cols:
+        cond = F.col(c).isNull()
+        all_null = cond if all_null is None else (all_null & cond)
+    is_corrupt = F.col("_corrupt_record").isNotNull() | all_null
+    if quarantine_path is not None:
+        bad = raw.filter(is_corrupt).select(
+            F.coalesce(
+                F.col("_corrupt_record"), F.to_json(F.struct(*data_cols))
+            ).alias("raw_line"),
+            F.when(
+                F.col("_corrupt_record").isNotNull(), F.lit("malformed_json")
+            ).otherwise(F.lit("schema_mismatch")).alias("reason"),
+        )
+        bad.write.mode("append").json(quarantine_path)
+    return raw.filter(~is_corrupt).select(*data_cols)

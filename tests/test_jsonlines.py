@@ -55,3 +55,47 @@ def test_corrupt_line_hard_errors(spark, tmp_path):
         fh.write("{this is not json\n")
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         read_events_jsonl(spark, path).collect()
+
+
+class TestQuarantine:
+    def _write_feed(self, spark, tmp_path):
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.jsonlines import write_events_jsonl
+
+        good = synth_customer_events(spark, "/root/testdata/sf0.001").limit(20)
+        p = str(tmp_path / "feed")
+        write_events_jsonl(good, p)
+        # plant damage: one malformed JSON line, one well-formed object
+        # that matches no schema field
+        with open(f"{p}/damaged.json", "w") as f:
+            f.write('{"op": "c", "table": "customer", truncated-garbage\n')
+            f.write('{"utterly": "unrelated", "shape": 1}\n')
+        return p, good.count()
+
+    def test_clean_rows_survive_and_bad_rows_divert(self, spark, tmp_path):
+        from pg2any_spark.sources.jsonlines import (
+            read_events_jsonl_quarantine,
+        )
+
+        p, n_good = self._write_feed(spark, tmp_path)
+        q = str(tmp_path / "dlq")
+        clean = read_events_jsonl_quarantine(spark, p, q)
+        assert clean.count() == n_good
+        assert set(clean.columns) == {
+            f.name for f in __import__(
+                "pg2any_spark.schemas", fromlist=["CHANGE_EVENT_SCHEMA"]
+            ).CHANGE_EVENT_SCHEMA.fields
+        }
+        dlq = spark.read.json(q)
+        rows = {r["reason"] for r in dlq.collect()}
+        assert dlq.count() == 2
+        assert rows == {"malformed_json", "schema_mismatch"}
+
+    def test_failfast_reader_still_fatal(self, spark, tmp_path):
+        import pytest as _pt
+
+        from pg2any_spark.sources.jsonlines import read_events_jsonl
+
+        p, _ = self._write_feed(spark, tmp_path)
+        with _pt.raises(Exception):
+            read_events_jsonl(spark, p).count()

@@ -314,6 +314,7 @@ DETERMINISTIC_EXACT = {
     ("cdc_apply_customer", "c_acctbal"),
     ("cdc_apply_pgoutput", "c_acctbal"),
     ("cdc_apply_schema_evolution", "c_acctbal"),
+    ("cdc_apply_quarantined_feed", "c_acctbal"),
     ("cdc_apply_pgoutput_streamed", "c_acctbal"),
     ("cdc_apply_streaming_tx", "c_acctbal"),
     ("cdc_apply_toast", "c_acctbal"),
