@@ -110,10 +110,13 @@ def stratified_fixed_n(
     every engine, and when the corpus grows only the hash-largest
     stragglers rotate out.
 
-    Cost: one shuffle (partition by stratum for the rank window).
-    Strata counts are usually ≪ partitions, so skewed strata are the
-    hot-key shape — AQE splits them; for million-row strata prefer the
-    fraction filter, which needs no shuffle at all."""
+    Cost: one shuffle (partition by stratum for the rank window) —
+    and a window partition CANNOT be skew-split (AQE skew handling
+    applies to joins/rebalance, not windows), so a giant stratum
+    serializes into one task. For million-row strata, pre-reduce with
+    ``stratified_hash_sample`` (a shuffle-free filter sized to a few×n
+    survivors) before ranking, or prefer the fraction filter
+    outright."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))

@@ -160,6 +160,7 @@ def kmv_cells(
     key_col: str,
     group_cols: list[str],
     k: int = 128,
+    partial: bool = True,
 ) -> DataFrame:
     """K-minimum-values distinct-count sketch (Bar-Yossef et al.
     2002): per group, the ``k`` smallest DISTINCT md5-hash values of
@@ -168,13 +169,42 @@ def kmv_cells(
     quantiles, KMV = cardinality), with the same two scale
     properties: mergeable (union two shards' cells and re-take the k
     smallest) and deterministic (md5 order, so shards/re-runs/the
-    oracle agree on every cell)."""
+    oracle agree on every cell).
+
+    ``partial=True`` (default) inserts a MAP-SIDE partial k-min
+    (Arrow batch: per-group sort + head(k) on the partition's own
+    rows) before the global distinct+rank, so the shuffle carries at
+    most k × partitions rows per group instead of the full
+    distinct-hash table — the selection is order-stat-stable, so the
+    global k smallest are always inside the union of per-partition k
+    smallest and the result is bit-identical. Without it, a
+    billion-distinct-key group funnels its whole hash table into one
+    rank-window task — the exact blowup the sketch exists to avoid.
+    Turn it off only for tiny inputs where the Arrow stage costs more
+    than it saves."""
     from pyspark.sql import Window
 
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    dedup = df.select(*group_cols, h.alias("h")).distinct()
+    hashed = df.select(*group_cols, h.alias("h"))
+    if partial:
+        import pandas as pd
+
+        gcols = list(group_cols)
+
+        def kmin(batches: "Iterator[pd.DataFrame]"):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.drop_duplicates()
+                        .sort_values([*gcols, "h"])
+                        .groupby(gcols, sort=False)
+                        .head(k)
+                    )
+
+        hashed = hashed.mapInPandas(kmin, hashed.schema)
+    dedup = hashed.distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         dedup.withColumn("rk", F.row_number().over(w))

@@ -186,7 +186,7 @@ def clean_unicode(text: Column) -> Column:
     regex and RE2 interpret identically."""
     t = F.regexp_replace(text, "\r\n?", "\n")
     t = F.regexp_replace(t, ZERO_WIDTH_CLASS, "")
-    t = F.regexp_replace(t, " ", " ")
+    t = F.regexp_replace(t, NBSP, " ")
     t = F.regexp_replace(t, "[ \t]+", " ")
     t = F.regexp_replace(t, " *\n *", "\n")
     t = F.regexp_replace(t, "\n{3,}", "\n\n")

@@ -2831,27 +2831,24 @@ _CMS_TOKEN_ORACLE = f"""
     """
 
 
-@query("cms_token_frequency", oracle=_CMS_TOKEN_ORACLE)
-def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch token frequencies (4×1024, md5-hash rows)
-    against exact counts for the 20 most frequent tokens: the
-    mergeable-sketch path for frequency stats over a corpus whose
-    distinct-key table is itself too big. The sketch build shuffles
-    ≤ depth×width cell rows TOTAL (map-side partial agg), estimates
-    broadcast-join the tiny cell table; ``overcount`` is the sketch's
-    collision overestimate, ≥ 0 by construction — a negative value
-    anywhere is a correctness bug, and both engines must agree on
-    every cell because the hash family is deterministic md5."""
+def _cms_token_report(docs: DataFrame, cells: DataFrame | None = None) -> DataFrame:
+    """Shared top-20 exact-vs-sketch comparison behind BOTH count-min
+    queries (one-shot and streamed): exact per-token counts, the 20
+    most frequent, their sketch estimates, and the (≥0 by
+    construction) collision overcount. ``cells=None`` builds the
+    sketch from the exact counts (the one-shot path); the streaming
+    query passes its merged read-back cells instead — same report,
+    same oracle."""
     from pg2any_spark.operators.sketch import cms_estimate, count_min_cells
 
-    docs = load_table(spark, "documents", sf_dir)
     tc = (
         docs.filter(F.trim(F.col("text")) != "")
         .select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    cells = count_min_cells(tc, "token", weight_col="n_exact")
+    if cells is None:
+        cells = count_min_cells(tc, "token", weight_col="n_exact")
     top = tc.orderBy(F.col("n_exact").desc(), "token").limit(20)
     est = cms_estimate(cells, top.select("token"), "token")
     return (
@@ -2864,6 +2861,20 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), "token")
     )
+
+
+@query("cms_token_frequency", oracle=_CMS_TOKEN_ORACLE)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token frequencies (4×1024, md5-hash rows)
+    against exact counts for the 20 most frequent tokens: the
+    mergeable-sketch path for frequency stats over a corpus whose
+    distinct-key table is itself too big. The sketch build shuffles
+    ≤ depth×width cell rows TOTAL (map-side partial agg), estimates
+    broadcast-join the tiny cell table; ``overcount`` is the sketch's
+    collision overestimate, ≥ 0 by construction — a negative value
+    anywhere is a correctness bug, and both engines must agree on
+    every cell because the hash family is deterministic md5."""
+    return _cms_token_report(load_table(spark, "documents", sf_dir))
 
 
 @query(
@@ -2904,7 +2915,6 @@ def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers the SAME top-20 comparison as the one-shot build — same
     oracle, because cell-wise mergeability makes streamed == batch
     exactly, not approximately."""
-    from pg2any_spark.operators.sketch import cms_estimate
     from pg2any_spark.streaming.pipeline import (
         read_cms_cells,
         start_streaming_cms,
@@ -2930,23 +2940,7 @@ def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     cells = read_cms_cells(spark, f"{work}/cells")
-    tc = (
-        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    top = tc.orderBy(F.col("n_exact").desc(), "token").limit(20)
-    est = cms_estimate(cells, top.select("token"), "token")
-    return (
-        top.join(est, "token")
-        .select(
-            "token",
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            F.col("cms_n").cast("bigint").alias("cms_n"),
-            (F.col("cms_n") - F.col("n_exact")).cast("bigint").alias("overcount"),
-        )
-        .orderBy(F.col("n_exact").desc(), "token")
-    )
+    return _cms_token_report(docs, cells)
 
 
 _NL, _CR, _TAB = "\n", "\r", "\t"
@@ -3060,7 +3054,9 @@ def clean_unicode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.lang, CAST(e.n_exact AS BIGINT) AS n_exact,
            CASE WHEN a.n_seen < 128 THEN CAST(a.n_seen AS DOUBLE)
-                ELSE ROUND(127.0 * 1152921504606846976.0 / a.hk, 2)
+                ELSE ROUND(CAST(127 AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / a.hk, 2)
            END AS kmv_est
     FROM exact e JOIN agg a ON e.lang = a.lang
     ORDER BY e.lang

@@ -71,36 +71,43 @@ def read_events_jsonl_quarantine(
     corrupt column are malformed JSON.
 
     Returns the clean typed events; if ``quarantine_path`` is given,
-    the corrupt raw lines (plus a ``reason``) are written there first
-    — one extra pass over the corrupt subset only, since the filter
-    pushes to the scan."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType, StructField, StructType
+    the corrupt raw lines — VERBATIM, with a ``reason`` — are written
+    there first (mode=overwrite: the DLQ is per-feed-read state, so a
+    retried read lands one copy of each poison line, not two). Cost is
+    honest: corruption is only decidable after parsing, so with a
+    quarantine sink the feed is read and JSON-parsed twice — price it
+    like two scans, or materialize the text upstream if the feed is
+    huge and damage is routine.
 
-    schema = StructType(
-        list(CHANGE_EVENT_SCHEMA.fields)
-        + [StructField("_corrupt_record", StringType())]
-    )
-    raw = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+    Implementation reads lines as TEXT and parses with ``from_json``
+    (not PERMISSIVE mode + ``columnNameOfCorruptRecord``): PERMISSIVE
+    preserves raw content only for lines that fail to PARSE — a
+    well-formed object matching no schema field re-serializes as
+    ``{}`` and the audit trail loses the evidence."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path).withColumn(
+        "_parsed", F.from_json(F.col("value"), CHANGE_EVENT_SCHEMA)
     )
     data_cols = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
     all_null = None
     for c in data_cols:
-        cond = F.col(c).isNull()
+        cond = F.col("_parsed").getField(c).isNull()
         all_null = cond if all_null is None else (all_null & cond)
-    is_corrupt = F.col("_corrupt_record").isNotNull() | all_null
+    # from_json yields an all-NULL struct both for malformed JSON and
+    # for well-formed JSON matching no field, so corrupt = all-null;
+    # the REASON discriminates via try_parse_json, which is NULL only
+    # when the line is not JSON at all
+    is_corrupt = F.col("_parsed").isNull() | all_null
     if quarantine_path is not None:
         bad = raw.filter(is_corrupt).select(
-            F.coalesce(
-                F.col("_corrupt_record"), F.to_json(F.struct(*data_cols))
-            ).alias("raw_line"),
+            F.col("value").alias("raw_line"),
             F.when(
-                F.col("_corrupt_record").isNotNull(), F.lit("malformed_json")
+                F.try_parse_json(F.col("value")).isNull(),
+                F.lit("malformed_json"),
             ).otherwise(F.lit("schema_mismatch")).alias("reason"),
         )
-        bad.write.mode("append").json(quarantine_path)
-    return raw.filter(~is_corrupt).select(*data_cols)
+        bad.write.mode("overwrite").json(quarantine_path)
+    return raw.filter(~is_corrupt).select(
+        *[F.col("_parsed").getField(c).alias(c) for c in data_cols]
+    )

@@ -87,9 +87,17 @@ class TestQuarantine:
             ).CHANGE_EVENT_SCHEMA.fields
         }
         dlq = spark.read.json(q)
-        rows = {r["reason"] for r in dlq.collect()}
-        assert dlq.count() == 2
-        assert rows == {"malformed_json", "schema_mismatch"}
+        got = {(r["reason"], r["raw_line"]) for r in dlq.collect()}
+        # poison lines land VERBATIM — the audit trail must carry the
+        # original evidence, not a re-serialization
+        assert got == {
+            ("malformed_json",
+             '{"op": "c", "table": "customer", truncated-garbage'),
+            ("schema_mismatch", '{"utterly": "unrelated", "shape": 1}'),
+        }
+        # a retried read overwrites the per-feed DLQ, never doubles it
+        read_events_jsonl_quarantine(spark, p, q).count()
+        assert spark.read.json(q).count() == 2
 
     def test_failfast_reader_still_fatal(self, spark, tmp_path):
         import pytest as _pt

@@ -217,6 +217,9 @@ ARROW_STAGE_ALLOWED = {
     "decontaminate_semantic",
     # wire codec: Arrow encode + segment decode, like cdc_apply_pgoutput
     "cdc_apply_schema_evolution",
+    # KMV map-side partial k-min: per-partition sort+head(k) keeps the
+    # shuffle at k×partitions rows instead of the distinct-hash table
+    "kmv_distinct_ngrams",
 }
 
 _PY_NODES = (

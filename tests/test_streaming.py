@@ -1742,13 +1742,16 @@ class TestStreamingHistAndKmv:
         # quantiles straight off the streamed cells
         q = histogram_quantiles(got, [0.5], 0.0, 100.0, 10).collect()
         assert abs(q[0]["est"] - 50.0) <= 10.0
-        # replay idempotence
+        # replay idempotence: snapshot BEFORE the replay, compare the
+        # post-replay state against it (re-collecting `got` after the
+        # replay would compare the doubled state to itself)
+        before = sorted(map(tuple, got.collect()))
         df0 = spark.createDataFrame([(v,) for v in chunks[0]], "v double")
         hist_apply_batch(spark, df0, 0, cells_path, "v", 0.0, 100.0, 10)
-        again = read_hist_cells(spark, cells_path)
-        assert sorted(map(tuple, got.collect())) == sorted(
-            map(tuple, again.collect())
+        after = sorted(
+            map(tuple, read_hist_cells(spark, cells_path).collect())
         )
+        assert before == after
 
     def test_streamed_kmv_equals_batch(self, spark, tmp_path):
         from pg2any_spark.operators.sketch import kmv_cells, kmv_distinct
