@@ -180,3 +180,184 @@ def test_slot_name_validation_matches_charset(s):
         assert ok, f"accepted invalid slot name {s!r}"
     except ConfigError:
         assert not ok, f"rejected valid slot name {s!r}"
+
+
+# ---------------------------------------------------------------------------
+# pgoutput codec roundtrip (arbitrary relations / values / op sequences)
+# ---------------------------------------------------------------------------
+
+import base64
+import datetime as _dt
+
+from pg2any_spark.schemas import UNCHANGED_TOAST
+from pg2any_spark.sources import pgoutput as PG
+
+_TS = _dt.datetime(2026, 1, 1)
+
+# PG text values cannot contain NUL; hypothesis text() is already
+# valid (surrogate-free) unicode
+_pg_text = st.text(min_size=0, max_size=20).filter(lambda s: "\x00" not in s)
+_cell = st.one_of(st.none(), _pg_text)
+_ident = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz_"),
+    min_size=1, max_size=8,
+)
+
+
+@st.composite
+def _tx_scripts(draw):
+    n_cols = draw(st.integers(2, 5))
+    cols = ["id"] + [f"c{i}_{draw(_ident)}" for i in range(n_cols - 1)]
+    # last column is bytea so binary-mode values are exercised
+    oids = [25] * (n_cols - 1) + [17]
+    txs = []
+    for t in range(draw(st.integers(1, 4))):
+        ops = []
+        for _ in range(draw(st.integers(1, 5))):
+            kind = draw(st.sampled_from(["c", "u", "d"]))
+            vals = [draw(_pg_text) or "k"]  # key never null
+            for i in range(1, n_cols):
+                if oids[i] == 17:
+                    v = draw(st.one_of(st.none(), st.binary(max_size=12)))
+                else:
+                    v = draw(_cell)
+                vals.append(v)
+            ops.append((kind, vals))
+        txs.append(ops)
+    return cols, oids, txs
+
+
+def _expected_map(cols, oids, vals):
+    out = {}
+    for col, oid, v in zip(cols, oids, vals):
+        if isinstance(v, bytes):
+            v = base64.b64encode(v).decode("ascii")
+        out[col] = v
+    return out
+
+
+def _encode_tx(ops, xid, lsn0, stream_xid=None):
+    frames = []
+    for i, (kind, vals) in enumerate(ops):
+        old = [vals[0]] + [None] * (len(vals) - 1)
+        if kind == "c":
+            frames.append(PG.encode_insert(7, vals, stream_xid=stream_xid))
+        elif kind == "u":
+            frames.append(PG.encode_update(
+                7, vals, old_values=old, old_kind="K",
+                stream_xid=stream_xid))
+        else:
+            frames.append(PG.encode_delete(
+                7, old, old_kind="K", stream_xid=stream_xid))
+    return frames
+
+
+@given(_tx_scripts())
+@settings(max_examples=40, deadline=None)
+def test_pgoutput_roundtrip_arbitrary_streams(script):
+    cols, oids, txs = script
+    rel = PG.encode_relation(
+        7, "public", "t",
+        [(PG.COL_KEY_FLAG if c == "id" else 0, c, oid, -1)
+         for c, oid in zip(cols, oids)],
+    )
+    dec = PG.PgOutputDecoder()
+    dec.feed(rel, 0)
+    released = []
+    lsn = 10
+    for xid, ops in enumerate(txs, start=1):
+        assert dec.feed(PG.encode_begin(lsn, _TS, xid), lsn) == []
+        for fr in _encode_tx(ops, xid, lsn):
+            assert dec.feed(fr, lsn) == []  # buffered until commit
+            lsn += 1
+        released.extend(dec.feed(PG.encode_commit(lsn, lsn, _TS), lsn))
+        lsn += 10
+    dec.check_closed("prop")
+
+    flat = [op for ops in txs for op in ops]
+    assert len(released) == len(flat)
+    for row, (kind, vals) in zip(released, flat):
+        assert row["op"] == kind
+        assert row["commit_ts"] is not None
+        if kind == "c":
+            assert row["after"] == _expected_map(cols, oids, vals)
+            assert row["before"] is None
+        elif kind == "u":
+            assert row["after"] == _expected_map(cols, oids, vals)
+            assert row["before"]["id"] == vals[0]
+        else:
+            assert row["after"] is None
+            assert row["before"]["id"] == vals[0]
+        assert row["key_columns"] == ["id"]
+
+
+@given(_tx_scripts())
+@settings(max_examples=20, deadline=None)
+def test_pgoutput_streamed_equals_direct(script):
+    cols, oids, txs = script
+    rel_cols = [(PG.COL_KEY_FLAG if c == "id" else 0, c, oid, -1)
+                for c, oid in zip(cols, oids)]
+
+    def direct():
+        dec = PG.PgOutputDecoder()
+        dec.feed(PG.encode_relation(7, "public", "t", rel_cols), 0)
+        out, lsn = [], 10
+        for xid, ops in enumerate(txs, start=1):
+            dec.feed(PG.encode_begin(lsn, _TS, xid), lsn)
+            for fr in _encode_tx(ops, xid, lsn):
+                dec.feed(fr, lsn)
+                lsn += 1
+            out.extend(dec.feed(PG.encode_commit(lsn, lsn, _TS), lsn))
+            lsn += 10
+        return out
+
+    def streamed():
+        dec = PG.PgOutputDecoder(protocol_version=2)
+        dec.feed(PG.encode_relation(7, "public", "t", rel_cols), 0)
+        out, lsn = [], 10
+        for xid, ops in enumerate(txs, start=1):
+            dec.feed(PG.encode_stream_start(xid, True), lsn)
+            for fr in _encode_tx(ops, xid, lsn, stream_xid=xid):
+                dec.feed(fr, lsn)
+                lsn += 1
+            dec.feed(PG.encode_stream_stop(), lsn)
+            out.extend(dec.feed(
+                PG.encode_stream_commit(xid, lsn, lsn, _TS), lsn))
+            lsn += 10
+        return out
+
+    a, b = direct(), streamed()
+    strip = lambda r: {k: v for k, v in r.items() if k != "txid"}  # noqa: E731
+    assert [strip(r) for r in a] == [strip(r) for r in b]
+
+
+@given(st.integers(1, 3), st.data())
+@settings(max_examples=25, deadline=None)
+def test_pgoutput_toast_sentinel_roundtrip(n_extra, data):
+    cols = ["id"] + [f"v{i}" for i in range(n_extra)]
+    rel = PG.encode_relation(
+        7, "public", "t",
+        [(PG.COL_KEY_FLAG if c == "id" else 0, c, 25, -1) for c in cols],
+    )
+    vals = ["k"] + [
+        data.draw(st.sampled_from([UNCHANGED_TOAST, "x", None]))
+        for _ in range(n_extra)
+    ]
+    dec = PG.PgOutputDecoder(toast_merge=True)
+    dec.feed(rel, 0)
+    dec.feed(PG.encode_begin(5, _TS, 1), 5)
+    old = ["k"] + [None] * n_extra
+    dec.feed(PG.encode_update(7, vals, old_values=old, old_kind="K"), 5)
+    rows = dec.feed(PG.encode_commit(5, 5, _TS), 5)
+    assert rows[0]["after"] == dict(zip(cols, vals))
+    # and WITHOUT toast_merge the same frame is fatal, never a NULL
+    if UNCHANGED_TOAST in vals:
+        dec2 = PG.PgOutputDecoder()
+        dec2.feed(rel, 0)
+        dec2.feed(PG.encode_begin(5, _TS, 1), 5)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unchanged-TOAST"):
+            dec2.feed(
+                PG.encode_update(7, vals, old_values=old, old_kind="K"), 5
+            )
