@@ -420,3 +420,82 @@ class TestSchemaDrift:
         out = apply_changes(self._drift_events(spark), widened, ["id"])
         got = {r["id"]: r["extra"] for r in out.collect()}
         assert got == {1: None, 2: 99}
+
+
+class TestApplyEquivalenceProperty:
+    """apply_changes == a naive single-threaded LWW replay, for
+    arbitrary op scripts in arbitrary DELIVERY order — the property
+    the distributed max-LSN reduction must share with the reference's
+    sequential consumer loop."""
+
+    def _events_df(self, spark, script, order):
+        import datetime
+
+        from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+
+        ts = datetime.datetime(2026, 1, 1)
+        rows = []
+        for lsn, (op, k, v) in enumerate(script):
+            before = {"id": str(k)} if op in ("u", "d") else None
+            after = {"id": str(k), "v": v} if op in ("c", "u") else None
+            rows.append(
+                (op, "public", "t", lsn, lsn, ts, before, after,
+                 ["id"], "default")
+            )
+        rows = [rows[i] for i in order]  # delivery order ≠ LSN order
+        return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    def _replay(self, script):
+        state = {}
+        for op, k, v in script:  # script is already in LSN order
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        return {(k, v) for k, v in state.items()}
+
+    def test_matches_sequential_replay(self, spark):
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from pg2any_spark.operators.apply import apply_changes
+        from pyspark.sql.types import (
+            IntegerType, StringType, StructField, StructType,
+        )
+
+        dest = StructType([
+            StructField("id", IntegerType()),
+            StructField("v", StringType()),
+        ])
+
+        @st.composite
+        def scripts(draw):
+            n = draw(st.integers(1, 10))
+            script = [
+                (draw(st.sampled_from(["c", "u", "d"])),
+                 draw(st.integers(1, 4)),
+                 draw(st.text(
+                     alphabet=st.sampled_from("abcxyz"), min_size=1,
+                     max_size=3)))
+                for _ in range(n)
+            ]
+            order = draw(st.permutations(range(n)))
+            return script, list(order)
+
+        @given(scripts())
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def run(case):
+            script, order = case
+            events = self._events_df(spark, script, order)
+            got = {
+                (r["id"], r["v"])
+                for r in apply_changes(
+                    events, dest, ["id"], table="t",
+                    scan_for_truncate=False,
+                ).collect()
+            }
+            assert got == self._replay(script)
+
+        run()
