@@ -421,6 +421,13 @@ def chunk_token_windows(
     than ``min_tail`` are dropped unless they are the document's ONLY
     chunk (a short document still yields one example).
 
+    Coverage guarantee: every token of every document appears in at
+    least one emitted chunk whenever ``min_tail <= window - stride + 1``
+    (a droppable tail is then always shorter than the overlap, so the
+    previous window already covers it — pinned by a property test).
+    The defaults satisfy it; configs that violate it trade tail
+    coverage for fewer fragments, deliberately.
+
     Returns one row per (doc, chunk): ``chunk_idx`` (0-based stride
     ordinal), ``n_tokens``, ``chunk_text``.
 

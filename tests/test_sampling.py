@@ -435,3 +435,38 @@ class TestStratifiedFixedN:
         c = {r["doc_id"] for r in SA.stratified_fixed_n(
             self._docs(spark), "doc_id", "lang", 30).collect()}
         assert a <= c
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Coverage property: with min_tail <= window - stride + 1, the
+    union of emitted [start, start+n_tokens) intervals covers [0, n)
+    for every document — dropped tails are always inside the previous
+    window's overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.lists(st.integers(1, 40), min_size=1, max_size=6),
+           st.integers(2, 10), st.data())
+    @settings(max_examples=10, deadline=None)
+    def run(lengths, window, data):
+        stride = data.draw(st.integers(1, window))
+        min_tail = data.draw(st.integers(1, window - stride + 1))
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n)))
+             for i, n in enumerate(lengths)],
+            "doc_id long, text string",
+        )
+        rows = SA.chunk_token_windows(
+            docs, window=window, stride=stride, min_tail=min_tail
+        ).collect()
+        covered = {}
+        for r in rows:
+            start = r["chunk_idx"] * stride
+            covered.setdefault(r["doc_id"], set()).update(
+                range(start, start + r["n_tokens"])
+            )
+        for i, n in enumerate(lengths):
+            assert covered.get(i, set()) == set(range(n)), (
+                i, n, window, stride, min_tail
+            )
+
+    run()
