@@ -1060,6 +1060,82 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_join_view",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 4 <> 1 AND c.c_custkey % 7 <> 0
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS inner-JOIN materialized-view maintenance
+    (orders ⋈ customer under ONE interleaved CDC stream to both
+    tables): three micro-batches in LSN order maintain both replicas
+    AND the join view via touched-key recompute
+    (``pipeline.join_view_apply_batch`` — per batch the join work is
+    O(rows of touched customers), never O(view)). Customer deletes
+    (%7) must drop every one of that customer's orders from the view;
+    orders deletes (%4==1) drop their own row. Output aggregates the
+    final view per market segment; the oracle is the plain join over
+    the final table states — continuous maintenance must equal
+    query-at-the-end exactly."""
+    from pg2any_spark.sources.cdc_gen import (
+        synth_customer_events,
+        synth_orders_events,
+    )
+    from pg2any_spark.streaming.pipeline import (
+        read_event_stream,
+        start_join_view,
+    )
+
+    ev = synth_customer_events(spark, sf_dir).unionByName(
+        synth_orders_events(spark, sf_dir)
+    )
+    work = _fresh_workdir("pg2any_joinview_")
+    src = f"{work}/events"
+    for lo, hi in ((0, 10_000_000), (10_000_000, 20_000_000),
+                   (20_000_000, 1 << 60)):
+        ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    view_path = f"{work}/view"
+    q = start_join_view(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        view_path,
+        f"{work}/ckpt",
+        left_path=f"{work}/orders",
+        left_schema=orders.schema,
+        left_keys=["o_orderkey"],
+        left_table="orders",
+        right_path=f"{work}/customer",
+        right_schema=cust.schema,
+        right_keys=["c_custkey"],
+        right_table="customer",
+        left_join_col="o_custkey",
+        right_join_col="c_custkey",
+    )
+    q.awaitTermination(600)
+    view = spark.read.parquet(view_path)
+    return (
+        view.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "cdc_streaming_agg_view",
     oracle="""
     SELECT o_orderpriority,

@@ -805,6 +805,175 @@ def start_scd2_history(
     return writer.start()
 
 
+def join_view_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    left_path: str,
+    left_schema: StructType,
+    left_keys: list[str],
+    left_table: str,
+    right_path: str,
+    right_schema: StructType,
+    right_keys: list[str],
+    right_table: str,
+    left_join_col: str,
+    right_join_col: str,
+    view_path: str,
+) -> None:
+    """One micro-batch of incremental JOIN-view maintenance: keep
+    ``view = left ⋈ right`` (inner, ``left.left_join_col ==
+    right.right_join_col``) continuously correct under CDC to BOTH
+    base tables.
+
+    Strategy is keyed recompute — the join-view sibling of
+    ``scd2_apply_batch``'s touched-key property: (1) apply the batch
+    to both replicas (the appliers' own max-LSN idempotent reduction);
+    (2) collect the batch's TOUCHED join-key values from either
+    table's images (an update that MOVES an order between customers
+    touches both old and new keys, because before AND after images
+    contribute); (3) recompute the view rows for touched keys only —
+    a join of the two replicas each semi-join-pruned to the
+    batch-sized touched set — and carry every other view row verbatim.
+    Per batch the join work is O(rows of touched keys), never O(view):
+    the property that keeps a 100 TB view maintainable. Delete
+    propagation is free (a vanished base row simply contributes no
+    recomputed pair); the same goes for inserts that complete a pair.
+
+    Replay idempotence: the replica applies are replay-idempotent, and
+    the view rewrite is a deterministic function of (replicas, touched
+    set) — a crash-replayed batch recomputes identical rows. TRUNCATE
+    fails loudly (a whole-table barrier has no per-key rendering; see
+    ``scd2_apply_batch``). Replica/view writes are the staged-rename
+    full rewrite of ``apply_batch_to_parquet``; at scale, MERGE INTO
+    Delta/Iceberg with the identical reduction.
+    """
+    from pg2any_spark.operators.apply import _cast_text
+
+    _recover_replica(view_path)
+    if batch_df.filter(F.col("op") == OP_TRUNCATE).head(1):
+        raise ValueError(
+            "TRUNCATE event in batch: join-view maintenance has no "
+            "per-key rendering of a whole-table barrier. Handle the "
+            "truncate upstream, then rebuild the view from replicas."
+        )
+    key_type = right_schema[right_join_col].dataType
+
+    def touched_from(table: str, col: str) -> DataFrame:
+        both = batch_df.filter(F.col("table") == table).select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(
+                            F.col("after").getItem(col),
+                            F.col("before").getItem(col),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            ).alias("__raw")
+        )
+        return both.select(
+            _cast_text(F.col("__raw"), key_type).alias("__jk")
+        )
+
+    # A left-table DELETE (or key-only UPDATE image) under default
+    # replica identity carries only the PK — not the join column — so
+    # its OLD join key must come from the PRE-apply replica, or the
+    # departed customer's view rows would survive as stale state
+    # (silent divergence, the one unacceptable failure mode). One
+    # batch-sized PK lookup against the old replica covers it; pinned
+    # by TestJoinView::test_streamed_equals_batch_join.
+    touched = touched_from(left_table, left_join_col).unionByName(
+        touched_from(right_table, right_join_col)
+    )
+    blind = batch_df.filter(
+        (F.col("table") == left_table)
+        & F.col("op").isin("u", "d")
+        & F.col("before").isNotNull()
+        & F.col("before").getItem(left_join_col).isNull()
+    )
+    if os.path.exists(left_path) and blind.head(1):
+        old_left = spark.read.parquet(left_path)
+        pks = blind.select(
+            *[
+                _cast_text(
+                    F.col("before").getItem(k), left_schema[k].dataType
+                ).alias(k)
+                for k in left_keys
+            ]
+        ).distinct()
+        looked_up = old_left.join(F.broadcast(pks), left_keys, "left_semi")
+        touched = touched.unionByName(
+            looked_up.select(
+                F.col(left_join_col).cast(key_type).alias("__jk")
+            )
+        )
+    # materialize the touched set BEFORE the replicas advance — its
+    # lineage reads the pre-apply left replica, which the staged
+    # rename below replaces; the set is batch-bounded by construction
+    touched = spark.createDataFrame(
+        touched.distinct().collect(), touched.schema
+    )
+    apply_batch_to_parquet(
+        spark, batch_df, left_path, left_schema, left_keys, table=left_table
+    )
+    apply_batch_to_parquet(
+        spark, batch_df, right_path, right_schema, right_keys,
+        table=right_table,
+    )
+    left_new = spark.read.parquet(left_path)
+    right_new = spark.read.parquet(right_path)
+    lp = left_new.join(
+        F.broadcast(touched),
+        left_new[left_join_col] == F.col("__jk"),
+        "left_semi",
+    )
+    rp = right_new.join(
+        F.broadcast(touched),
+        right_new[right_join_col] == F.col("__jk"),
+        "left_semi",
+    )
+    recomputed = lp.join(rp, lp[left_join_col] == rp[right_join_col])
+    if os.path.exists(view_path):
+        old = spark.read.parquet(view_path)
+        carried = old.join(
+            F.broadcast(touched),
+            old[left_join_col] == F.col("__jk"),
+            "left_anti",
+        )
+        final = carried.unionByName(recomputed)
+    else:
+        final = recomputed
+    staging = view_path + f".staging-{uuid.uuid4().hex[:8]}"
+    final.write.mode("overwrite").parquet(staging)
+    _atomic_replace(staging, view_path)
+
+
+def start_join_view(
+    events: DataFrame,
+    view_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **kwargs,
+) -> StreamingQuery:
+    """Continuously maintain an inner-join materialized view over two
+    replicated tables from ONE interleaved change stream — the join
+    sibling of ``start_incremental_agg_view``, with the appliers'
+    checkpoint/restart contract. ``kwargs`` forward to
+    ``join_view_apply_batch``."""
+    spark = events.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        join_view_apply_batch(spark, batch_df, view_path=view_path, **kwargs)
+
+    writer = events.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP.
 

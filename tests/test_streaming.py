@@ -1777,3 +1777,106 @@ class TestStreamingHistAndKmv:
             sorted(map(tuple, want.select("grp", "h", "rk").collect()))
         est = kmv_distinct(got, ["grp"], k=64).collect()[0]["kmv_est"]
         assert abs(est - 700) / 700 < 0.5
+
+
+class TestJoinView:
+    """Incremental inner-join view maintenance: touched-key recompute
+    under CDC to both base tables."""
+
+    import datetime as _dt
+
+    TS = _dt.datetime(2026, 1, 1)
+
+    def _ev(self, op, table, lsn, before=None, after=None):
+        return (op, "public", table, lsn, lsn, self.TS, before, after,
+                ["id"], "default")
+
+    def _apply(self, spark, tmp_path, batches):
+        from pyspark.sql.types import (
+            IntegerType, StringType, StructField, StructType,
+        )
+
+        from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+        from pg2any_spark.streaming.pipeline import join_view_apply_batch
+
+        left = StructType([
+            StructField("oid", IntegerType()),
+            StructField("cust", IntegerType()),
+            StructField("amt", IntegerType()),
+        ])
+        right = StructType([
+            StructField("cid", IntegerType()),
+            StructField("seg", StringType()),
+        ])
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+            join_view_apply_batch(
+                spark, df,
+                left_path=str(tmp_path / "orders"), left_schema=left,
+                left_keys=["oid"], left_table="orders",
+                right_path=str(tmp_path / "cust"), right_schema=right,
+                right_keys=["cid"], right_table="cust",
+                left_join_col="cust", right_join_col="cid",
+                view_path=str(tmp_path / "view"),
+            )
+        return spark.read.parquet(str(tmp_path / "view"))
+
+    def _b1(self):
+        return [
+            self._ev("c", "cust", 1, after={"cid": "1", "seg": "A"}),
+            self._ev("c", "cust", 2, after={"cid": "2", "seg": "B"}),
+            self._ev("c", "orders", 3,
+                     after={"oid": "10", "cust": "1", "amt": "5"}),
+            self._ev("c", "orders", 4,
+                     after={"oid": "11", "cust": "2", "amt": "7"}),
+        ]
+
+    def test_delete_propagates_and_key_move_retargets(self, spark, tmp_path):
+        b2 = [
+            # delete customer 2 → order 11 must leave the view
+            self._ev("d", "cust", 10, before={"cid": "2"}),
+            # move order 10 to customer... nonexistent 3 → drops too
+            self._ev("u", "orders", 11,
+                     before={"oid": "10", "cust": "1"},
+                     after={"oid": "10", "cust": "3", "amt": "5"}),
+            # new customer 3 arrives in the SAME batch → pair completes
+            self._ev("c", "cust", 12, after={"cid": "3", "seg": "C"}),
+        ]
+        view = self._apply(spark, tmp_path, [self._b1(), b2])
+        got = {(r["oid"], r["cid"], r["seg"]) for r in view.collect()}
+        assert got == {(10, 3, "C")}
+
+    def test_replayed_batch_rewrites_identical_view(self, spark, tmp_path):
+        from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
+        from pg2any_spark.streaming.pipeline import join_view_apply_batch
+        from pyspark.sql.types import (
+            IntegerType, StringType, StructField, StructType,
+        )
+
+        view = self._apply(spark, tmp_path, [self._b1()])
+        before = sorted(map(tuple, view.collect()))
+        # crash-replay: the same batch re-applies end to end
+        view2 = self._apply(spark, tmp_path, [self._b1()])
+        assert sorted(map(tuple, view2.collect())) == before
+
+    def test_streamed_equals_batch_join(self, spark, tmp_path):
+        b2 = [
+            self._ev("u", "cust", 20,
+                     before={"cid": "1"}, after={"cid": "1", "seg": "A2"}),
+            self._ev("c", "orders", 21,
+                     after={"oid": "12", "cust": "1", "amt": "9"}),
+            self._ev("d", "orders", 22, before={"oid": "11"}),
+        ]
+        view = self._apply(spark, tmp_path, [self._b1(), b2])
+        orders = spark.read.parquet(str(tmp_path / "orders"))
+        cust = spark.read.parquet(str(tmp_path / "cust"))
+        want = sorted(
+            map(tuple, orders.join(
+                cust, orders["cust"] == cust["cid"]
+            ).select("oid", "cust", "amt", "cid", "seg").collect())
+        )
+        got = sorted(
+            map(tuple,
+                view.select("oid", "cust", "amt", "cid", "seg").collect())
+        )
+        assert got == want
