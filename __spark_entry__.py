@@ -85,6 +85,21 @@ DRIVER_VERIFIED = {
     # line_dedup_c4 — stay OUT and are pinned first via RECHECK_FIRST)
     "cdc_apply_pgoutput", "cdc_apply_pgoutput_streamed",
     "dedup_repeated_spans", "dedup_lsh_hot_cap", "media_audio_features",
+    # r06 greens (38 hash-matched rows in CORRECTNESS_r06.json; the 12
+    # reds stay OUT — reworked integer-exact in round 7 and re-pinned
+    # via RECHECK_FIRST. perplexity_probe_nll / line_dedup_probe_digest
+    # were green but stay pinned as interpretation anchors for their
+    # red siblings, and lang_id_documents / text_stats_documents are
+    # re-pinned from r2: their per-doc outputs decide whether the r6
+    # env still agrees with the r2 env on tokenization.)
+    "cdc_apply_toast", "cdc_apply_schema_evolution", "cdc_apply_two_phase",
+    "cdc_apply_quarantined_feed", "cdc_join_view", "semdedup_cells",
+    "gopher_quality_rules", "upsample_epochs_by_source",
+    "decontaminate_semantic", "chunk_context_windows", "cms_token_frequency",
+    "sample_fixed_n_per_lang", "cms_streaming_tokens", "clean_unicode_docs",
+    "kmv_distinct_ngrams", "hist_quantile_order_value", "nb_lang_confusion",
+    "pq_code_balance", "ann_ivfpq_recall", "retrieval_bm25_topk",
+    "source_quota_cap",
 }
 
 #: Engine-specific sketch queries with no cross-engine oracle — they can
@@ -92,15 +107,26 @@ DRIVER_VERIFIED = {
 #: dead last regardless of verification status.
 NO_ORACLE = {"approx_distinct_parts", "approx_percentile_order_value"}
 
-#: Queries with a RED driver row in the latest round — plus the round-6
-#: single-metric bisection probes that partition those queries' output
-#: surfaces — emitted before everything else so the re-check happens
-#: even if the never-checked bucket ever outgrows the 50-slot window.
+#: Queries with a RED driver row in the latest round — all 12 reworked
+#: integer-exact in round 7 — plus their bisection probes and two
+#: re-pinned r2 greens (per-doc tokenization ground truth), emitted
+#: before everything else so the re-check happens even if the
+#: never-checked bucket ever outgrows the 50-slot window. The 10 new
+#: round-7 canaries/probes are never-checked, so they fill the window
+#: right behind these.
 RECHECK_FIRST = {
-    "corpus_filter_funnel", "perplexity_bucket_sampling", "line_dedup_c4",
-    "funnel_probe_quality", "funnel_probe_repetition", "funnel_probe_lang",
-    "funnel_probe_lm", "line_dedup_probe_counts", "line_dedup_probe_digest",
-    "perplexity_probe_nll",
+    # the 12 round-6 reds (reworked)
+    "corpus_filter_funnel", "funnel_probe_quality", "funnel_probe_repetition",
+    "funnel_probe_lang", "funnel_probe_lm",
+    "perplexity_bucket_sampling", "line_dedup_c4", "line_dedup_probe_counts",
+    "dsir_importance_scores", "dsir_resample_counts",
+    "pq_ann_topk", "ann_ivfpq_topk",
+    # green anchors re-pinned beside their red siblings
+    "line_dedup_probe_digest", "perplexity_probe_nll",
+    # r2 greens re-pinned: if the driver env drifted since r2, these
+    # per-doc outputs (token counts / lang argmax) go red and explain
+    # the integer-flag contradictions of round 6
+    "lang_id_documents", "text_stats_documents",
 }
 
 

@@ -662,7 +662,10 @@ def doc_line_table(
     base = df.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col), tokens_(F.col(text_col)).alias("__t")
     )
-    n_lines = F.ceil(F.size("__t") / F.lit(float(w))).cast("int")
+    # ceil(n/w) as pure integer arithmetic — (n + w−1) div w — so no
+    # float division exists anywhere in line construction (round-7
+    # determinism rule; the oracle uses idx // w, same integer family)
+    n_lines = F.expr(f"CAST((size(__t) + {w - 1}) DIV {w} AS INT)")
     gram = lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i * w + 1, w))  # noqa: E731
     return base.select(
         F.col(id_col),

@@ -577,3 +577,95 @@ def dsir_log_ratio(
             ).alias("avg_llr"),
         )
     )
+
+
+def dsir_log_ratio_scaled(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """``dsir_log_ratio`` with the per-feature log-likelihood ratio
+    quantized to a scaled BIGINT BEFORE the per-document aggregation
+    (round-7 determinism form, same rationale as
+    ``text.lm_bigram_scores_scaled``): ``llr_s = floor(scale · llr)``
+    per feature — the llr's inputs are single IEEE op chains over
+    exact integers, so the only cross-engine noise is a ≤1-ulp ln()
+    difference, absorbed by the 1e-6 floor quantum except within
+    ~1e-10 of a boundary — then ``llr_sum = Σ n·llr_s`` (BIGINT,
+    order-independent). Rank keys and thresholds downstream become
+    either pure integer comparisons or a single exact-input division.
+
+    Returns (id_col, n_toks, llr_sum) — both aggregates BIGINT."""
+    from pg2any_spark.operators.text import tokens
+
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            is_target.cast("boolean").alias("is_tgt"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    docfeat = (
+        base.select(
+            id_col,
+            "is_tgt",
+            hash_bucket(F.col("tok"), n_buckets).alias("f"),
+        )
+        .groupBy(id_col, "f")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("is_tgt").alias("is_tgt"))
+    )
+    if materialize:
+        docfeat = docfeat.persist()
+    rawc = docfeat.groupBy("f").agg(F.sum("n").alias("c_raw"))
+    tgtc = (
+        docfeat.filter(F.col("is_tgt"))
+        .groupBy("f")
+        .agg(F.sum("n").alias("c_tgt"))
+    )
+    tot = docfeat.agg(
+        F.sum("n").alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(F.lit(0))).alias(
+            "n_tgt"
+        ),
+    )
+    denom = float(alpha) * n_buckets
+    weights = (
+        rawc.join(tgtc, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.floor(
+                F.lit(float(scale))
+                * (
+                    F.log(
+                        (
+                            F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double")
+                            + F.lit(float(alpha))
+                        )
+                        / (F.col("n_tgt").cast("double") + F.lit(denom))
+                    )
+                    - F.log(
+                        (F.col("c_raw").cast("double") + F.lit(float(alpha)))
+                        / (F.col("n_raw").cast("double") + F.lit(denom))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("llr_s"),
+        )
+    )
+    return (
+        docfeat.join(F.broadcast(weights), "f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_toks"),
+            F.sum(F.col("n") * F.col("llr_s")).alias("llr_sum"),
+        )
+    )

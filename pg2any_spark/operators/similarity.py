@@ -90,6 +90,56 @@ def ranked_topk(sims: DataFrame, k: int, num_salts: int | None = None) -> DataFr
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a TOTAL order without the
+    single-task ``Window.orderBy()`` plan: range-repartition on the
+    order keys, rank within each (now key-disjoint, key-ordered)
+    partition, then add broadcast cumulative partition offsets — the
+    classic scalable global rank (one range shuffle + one ≤ P-row
+    collect, vs every row through one task).
+
+    ``order_cols`` must define a total order (include a unique
+    tiebreak column) — otherwise ranks of equal keys depend on
+    partition-internal order. Range boundaries come from Spark's
+    reservoir sampling; ranks are boundary-invariant because the
+    order is total. Returns ``df`` + ``rank_col`` (1-based)."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # cache: the per-partition histogram AND the ranked output both
+    # consume the range shuffle; without it the shuffle runs twice
+    # (and reservoir sampling could place boundaries differently —
+    # harmless for ranks, wasteful for time).
+    ranged = ranged.persist()
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    counts = sorted(
+        (r["__pid"], r["count"])
+        for r in ranged.groupBy("__pid").count().collect()
+    )
+    offsets, cum = [], 0
+    for pid, n in counts:
+        offsets.append((pid, cum))
+        cum += n
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __offset long")
+    )
+    return (
+        ranged.withColumn("__r", F.row_number().over(w))
+        .join(off_df, "__pid")
+        .withColumn(rank_col, (F.col("__offset") + F.col("__r")).cast("long"))
+        .drop("__pid", "__r", "__offset")
+    )
+
+
 def max_key_count(df: DataFrame, key: str) -> int:
     """Size of the largest key group — the skew statistic that decides
     two-phase ranking. One map-side-combinable aggregate; the histogram
@@ -843,6 +893,7 @@ def quantize_int8(
     maxes: list,
     vec_col: str = "embedding",
     code_col: str = "code",
+    rounding: str = "round",
 ) -> DataFrame:
     """Scalar int8 quantization against per-dimension [min, max]:
     ``code_i = round((x_i - mn_i) / (mx_i - mn_i) * 255) - 128``,
@@ -853,25 +904,45 @@ def quantize_int8(
     bounded by half a quantization step per dimension. Pure codegen:
     the corpus stats enter as literal arrays, the transform is a
     higher-order function — no shuffle, no Python.
+
+    ``rounding="floor"`` (round 7) uses the tie-free form
+    ``min(255, floor((x - mn) * 256 / (mx - mn)))``: every op is a
+    single IEEE -,*,/ over identical inputs and floor of an identical
+    double is identical in every engine — whereas ROUND's half-case
+    resolution is engine-specific (Spark rounds the double's shortest
+    decimal repr, other engines its exact binary value), the round-6
+    driver-red class. Equal-width cells; x = mx lands on 256 exactly
+    and clamps to 255.
     """
+    if rounding not in ("round", "floor"):
+        raise ValueError(f"quantize_int8: unknown rounding {rounding!r}")
     mn = F.array(*[F.lit(float(m)) for m in mins])
     mx = F.array(*[F.lit(float(m)) for m in maxes])
     zipped = F.arrays_zip(F.col(vec_col).alias("x"), mn.alias("mn"), mx.alias("mx"))
+    if rounding == "floor":
+        quant = lambda t: (  # noqa: E731
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (t["x"] - t["mn"]) * 256 / (t["mx"] - t["mn"])
+                ).cast("int"),
+            )
+            - 128
+        )
+    else:
+        quant = lambda t: F.greatest(  # noqa: E731
+            F.lit(-128),
+            F.least(
+                F.lit(127),
+                F.round(
+                    (t["x"] - t["mn"]) / (t["mx"] - t["mn"]) * 255
+                ).cast("int")
+                - 128,
+            ),
+        )
     code = F.transform(
         zipped,
-        lambda t: F.when(
-            t["mx"] > t["mn"],
-            F.greatest(
-                F.lit(-128),
-                F.least(
-                    F.lit(127),
-                    F.round(
-                        (t["x"] - t["mn"]) / (t["mx"] - t["mn"]) * 255
-                    ).cast("int")
-                    - 128,
-                ),
-            ),
-        ).otherwise(F.lit(0)),
+        lambda t: F.when(t["mx"] > t["mn"], quant(t)).otherwise(F.lit(0)),
     )
     return df.withColumn(code_col, code)
 
@@ -1092,6 +1163,7 @@ def pq_adc_topk(
     k: int = 5,
     num_codewords: int = 16,
     query_mod: int = 50,
+    rounding: str = "round",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
     queries keep their full int8 vectors, corpus vectors are looked up
@@ -1115,7 +1187,7 @@ def pq_adc_topk(
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     mins, maxes = dim_min_max(corpus, vec_col)
-    codes = quantize_int8(corpus, mins, maxes, vec_col).select(
+    codes = quantize_int8(corpus, mins, maxes, vec_col, rounding=rounding).select(
         id_col, "code"
     )
     books = pq_codebooks(codes, id_col, "code", m, num_codewords)
@@ -1184,17 +1256,25 @@ def pq_adc_topk(
     )
 
 
-def _np_quantize(X, mn, mx):
+def _np_quantize(X, mn, mx, rounding="round"):
     """Vectorized int8 quantization, identical to ``quantize_int8``'s
-    formula INCLUDING the rounding mode: Spark's F.round and DuckDB's
-    ROUND are half-up for the non-negative operand here, while numpy's
-    round() is half-to-even — so round via floor(v + 0.5)."""
+    formula INCLUDING the rounding mode. ``"round"``: Spark's F.round
+    and DuckDB's ROUND are half-up for the non-negative operand here,
+    while numpy's round() is half-to-even — so round via
+    floor(v + 0.5) (NOT bit-identical to half-up when v + 0.5 rounds
+    up through the double representation — one reason the round mode
+    is driver-fragile). ``"floor"``: the round-7 tie-free form —
+    floor((X − mn)·256/rng) clamped to 255; identical IEEE op order to
+    the SQL/Column forms, so bit-identical everywhere."""
     import numpy as np
 
     rng = mx - mn
     safe = np.where(rng > 0, rng, 1.0)
-    v = (X - mn) / safe * 255.0
-    c = np.clip(np.floor(v + 0.5).astype(np.int64) - 128, -128, 127)
+    if rounding == "floor":
+        c = np.clip(np.floor((X - mn) * 256.0 / safe), 0, 255).astype(np.int64) - 128
+    else:
+        v = (X - mn) / safe * 255.0
+        c = np.clip(np.floor(v + 0.5).astype(np.int64) - 128, -128, 127)
     return np.where(rng > 0, c, 0)
 
 
@@ -1208,6 +1288,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     num_codewords: int = 16,
     query_mod: int = 50,
+    rounding: str = "round",
 ) -> DataFrame:
     """IVF-PQ top-k — the composition ``pq_adc_topk``'s docstring
     points at, and the standard billion-vector index layout: IVF cell
@@ -1249,7 +1330,8 @@ def ivfpq_topk(
     if not seed_rows:
         raise ValueError("ivfpq_topk: empty corpus")
     seeds = _np_quantize(
-        np.array([r[vec_col] for r in seed_rows], dtype=np.float64), mn, mx
+        np.array([r[vec_col] for r in seed_rows], dtype=np.float64), mn, mx,
+        rounding=rounding,
     )
     B = np.stack([seeds[:, s * sd : (s + 1) * sd] for s in range(m)])  # m×K×sd
 
@@ -1271,7 +1353,7 @@ def ivfpq_topk(
         np.array(sorted(c_ids[np.lexsort((c_ids, -q_sims[j]))[:nprobe]]))
         for j in range(len(q_ids))
     ]
-    Qc = _np_quantize(Qv, mn, mx)
+    Qc = _np_quantize(Qv, mn, mx, rounding=rounding)
     luts = np.stack(
         [
             ((Qc[:, None, s * sd : (s + 1) * sd] - B[s][None, :, :]) ** 2).sum(axis=2)
@@ -1292,7 +1374,7 @@ def ivfpq_topk(
             nn = np.linalg.norm(X, axis=1)
             nn[nn == 0.0] = 1.0
             cells = c_ids[np.argmax(np.round((X / nn[:, None]) @ c_mat.T, 9), axis=1)]
-            C = _np_quantize(X, mn, mx)
+            C = _np_quantize(X, mn, mx, rounding=rounding)
             codes = np.stack(
                 [
                     ((C[:, None, s * sd : (s + 1) * sd] - B[s][None, :, :]) ** 2)

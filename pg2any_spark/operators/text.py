@@ -78,6 +78,63 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def quality_ints(text: Column) -> dict[str, Column]:
+    """The integer measurements ``quality_score`` is a rational
+    function of, each as an exact BIGINT Column:
+
+    - ``n_tok``:  whitespace token count (0 for blank text)
+    - ``n_den``:  raw split length (the ratio denominators' operand —
+                  1 for blank text, since splitting '' yields [''])
+    - ``n_stop``: English stopword-marker hits
+    - ``n_punct``: punctuation characters (PUNCT_CLASS)
+    - ``n_chars``: text length
+
+    Shared by the integer-exact quality flag and its driver-bisection
+    probe so the two can never drift."""
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    return {
+        "n_tok": token_count(text).cast("long"),
+        "n_den": F.size(toks).cast("long"),
+        "n_stop": F.size(
+            F.filter(toks, lambda t: F.array_contains(stops, t))
+        ).cast("long"),
+        "n_punct": (
+            F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+        ).cast("long"),
+        "n_chars": F.length(text).cast("long"),
+    }
+
+
+def quality_fail_int(text: Column) -> Column:
+    """``quality < 0.4`` as an EXACT BIGINT comparison — the round-7
+    rephrase of the funnel's quality cut into the proven-driver-green
+    ``gopher_rules`` pattern (no float ever exists to jitter between
+    engines; round 6 proved Spark rounds a double's shortest decimal
+    repr while DuckDB rounds its exact binary value, so ROUND(q, 6)
+    comparisons are engine-unstable exactly at repr ties).
+
+    Derivation: with T = n_tok, Tg = max(n_den, 1), P = n_punct,
+    Lg = max(n_chars, 1), S = n_stop,
+
+        q = 0.5*min(T/50, 1) + 0.3*min(5S/Tg, 1) + 0.2*(1 - min(5P/Lg, 1))
+
+        q < 2/5   ⟺   (multiply both sides by 10·Tg·Lg, all > 0)
+
+        min(T,50)·Tg·Lg + 30·min(5S,Tg)·Lg + 20·Tg·(Lg − min(5P,Lg))
+            < 40·Tg·Lg
+    """
+    m = quality_ints(text)
+    tg = F.greatest(m["n_den"], F.lit(1).cast("long"))
+    lg = F.greatest(m["n_chars"], F.lit(1).cast("long"))
+    lhs = (
+        F.least(m["n_tok"], F.lit(50).cast("long")) * tg * lg
+        + F.lit(30).cast("long") * F.least(F.lit(5).cast("long") * m["n_stop"], tg) * lg
+        + F.lit(20).cast("long") * tg * (lg - F.least(F.lit(5).cast("long") * m["n_punct"], lg))
+    )
+    return lhs < F.lit(40).cast("long") * tg * lg
+
+
 #: Stopword probe set for the Gopher stop-hit rule (rule 8 in the
 #: paper's repetition-free battery): a document failing to contain at
 #: least 2 of these is flagged.
@@ -497,6 +554,75 @@ def lm_bigram_scores(
     return scored.groupBy(id_col).agg(
         F.sum("n").alias("n_bigrams"),
         F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 4).alias("avg_nll"),
+    )
+
+
+def lm_bigram_scores_scaled(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+    materialize: bool = True,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """``lm_bigram_scores`` with the per-bigram nll quantized to a
+    scaled BIGINT BEFORE any aggregation (round-7 determinism form):
+    ``nll_s = floor(scale · -ln((c_bg+α)/(c_w1+α·V)))`` per distinct
+    (history, bigram) pair, then ``nll_sum = Σ n·nll_s`` per document.
+
+    Why this shape: the quotient feeding ln is a single chain of IEEE
+    +,*,/ over exact integers — bit-identical in any engine computing
+    the same op order — so the only cross-engine noise source left is
+    a ≤1-ulp libm ln() difference, which the floor can flip only when
+    scale·nll sits within ~1e-10 of an integer (vs the rounded-mean
+    form, where a repr-tie in ROUND flips whole comparisons). The sum
+    of BIGINTs is order-independent, so thresholds become pure integer
+    comparisons: ``avg_nll > θ  ⟺  nll_sum > θ·scale·n_bigrams``.
+
+    Returns (id_col, n_bigrams, nll_sum) — both BIGINT."""
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    docbg = (
+        base.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if materialize:
+        docbg = docbg.persist()
+    bg_counts = docbg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
+    hist = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    vocab = (
+        base.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    maybe_bc = F.broadcast if broadcast_counts else (lambda d: d)
+    scored = (
+        docbg.join(maybe_bc(bg_counts), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(maybe_bc(hist), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll_s",
+            F.floor(
+                F.lit(float(scale))
+                * -F.log(
+                    (F.col("c_bg") + F.lit(alpha))
+                    / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
+                )
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("nll_s")).alias("nll_sum"),
     )
 
 

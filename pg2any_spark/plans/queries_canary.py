@@ -1,0 +1,344 @@
+"""Engine-fingerprint canaries + third-level bisection probes (round 7).
+
+Twelve round-6 driver rows were hash-red with rows+schema green, and
+NONE reproduces locally at any SF — so the divergence lives in the
+driver's engine pair, not in this repo's arithmetic. Local round-7
+measurement (see VERDICT r6 "ship canary probes") already proved one
+concrete mechanism: Spark's ROUND(double, n) rounds the double's
+SHORTEST DECIMAL REPR (BigDecimal.valueOf) while DuckDB 1.0 rounds the
+exact binary value — locally ROUND(0.285, 2) = 0.29 vs 0.28 and
+ROUND(1.005, 2) = 1.01 vs 1.0 — and the two engines disagree on
+CAST(3.5 AS INT) (truncate vs round-half-even) and on ``\\s`` matching
+the vertical tab (Java yes, RE2 no). Any rounded rational landing on a
+repr tie is therefore engine-unstable, which is exactly the round-6
+red class.
+
+Since the driver is a remote one-bit-per-query debugger, each canary
+isolates ONE construct:
+
+- ``canary_engine_agree``: both engines COMPUTE constructs that agree
+  locally. Driver-red ⟹ the driver's engine pair diverges on that
+  construct family (the bit local testing can never produce).
+- ``canary_duck_pin``: Spark emits DuckDB-1.0's literal answers, the
+  oracle computes. Driver-red ⟹ the driver's DuckDB is not 1.0-
+  compatible on these constructs (fingerprints the oracle engine).
+- ``canary_spark_pin``: the oracle emits Spark-4.1.2's literal
+  answers, Spark computes. Driver-red ⟹ the driver's Spark differs
+  from local Spark on these constructs.
+
+The *_probe_* queries fingerprint the red queries' INTEGER inputs per
+document: if a probe is red, the divergence is upstream of every flag
+(tokenization / counting); if all probes are green and a reworked
+integer-exact flag is still red, the divergence is in the driver's
+comparison itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg2any_spark.operators import text as T
+from pg2any_spark.plans.queries import query
+from pg2any_spark.plans.queries_ml import (
+    _LM_INT_CTES,
+    _QINTS_CTE,
+    _REP_INT_CTES,
+    _TOKS,
+    _lang_score_sql,
+)
+from pg2any_spark.sources.fixtures import load_table
+
+
+# ---------------------------------------------------------------------------
+# canaries (single-row, no table scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "canary_engine_agree",
+    oracle="""
+    SELECT
+      ROUND(CAST(1 AS DOUBLE)/128, 6)  AS t1,
+      ROUND(CAST(3 AS DOUBLE)/128, 6)  AS t2,
+      ROUND(CAST(2.5 AS DOUBLE))       AS t3,
+      ROUND(CAST(0.5 AS DOUBLE))       AS t4,
+      ROUND(CAST(-2.5 AS DOUBLE))      AS t5,
+      ROUND(CAST(1 AS DOUBLE)/32, 4)   AS t6,
+      ROUND(CAST(2.675 AS DOUBLE), 2)  AS t9,
+      CAST(len(string_split_regex('', '\\s+')) AS BIGINT)          AS e1,
+      CAST(len(string_split_regex('a b ', '\\s+')) AS BIGINT)      AS e2,
+      CAST(len(string_split_regex('a  b   c', '\\s+')) AS BIGINT)  AS e3,
+      CAST(len(string_split_regex('a' || chr(9) || 'b', '\\s+'))
+           AS BIGINT)                                              AS e4,
+      CAST(('0x' || substr(md5('pg2any-canary'), 1, 8)) AS BIGINT) AS h1,
+      CAST(FLOOR(ln(CAST(3 AS DOUBLE)) * 1000000000000) AS BIGINT) AS l1,
+      CAST(FLOOR(ln(CAST(2481 AS DOUBLE)/7) * 1000000000000)
+           AS BIGINT)                                              AS l2,
+      CAST(FLOOR(ln(CAST(1.5 AS DOUBLE)) * 1000000000000)
+           AS BIGINT)                                              AS l3,
+      CAST(len(list_filter(['the','quick','of','fox'],
+               t -> list_contains(['the','a','is','and','of'], t)))
+           AS BIGINT)                                              AS f1,
+      CASE WHEN greatest(2, 2, 0, 1) < 1 THEN 'und'
+           WHEN 2 = greatest(2, 2, 0, 1) THEN 'de'
+           WHEN 2 = greatest(2, 0, 1) THEN 'en'
+           WHEN 0 = greatest(0, 1) THEN 'es'
+           ELSE 'fr' END                                           AS g1
+    """,
+)
+def canary_engine_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both engines COMPUTE constructs that agree locally: dyadic
+    ROUND ties (t1/t2/t6 — half-up vs half-even discriminators),
+    ROUND(x.5) of doubles (t3/t4/t5), the classic repr-tie 2.675
+    (t9 — agrees locally, flips if either engine's ROUND changes),
+    regex-split edge shapes (e1 empty / e2 trailing / e3 runs /
+    e4 tab), the md5-hex→BIGINT cast (h1), three libm ln
+    fingerprints at 1e-12 granularity (l1-l3), lambda
+    filter+contains counting (f1), and the lang-argmax CASE tiebreak
+    on literal tied integers (g1). A driver-red here names the exact
+    construct family the driver's engine pair disagrees on."""
+    return spark.range(1).select(
+        F.round(F.lit(1.0) / 128, 6).alias("t1"),
+        F.round(F.lit(3.0) / 128, 6).alias("t2"),
+        F.round(F.lit(2.5)).alias("t3"),
+        F.round(F.lit(0.5)).alias("t4"),
+        F.round(F.lit(-2.5)).alias("t5"),
+        F.round(F.lit(1.0) / 32, 4).alias("t6"),
+        F.round(F.lit(2.675), 2).alias("t9"),
+        F.size(F.split(F.lit(""), r"\s+")).cast("long").alias("e1"),
+        F.size(F.split(F.lit("a b "), r"\s+")).cast("long").alias("e2"),
+        F.size(F.split(F.lit("a  b   c"), r"\s+")).cast("long").alias("e3"),
+        F.size(F.split(F.lit("a\tb"), r"\s+")).cast("long").alias("e4"),
+        F.conv(F.substring(F.md5(F.lit("pg2any-canary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.floor(F.log(F.lit(3.0)) * 1e12).cast("long").alias("l1"),
+        F.floor(F.log(F.lit(2481.0) / 7) * 1e12).cast("long").alias("l2"),
+        F.floor(F.log(F.lit(1.5)) * 1e12).cast("long").alias("l3"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(x) for x in ("the", "quick", "of", "fox")]),
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(m) for m in T.LANG_MARKERS["en"]]), t
+                ),
+            )
+        )
+        .cast("long")
+        .alias("f1"),
+        F.lit("de").alias("g1"),
+    )
+
+
+@query(
+    "canary_duck_pin",
+    oracle="""
+    SELECT
+      ROUND(CAST(0.285 AS DOUBLE), 2)       AS t7d,
+      ROUND(CAST(1.005 AS DOUBLE), 2)       AS t8d,
+      CAST(CAST(3.5 AS DOUBLE) AS INTEGER)  AS c2d,
+      CAST(len(string_split_regex('a' || chr(11) || 'b', '\\s+'))
+           AS BIGINT)                       AS v1d
+    """,
+)
+def canary_duck_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark emits DuckDB 1.0.0's literal answers; the oracle
+    computes. ROUND(0.285, 2) → 0.28 / ROUND(1.005, 2) → 1.0 (exact-
+    binary-value rounding), CAST(3.5 AS INT) → 4 (round-half-even),
+    '\\v' is NOT RE2 whitespace → 1 token. Driver-red ⟹ the driver's
+    DuckDB resolves these differently than DuckDB 1.0 — the prime
+    suspect for why round-6 reds never reproduce locally."""
+    return spark.range(1).select(
+        F.lit(0.28).alias("t7d"),
+        F.lit(1.0).alias("t8d"),
+        F.lit(4).alias("c2d"),
+        F.lit(1).cast("long").alias("v1d"),
+    )
+
+
+@query(
+    "canary_spark_pin",
+    oracle="""
+    SELECT
+      CAST(0.29 AS DOUBLE) AS t7s,
+      CAST(1.01 AS DOUBLE) AS t8s,
+      3                    AS c2s,
+      CAST(2 AS BIGINT)    AS v1s
+    """,
+)
+def canary_spark_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle emits Spark 4.1.2's literal answers; Spark computes.
+    ROUND(0.285, 2) → 0.29 / ROUND(1.005, 2) → 1.01 (shortest-decimal-
+    repr rounding via BigDecimal.valueOf), CAST(3.5 AS INT) → 3
+    (truncation), '\\v' IS Java whitespace → 2 tokens. Driver-red ⟹
+    the driver's Spark resolves these differently than local Spark."""
+    return spark.range(1).select(
+        F.round(F.lit(0.285), 2).alias("t7s"),
+        F.round(F.lit(1.005), 2).alias("t8s"),
+        F.lit(3.5).cast("int").alias("c2s"),
+        F.size(F.split(F.lit("a\x0bb"), r"\s+")).cast("long").alias("v1s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document integer probes (the red queries' INPUT fingerprints)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tok_probe_perdoc",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def tok_probe_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 bisection probe: per-document whitespace token count +
+    character count — THE shared input of every round-6 red (quality,
+    repetition, lang, LM, line construction). Red ⟹ the driver's
+    engines tokenize at least one document differently, explaining the
+    whole red set at once; green pins every red downstream of
+    tokenization."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "lang_probe_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_lang_score_sql("de")} AS BIGINT) AS s_de,
+           CAST({_lang_score_sql("en")} AS BIGINT) AS s_en,
+           CAST({_lang_score_sql("es")} AS BIGINT) AS s_es,
+           CAST({_lang_score_sql("fr")} AS BIGINT) AS s_fr
+    FROM documents
+    """,
+)
+def lang_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 bisection probe: the four per-document integer marker
+    counts the language argmax consumes. ``funnel_probe_lang`` was red
+    in r6 despite containing NO float — these counts (green here ⟹
+    the argmax/aggregation layer diverges; red ⟹ marker counting or
+    tokenization diverges) split that contradiction."""
+    docs = load_table(spark, "documents", sf_dir)
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"s_{lang}") for lang in
+          ("de", "en", "es", "fr")],
+    )
+
+
+@query(
+    "quality_probe_ints",
+    oracle=f"""
+    WITH {_QINTS_CTE}
+    SELECT doc_id, n_tok, n_den, n_stop, n_punct, n_chars FROM q_ints
+    """,
+)
+def quality_probe_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 bisection probe: the five exact integers the
+    (now integer-exact) quality flag is a function of, per document.
+    Green here makes a red ``funnel_probe_quality`` logically
+    impossible unless the driver's comparison itself diverges."""
+    docs = load_table(spark, "documents", sf_dir)
+    m = T.quality_ints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tok"].alias("n_tok"),
+        m["n_den"].alias("n_den"),
+        m["n_stop"].alias("n_stop"),
+        m["n_punct"].alias("n_punct"),
+        m["n_chars"].alias("n_chars"),
+    )
+
+
+@query(
+    "repetition_probe_ints",
+    oracle=f"""
+    WITH {_REP_INT_CTES}
+    SELECT doc_id, n_grams, n_distinct FROM rep_i
+    """,
+)
+def repetition_probe_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 bisection probe: per-document total and distinct bigram
+    counts — the two integers the repetition flag compares. Covers the
+    LM chain's per-doc occurrence counts too (n_grams ≡ the LM's
+    per-doc bigram total)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_grams, n_distinct = (
+        F.size("__grams").cast("long"),
+        F.size(F.array_distinct("__grams")).cast("long"),
+    )
+    return (
+        docs.withColumn("__grams", T.word_ngrams(F.col("text"), 2))
+        .filter(F.size("__grams") > 0)
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "lm_probe_vocab",
+    oracle=f"""
+    WITH {_LM_INT_CTES}
+    SELECT (SELECT CAST(v AS BIGINT) FROM lm_voc) AS vocab_size,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM lm_docbg) AS total_bg,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lm_bgc) AS distinct_bg,
+           (SELECT CAST(SUM(d.n * (c.c_bg + h.c_w1)) AS BIGINT)
+            FROM lm_docbg d
+            JOIN lm_bgc c ON c.bg = d.bg
+            JOIN lm_hist h ON h.w1 = d.w1) AS join_checksum
+    """,
+)
+def lm_probe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 bisection probe: the bigram LM's corpus-level integer
+    statistics — vocabulary size, bigram totals, and an exact checksum
+    over the count-join (Σ n·(c_bg + c_w1)). Every one of these feeds
+    the (now scaled-integer) LM band; green here + green
+    repetition_probe_ints means the LM flag can only diverge inside
+    ln()/floor — which canary l1-l3 fingerprints directly."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.filter(F.trim(F.col("text")) != "")
+    docbg = (
+        base.select(
+            "doc_id", F.explode(T.word_ngrams(F.col("text"), 2)).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bg_counts = docbg.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
+    hist = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    vocab = (
+        base.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    joined = (
+        docbg.join(bg_counts, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(hist, "w1")
+    )
+    stats = joined.agg(
+        F.sum("cnt").cast("long").alias("total_bg"),
+        F.countDistinct("bg").cast("long").alias("distinct_bg"),
+        F.sum(F.col("cnt") * (F.col("c_bg") + F.col("c_w1")))
+        .cast("long")
+        .alias("join_checksum"),
+    )
+    return F.broadcast(vocab).crossJoin(stats).select(
+        "vocab_size", "total_bg", "distinct_bg", "join_checksum"
+    )

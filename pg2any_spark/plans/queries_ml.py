@@ -131,6 +131,144 @@ _LM_CTES = _lm_ctes(rounded=True)
 _LM_RAW_CTES = _lm_ctes(rounded=False)
 
 
+#: Per-document integer quality measurements (the exact BIGINTs
+#: ``operators.text.quality_ints`` mirrors) as a WITH-clause CTE body
+#: ending in ``q_ints(doc_id, n_tok, n_den, n_stop, n_punct, n_chars)``.
+_QINTS_CTE = f"""
+    q_ints AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len({_TOKS}) END AS BIGINT) AS n_tok,
+               CAST(len({_TOKS}) AS BIGINT) AS n_den,
+               CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','is','and','of'], t)))
+                    AS BIGINT) AS n_stop,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+"""
+
+
+def _fq_int_sql(q: str) -> str:
+    """``quality < 0.4`` as the exact BIGINT cross-multiplication over
+    a ``q_ints``-shaped relation aliased ``q`` — the SQL twin of
+    ``operators.text.quality_fail_int`` (see its derivation)."""
+    tg = f"GREATEST({q}.n_den, 1)"
+    lg = f"GREATEST({q}.n_chars, 1)"
+    return (
+        f"(LEAST({q}.n_tok, 50) * {tg} * {lg}"
+        f" + 30 * LEAST(5 * {q}.n_stop, {tg}) * {lg}"
+        f" + 20 * {tg} * ({lg} - LEAST(5 * {q}.n_punct, {lg})))"
+        f" < 40 * {tg} * {lg}"
+    )
+
+
+#: Bigram-gram construction + exact per-doc integer repetition counts,
+#: ending in ``rep_i(doc_id, n_grams, n_distinct)`` (docs with < 2
+#: tokens absent — callers LEFT JOIN + treat as unflagged).
+_REP_INT_CTES = f"""
+    g AS (
+        SELECT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t
+              FROM documents WHERE trim(text) <> '') toks,
+             UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    rep_i AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM per GROUP BY doc_id
+    )
+"""
+
+#: ``dup_frac > 0.2`` over ``rep_i``, exact in BIGINTs:
+#: (n_grams − n_distinct)/n_grams > 1/5  ⟺  5·(n_grams − n_distinct) > n_grams.
+_FR_INT = "5 * (rep_i.n_grams - rep_i.n_distinct) > rep_i.n_grams"
+
+#: Scaled-integer bigram-LM chain (same count CTEs as ``_LM_CTES``, but
+#: the per-bigram nll floors to a BIGINT at scale 1e6 BEFORE any
+#: aggregation — the Spark twin is ``text.lm_bigram_scores_scaled``;
+#: see its docstring for why this is the cross-engine-stable form).
+#: Ends in ``lm_i(doc_id, n_bg, nll_sum)``;
+#: ``avg_nll > θ  ⟺  nll_sum > θ·1e6·n_bg`` in pure BIGINTs.
+_LM_INT_CTES = f"""
+    lm_toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    lm_bgp AS (
+        SELECT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] AS w1,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS bg
+        FROM lm_toks, UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    lm_docbg AS (
+        SELECT doc_id, bg, w1, COUNT(*) AS n
+        FROM lm_bgp GROUP BY doc_id, bg, w1
+    ),
+    lm_bgc AS (SELECT bg, SUM(n) AS c_bg FROM lm_docbg GROUP BY bg),
+    lm_hist AS (SELECT w1, SUM(n) AS c_w1 FROM lm_docbg GROUP BY w1),
+    lm_voc AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest({_TOKS}) AS tok FROM documents
+            WHERE trim(text) <> ''
+        ) WHERE tok <> ''
+    ),
+    lm_i AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.n) AS BIGINT) AS n_bg,
+               CAST(SUM(d.n * CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+                    -ln((CAST(c.c_bg AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(h.c_w1 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE) * CAST(voc.v AS DOUBLE))))
+                    AS BIGINT)) AS BIGINT) AS nll_sum
+        FROM lm_docbg d
+        JOIN lm_bgc c ON c.bg = d.bg
+        JOIN lm_hist h ON h.w1 = d.w1
+        CROSS JOIN lm_voc voc
+        GROUP BY d.doc_id
+    )
+"""
+
+#: ``avg_nll > 3.595`` over ``lm_i`` in pure BIGINTs (θ·1e6 = 3595000).
+_FM_INT = "lm_i.nll_sum > 3595000 * lm_i.n_bg"
+
+
+def _lm_scaled_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bg, nll_sum) Spark twin of ``lm_i``."""
+    return T.lm_bigram_scores_scaled(docs).select(
+        "doc_id",
+        F.col("n_bigrams").alias("n_bg"),
+        "nll_sum",
+    )
+
+
+def _fm_int_col() -> F.Column:
+    """Spark twin of ``_FM_INT`` (NULL-safe: gram-less docs unflagged)."""
+    return F.coalesce(
+        F.col("nll_sum") > F.lit(3595000).cast("long") * F.col("n_bg"),
+        F.lit(False),
+    )
+
+
+def _rep_int_cols() -> tuple[F.Column, F.Column]:
+    """(n_grams, n_distinct) BIGINTs over a materialized ``__grams``
+    column — Spark twin of ``rep_i`` (0/0 for gram-less docs)."""
+    return (
+        F.size("__grams").cast("long"),
+        F.size(F.array_distinct("__grams")).cast("long"),
+    )
+
+
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -323,7 +461,26 @@ _PPLX_BUCKET_CTES = f"""
 @query(
     "perplexity_bucket_sampling",
     oracle=f"""
-    WITH {_PPLX_BUCKET_CTES}
+    WITH {_LM_INT_CTES},
+    ranked AS (
+        SELECT d.doc_id, d.lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY CAST(lm_i.nll_sum AS DOUBLE)
+                            / CAST(lm_i.n_bg AS DOUBLE),
+                            d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM documents d JOIN lm_i ON lm_i.doc_id = d.doc_id
+    ),
+    bucketed AS (
+        SELECT lang, doc_id,
+               CASE WHEN rn * 3 <= n THEN 'head'
+                    WHEN rn * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS h
+        FROM ranked
+    )
     SELECT lang, bucket,
            COUNT(*) AS n_docs,
            SUM(CASE bucket WHEN 'head' THEN 1
@@ -350,15 +507,48 @@ def perplexity_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells moved to ``perplexity_probe_nll`` so a driver-side float
     divergence cannot red-flag the sampling decision itself (the
     round-5 driver row was hash-red with rows/schema green; the two
-    surfaces are now separately attributable)."""
+    surfaces are now separately attributable).
+
+    Round 7 (still red in r6): the rank KEY was the remaining float
+    surface — ordering by raw avg_nll lets a sub-1e-12 engine
+    difference swap two near-equal docs across a tercile boundary.
+    The key is now the single IEEE division of two exact BIGINTs from
+    the scale-1e6 floored LM chain (``text.lm_bigram_scores_scaled``):
+    identical integer inputs → bit-identical key in every engine.
+    ``perplexity_probe_nll`` intentionally stays on the OLD float
+    chain to keep monitoring that surface."""
+    lm = _lm_scaled_spark(load_table(spark, "documents", sf_dir))
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    key = F.col("nll_sum").cast("double") / F.col("n_bg").cast("double")
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(lm, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    bucketed = ranked.select(
+        "lang",
+        "doc_id",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        SA.hash_bucket(F.col("doc_id"), buckets=100).alias("h"),
+    )
     keep = (
         F.when(F.col("bucket") == "head", F.lit(1))
         .when(F.col("bucket") == "middle", (F.col("h") < 50).cast("int"))
         .otherwise((F.col("h") < 10).cast("int"))
     )
     return (
-        _pplx_bucketed(spark, sf_dir)
-        .groupBy("lang", "bucket")
+        bucketed.groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(keep).alias("n_kept"),
@@ -527,9 +717,9 @@ _C4_LINE_CTES = f"""
         FROM c4_toks, UNNEST(range(len(t))) AS r(i)
     ),
     c4_chunk AS (
-        SELECT doc_id, CAST(floor(idx / 10.0) AS INTEGER) AS pos,
+        SELECT doc_id, CAST(idx // 10 AS INTEGER) AS pos,
                string_agg(tok, ' ' ORDER BY idx) AS line
-        FROM c4_tokpos GROUP BY doc_id, CAST(floor(idx / 10.0) AS INTEGER)
+        FROM c4_tokpos GROUP BY doc_id, CAST(idx // 10 AS INTEGER)
     ),
     c4_lines AS (
         SELECT doc_id, pos, line FROM c4_chunk
@@ -656,6 +846,63 @@ def line_dedup_probe_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.transform(kept_sorted, lambda s: s["line"]), " | ")
         ).alias("kept_digest"),
+    )
+
+
+@query(
+    "line_dedup_probe_nlines",
+    oracle=f"""
+    WITH c4_toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    c4_tokpos AS (
+        SELECT doc_id, CAST(r.i AS INTEGER) AS idx
+        FROM c4_toks, UNNEST(range(len(t))) AS r(i)
+    )
+    SELECT doc_id, COUNT(DISTINCT CAST(idx // 10 AS INTEGER)) AS n_lines
+    FROM c4_tokpos GROUP BY doc_id
+    """,
+)
+def line_dedup_probe_nlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 7, third level): ONLY each
+    document's constructed pseudo-line COUNT — no footer, no dedup, no
+    line text. ``line_dedup_probe_counts`` was the one round-6 red
+    whose kept-content sibling (digest) was green, so the divergence
+    must live in line construction arithmetic or in the rows only the
+    counts probe includes; this isolates the construction count (now
+    pure integer division on both sides)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        D.doc_line_table(docs, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "line_dedup_probe_footer",
+    oracle=f"""
+    WITH {_C4_LINE_CTES}
+    SELECT COUNT(*) AS n_footer_rows,
+           CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS n_footer_kept,
+           MIN(doc_id) AS footer_owner
+    FROM c4_k WHERE line = '{_FOOTER_LINE}'
+    """,
+)
+def line_dedup_probe_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bisection probe (round 7, third level): ONLY the planted
+    footer line's ownership row — how many documents carry it, how
+    many keep it (must be 1), and the min-id owner. Isolates the
+    even-id planting and min-id ownership reduction of
+    ``line_dedup_c4`` away from all tokenization."""
+    return (
+        _c4_flagged_lines(spark, sf_dir)
+        .filter(F.col("line") == _FOOTER_LINE)
+        .agg(
+            F.count(F.lit(1)).alias("n_footer_rows"),
+            F.sum(F.col("kept").cast("int")).alias("n_footer_kept"),
+            F.min("doc_id").alias("footer_owner"),
+        )
     )
 
 
@@ -3341,26 +3588,8 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_filter_funnel",
     oracle=f"""
-    WITH q AS (
-        SELECT doc_id, {_QUALITY_EXPR} AS quality
-        FROM documents
-    ),
-    g AS (
-        SELECT doc_id,
-               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
-               t[CAST(r.i + 2 AS INTEGER)] AS gram
-        FROM (SELECT doc_id, {_TOKS} AS t
-              FROM documents WHERE trim(text) <> '') toks,
-             UNNEST(range(len(t) - 1)) AS r(i)
-        WHERE len(t) >= 2
-    ),
-    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
-    rep AS (
-        SELECT doc_id,
-               ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
-                   AS dup_frac
-        FROM per GROUP BY doc_id
-    ),
+    WITH {_QINTS_CTE},
+    {_REP_INT_CTES},
     langp AS (
         SELECT doc_id,
                CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
@@ -3377,20 +3606,18 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
     ),
-    {_LM_CTES},
+    {_LM_INT_CTES},
     flags AS (
         SELECT d.source,
-               CAST(q.quality < CAST(0.4 AS DOUBLE) AS INT) AS fq,
-               CAST(COALESCE(rep.dup_frac, 0) > CAST(0.2 AS DOUBLE) AS INT)
-                   AS fr,
+               CAST({_fq_int_sql('q')} AS INT) AS fq,
+               CAST(COALESCE({_FR_INT}, FALSE) AS INT) AS fr,
                CAST(langp.lang_pred <> d.lang AS INT) AS fl,
-               CAST(COALESCE(lm.avg_nll > CAST(3.595 AS DOUBLE), FALSE)
-                    AS INT) AS fm
+               CAST(COALESCE({_FM_INT}, FALSE) AS INT) AS fm
         FROM documents d
-        JOIN q ON q.doc_id = d.doc_id
-        LEFT JOIN rep ON rep.doc_id = d.doc_id
+        JOIN q_ints q ON q.doc_id = d.doc_id
+        LEFT JOIN rep_i ON rep_i.doc_id = d.doc_id
         JOIN langp ON langp.doc_id = d.doc_id
-        LEFT JOIN lm ON lm.doc_id = d.doc_id
+        LEFT JOIN lm_i ON lm_i.doc_id = d.doc_id
     )
     SELECT source, COUNT(*) AS n_docs,
            SUM(fq) AS fail_quality, SUM(fr) AS fail_repetition,
@@ -3418,33 +3645,31 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from the oracle's gram CTE) flag identically.
 
     Round 6: the oracle's LM chain was rewritten onto the portable
-    ``_LM_CTES`` (the old occ/bgc/hist CTEs were the only red-query
-    constructs not shared with any green oracle) and every threshold
-    comparison casts to DOUBLE explicitly; the four ``funnel_probe_*``
-    queries below partition this query's output surface one flag per
-    probe for driver-side bisection."""
+    ``_LM_CTES`` and every threshold comparison cast to DOUBLE — and
+    ALL FOUR probes still came back driver-red with every integer
+    neighbor green. Round 7 removes the float decision surfaces
+    outright: the quality cut is the exact BIGINT cross-multiplication
+    of ``text.quality_fail_int``, the repetition cut is
+    ``5·(n_grams − n_distinct) > n_grams``, and the LM band compares
+    scale-1e6 floored-integer nll sums (``text.lm_bigram_scores_scaled``)
+    — ``nll_sum > 3595000·n_bg``. The language flag was already pure
+    integers and is unchanged; the ``lang_probe_scores`` /
+    ``tok_probe_perdoc`` probes bisect it upstream."""
     docs = load_table(spark, "documents", sf_dir)
-    stats = T.repetition_stats(F.col("__grams"))
+    n_grams, n_distinct = _rep_int_cols()
     flags = (
         docs.withColumn("__grams", T.word_ngrams(F.col("text"), 2))
         .select(
             "doc_id",
             "source",
-            (T.quality_score(F.col("text")) < 0.4).cast("int").alias("fq"),
-            F.coalesce(stats["dup_ngram_frac"] > 0.2, F.lit(False))
+            T.quality_fail_int(F.col("text")).cast("int").alias("fq"),
+            (F.lit(5).cast("long") * (n_grams - n_distinct) > n_grams)
             .cast("int")
             .alias("fr"),
             (T.lang_id(F.col("text")) != F.col("lang")).cast("int").alias("fl"),
         )
-        .join(
-            T.lm_bigram_scores(docs).select("doc_id", "avg_nll"),
-            "doc_id",
-            "left",
-        )
-        .withColumn(
-            "fm",
-            F.coalesce(F.col("avg_nll") > 3.595, F.lit(False)).cast("int"),
-        )
+        .join(_lm_scaled_spark(docs), "doc_id", "left")
+        .withColumn("fm", _fm_int_col().cast("int"))
     )
     return (
         flags.groupBy("source")
@@ -3467,10 +3692,10 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "funnel_probe_quality",
     oracle=f"""
-    WITH q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents)
+    WITH {_QINTS_CTE}
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(q.quality < CAST(0.4 AS DOUBLE) AS INT)) AS fail_quality
-    FROM documents d JOIN q ON q.doc_id = d.doc_id
+           SUM(CAST({_fq_int_sql('q')} AS INT)) AS fail_quality
+    FROM documents d JOIN q_ints q ON q.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
 )
@@ -3479,12 +3704,15 @@ def funnel_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ``corpus_filter_funnel``, per source. The four funnel probes
     partition the funnel's output surface one flag each; whichever
     subset comes back red localizes the driver-side divergence to a
-    specific metric's arithmetic."""
+    specific metric's arithmetic. Round 7: the flag is the exact
+    BIGINT comparison (text.quality_fail_int) — red now implies the
+    INTEGER measurements diverge, which ``quality_probe_ints``
+    fingerprints per document."""
     docs = load_table(spark, "documents", sf_dir)
     return (
         docs.select(
             "source",
-            (T.quality_score(F.col("text")) < 0.4).cast("int").alias("fq"),
+            T.quality_fail_int(F.col("text")).cast("int").alias("fq"),
         )
         .groupBy("source")
         .agg(
@@ -3498,40 +3726,25 @@ def funnel_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "funnel_probe_repetition",
     oracle=f"""
-    WITH g AS (
-        SELECT doc_id,
-               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
-               t[CAST(r.i + 2 AS INTEGER)] AS gram
-        FROM (SELECT doc_id, {_TOKS} AS t
-              FROM documents WHERE trim(text) <> '') toks,
-             UNNEST(range(len(t) - 1)) AS r(i)
-        WHERE len(t) >= 2
-    ),
-    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
-    rep AS (
-        SELECT doc_id,
-               ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
-                   AS dup_frac
-        FROM per GROUP BY doc_id
-    )
+    WITH {_REP_INT_CTES}
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(COALESCE(rep.dup_frac, 0) > CAST(0.2 AS DOUBLE) AS INT))
-               AS fail_repetition
-    FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+           SUM(CAST(COALESCE({_FR_INT}, FALSE) AS INT)) AS fail_repetition
+    FROM documents d LEFT JOIN rep_i ON rep_i.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
 )
 def funnel_probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-bisection probe (round 6): ONLY the repetition-screen
     count of ``corpus_filter_funnel``, per source (see
-    funnel_probe_quality)."""
+    funnel_probe_quality). Round 7: exact BIGINT form —
+    ``5·(n_grams − n_distinct) > n_grams`` — no rounded fraction."""
     docs = load_table(spark, "documents", sf_dir)
-    stats = T.repetition_stats(F.col("__grams"))
+    n_grams, n_distinct = _rep_int_cols()
     return (
         docs.withColumn("__grams", T.word_ngrams(F.col("text"), 2))
         .select(
             "source",
-            F.coalesce(stats["dup_ngram_frac"] > 0.2, F.lit(False))
+            (F.lit(5).cast("long") * (n_grams - n_distinct) > n_grams)
             .cast("int")
             .alias("fr"),
         )
@@ -3591,34 +3804,26 @@ def funnel_probe_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "funnel_probe_lm",
     oracle=f"""
-    WITH {_LM_CTES}
+    WITH {_LM_INT_CTES}
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(COALESCE(lm.avg_nll > CAST(3.595 AS DOUBLE), FALSE)
-                    AS INT)) AS fail_lm
-    FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id
+           SUM(CAST(COALESCE({_FM_INT}, FALSE) AS INT)) AS fail_lm
+    FROM documents d LEFT JOIN lm_i ON lm_i.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
 )
 def funnel_probe_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-bisection probe (round 6): ONLY the bigram-LM perplexity
     band count of ``corpus_filter_funnel``, per source (see
-    funnel_probe_quality). Red here (with the other three probes
-    green) pins the round-5 funnel red to the LM score chain — the
-    construct class the round-6 oracle rewrite retired."""
+    funnel_probe_quality). Round 7: the band is the pure-BIGINT
+    comparison ``nll_sum > 3595000·n_bg`` over scale-1e6 floored
+    per-bigram nll integers — no raw-float threshold remains; red now
+    implies the integer LM pieces diverge (see ``lm_probe_ints`` /
+    ``lm_probe_vocab``)."""
     docs = load_table(spark, "documents", sf_dir)
     return (
         docs.select("doc_id", "source")
-        .join(
-            T.lm_bigram_scores(docs).select("doc_id", "avg_nll"),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "source",
-            F.coalesce(F.col("avg_nll") > 3.595, F.lit(False))
-            .cast("int")
-            .alias("fm"),
-        )
+        .join(_lm_scaled_spark(docs), "doc_id", "left")
+        .select("source", _fm_int_col().cast("int").alias("fm"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -4086,17 +4291,18 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR importance resampling (hashed-feature log-likelihood ratio)
 # ---------------------------------------------------------------------------
 
-#: Shared DSIR CTE chain ending in ``dsir_scored(doc_id, n_toks,
-#: avg_llr)`` (unrounded) and ``dsir_ranked`` (rounded + overall rank).
-#: Target distribution = documents from source 'src0'; features =
-#: md5-bucketed tokens (4096 buckets — the hashing trick that keeps the
-#: weight table broadcastable at any corpus size); add-1 smoothing.
-#: Boring portable SQL only (scalar unnest, plain joins, one window) —
-#: the round-6 oracle-dialect rule. The margin gate's raw metric
-#: reuses ``dsir_scored`` verbatim (tests/test_threshold_margins.py),
-#: and ranking is on the ROUNDED score with a doc_id tiebreak so the
-#: rank cut is deterministic whenever the gate holds.
-_DSIR_CTES = f"""
+
+
+#: Round-7 scaled-integer DSIR chain (Spark twin:
+#: ``sampling.dsir_log_ratio_scaled`` + ``similarity.global_rank``).
+#: Same count CTEs as ``_DSIR_CTES``; the per-feature llr floors to a
+#: scale-1e6 BIGINT before aggregation, so the per-doc score is an
+#: exact integer pair and the rank key is ONE IEEE division of exact
+#: BIGINTs — bit-identical in every engine (the round-6 reds ranked
+#: over ROUND(avg_llr, 4), which round 6 proved is engine-unstable at
+#: repr ties). Ends in ``dsir_ranked_i(doc_id, n_toks, llr_sum,
+#: sel_rank, n_total)``.
+_DSIR_INT_CTES = f"""
     dsir_toks AS (
         SELECT doc_id, unnest({_TOKS}) AS tok
         FROM documents WHERE trim(text) <> ''
@@ -4122,101 +4328,101 @@ _DSIR_CTES = f"""
     ),
     dsir_w AS (
         SELECT r.f,
-               ln((CAST(COALESCE(t.c_tgt, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
-                  / (CAST(tot.n_tgt AS DOUBLE) + CAST(4096 AS DOUBLE)))
-             - ln((CAST(r.c_raw AS DOUBLE) + CAST(1 AS DOUBLE))
-                  / (CAST(tot.n_raw AS DOUBLE) + CAST(4096 AS DOUBLE))) AS llr
+               CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+                    (ln((CAST(COALESCE(t.c_tgt, 0) AS DOUBLE)
+                         + CAST(1 AS DOUBLE))
+                        / (CAST(tot.n_tgt AS DOUBLE) + CAST(4096 AS DOUBLE)))
+                     - ln((CAST(r.c_raw AS DOUBLE) + CAST(1 AS DOUBLE))
+                          / (CAST(tot.n_raw AS DOUBLE)
+                             + CAST(4096 AS DOUBLE)))))
+                    AS BIGINT) AS llr_s
         FROM dsir_rawc r
         LEFT JOIN dsir_tgtc t ON t.f = r.f
         CROSS JOIN dsir_tot tot
     ),
-    dsir_scored AS (
-        SELECT d.doc_id, SUM(d.n) AS n_toks,
-               SUM(CAST(d.n AS DOUBLE) * w.llr) / CAST(SUM(d.n) AS DOUBLE)
-                   AS avg_llr
+    dsir_scored_i AS (
+        SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_toks,
+               CAST(SUM(d.n * w.llr_s) AS BIGINT) AS llr_sum
         FROM dsir_docfeat d JOIN dsir_w w ON w.f = d.f
         GROUP BY d.doc_id
     ),
-    dsir_ranked AS (
-        SELECT doc_id, n_toks, ROUND(avg_llr, 4) AS avg_llr,
-               ROW_NUMBER() OVER (ORDER BY ROUND(avg_llr, 4) DESC, doc_id)
-                   AS sel_rank,
+    dsir_ranked_i AS (
+        SELECT doc_id, n_toks, llr_sum,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(llr_sum AS DOUBLE) / CAST(n_toks AS DOUBLE)
+                            DESC, doc_id) AS sel_rank,
                COUNT(*) OVER () AS n_total
-        FROM dsir_scored
+        FROM dsir_scored_i
     )
 """
 
 
-def _dsir_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the ``dsir_ranked`` CTE."""
-    from pyspark.sql import Window
-
+def _dsir_ranked_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``dsir_ranked_i`` CTE: scaled-integer scores,
+    ranked by ``similarity.global_rank`` (range-partitioned exact
+    global rank — no unpartitioned corpus window; the round-6 chain's
+    global ``Window.orderBy`` was the plan audit's one remaining
+    corpus-cardinality single-task sort)."""
     docs = load_table(spark, "documents", sf_dir)
-    scored = SA.dsir_log_ratio(docs, F.col("source") == F.lit("src0"))
-    return (
-        scored.select(
-            "doc_id", "n_toks", F.round("avg_llr", 4).alias("avg_llr")
-        )
-        .withColumn(
-            "sel_rank",
-            F.row_number().over(
-                Window.orderBy(F.col("avg_llr").desc(), F.col("doc_id"))
-            ),
-        )
-        .withColumn("n_total", F.count(F.lit(1)).over(Window.partitionBy()))
+    scored = SA.dsir_log_ratio_scaled(docs, F.col("source") == F.lit("src0"))
+    keyed = scored.withColumn(
+        "__key", F.col("llr_sum").cast("double") / F.col("n_toks").cast("double")
     )
+    ranked = S.global_rank(
+        keyed, [F.col("__key").desc(), F.col("doc_id")], rank_col="sel_rank"
+    ).drop("__key")
+    totals = F.broadcast(scored.agg(F.count(F.lit(1)).alias("n_total")))
+    return ranked.crossJoin(totals)
 
 
 @query(
     "dsir_importance_scores",
     oracle=f"""
-    WITH {_DSIR_CTES}
-    SELECT r.doc_id, d.source, d.lang, r.n_toks, r.avg_llr, r.sel_rank
-    FROM dsir_ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WITH {_DSIR_INT_CTES}
+    SELECT r.doc_id, d.source, d.lang, r.n_toks, r.llr_sum, r.sel_rank
+    FROM dsir_ranked_i r JOIN documents d ON d.doc_id = r.doc_id
     WHERE r.sel_rank <= 50
     """,
 )
 def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed-feature
     importance scores of every document against the 'src0' target
-    distribution, top-50 by score. The single-partition rank window
-    runs over the already-reduced per-doc score table (one row per
-    doc), not the corpus — at 100 TB you'd replace the global
-    ROW_NUMBER with the top-k pattern (per-partition top-k, then
-    merge), which ``similarity.ranked_topk`` already implements; the
-    score computation itself is the scalable part under test here
-    (see operators.sampling.dsir_log_ratio)."""
+    distribution, top-50 by score. Round 7: scores are scale-1e6
+    floored-integer sums (``sampling.dsir_log_ratio_scaled``), the
+    rank key is one exact-input IEEE division, and the rank itself is
+    ``similarity.global_rank`` (range-partitioned — no single-task
+    corpus window; kills both the round-6 driver red and the plan
+    audit's scale-weak note). Output is integer-exact end to end."""
     docs = load_table(spark, "documents", sf_dir)
     return (
-        _dsir_ranked(spark, sf_dir)
+        _dsir_ranked_int(spark, sf_dir)
         .filter(F.col("sel_rank") <= 50)
         .join(docs.select("doc_id", "source", "lang"), "doc_id")
-        .select("doc_id", "source", "lang", "n_toks", "avg_llr", "sel_rank")
+        .select("doc_id", "source", "lang", "n_toks", "llr_sum", "sel_rank")
     )
 
 
 @query(
     "dsir_resample_counts",
     oracle=f"""
-    WITH {_DSIR_CTES}
+    WITH {_DSIR_INT_CTES}
     SELECT d.source,
            COUNT(*) AS n_docs,
            SUM(CASE WHEN r.sel_rank * 5 <= r.n_total THEN 1 ELSE 0 END)
                AS n_sel
-    FROM dsir_ranked r JOIN documents d ON d.doc_id = r.doc_id
+    FROM dsir_ranked_i r JOIN documents d ON d.doc_id = r.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
 )
 def dsir_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection diagnostic: per source, how many documents the
     top-20% importance cut keeps — the selected mix should shift
-    toward the target source's distribution. Counts-only output (the
-    round-6 float-surface rule): the only float involved is the
-    rounded score inside the rank ordering, guarded by the
-    dsir_avg_llr margin metric."""
+    toward the target source's distribution. Round 7: the cut is
+    ``sel_rank·5 ≤ n_total`` over the integer-exact global rank (see
+    dsir_importance_scores) — no float comparison anywhere."""
     docs = load_table(spark, "documents", sf_dir)
     return (
-        _dsir_ranked(spark, sf_dir)
+        _dsir_ranked_int(spark, sf_dir)
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
@@ -4331,7 +4537,25 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: order-independent and exact in any engine — so PQ needs no margin
 #: gate: argmin/rank tiebreaks (min cid / min neighbor_id) are total
 #: orders over integers.
-_PQ_CTES = """
+def _pq_code_sql(quant: str) -> str:
+    """The int8 quantization expression of the PQ chain. ``"round"``
+    is the original (ann_int8_recall-shared) form — kept verbatim for
+    the driver-green queries; ``"floor"`` is the round-7 tie-free form
+    (see operators.similarity.quantize_int8)."""
+    if quant == "floor":
+        return (
+            "LEAST(255, CAST(FLOOR((l.x - s.mn) * 256 / (s.mx - s.mn))"
+            " AS INTEGER)) - 128"
+        )
+    return (
+        "GREATEST(-128, LEAST(127,"
+        " CAST(ROUND((l.x - s.mn) / (s.mx - s.mn) * 255)"
+        " AS INTEGER) - 128))"
+    )
+
+
+def _pq_ctes(quant: str) -> str:
+    return f"""
     pq_base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pq_dims AS (SELECT UNNEST(range(64)) AS d),
     pq_long AS (
@@ -4344,9 +4568,7 @@ _PQ_CTES = """
                CAST(FLOOR(CAST(l.d AS DOUBLE) / 16) AS INTEGER) AS sub,
                CAST(l.d % 16 AS INTEGER) AS spos,
                CASE WHEN s.mx > s.mn
-                    THEN GREATEST(-128, LEAST(127,
-                         CAST(ROUND((l.x - s.mn) / (s.mx - s.mn) * 255)
-                              AS INTEGER) - 128))
+                    THEN {_pq_code_sql(quant)}
                     ELSE 0 END AS c
         FROM pq_long l JOIN pq_stats s ON s.d = l.d
     ),
@@ -4395,10 +4617,17 @@ _PQ_CTES = """
 """
 
 
+#: Original (ROUND) chain — byte-compatible with the driver-green
+#: pq_code_balance / ann_ivfpq_recall oracles; DO NOT change.
+_PQ_CTES = _pq_ctes("round")
+#: Round-7 tie-free chain for the two driver-red top-k queries.
+_PQ_CTES_FLOOR = _pq_ctes("floor")
+
+
 @query(
     "pq_ann_topk",
     oracle=f"""
-    WITH {_PQ_CTES}
+    WITH {_PQ_CTES_FLOOR}
     SELECT query_id, neighbor_id, adc_d2, rank
     FROM pq_ranked WHERE rank <= 5
     """,
@@ -4408,9 +4637,15 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codeword ids per vector (64× vs float32), queries rank neighbors
     by asymmetric integer L2 distance through the codebooks
     (operators.similarity.pq_adc_topk). Integer-exact end to end —
-    the one ANN family here with zero float-determinism surface."""
+    EXCEPT the int8 quantization itself, whose ROUND half-case
+    resolution proved engine-specific (round-6 driver red with
+    pq_code_balance green: codes agreed in aggregate, a ±1 boundary
+    code flipped exact ADC sums). Round 7 quantizes with the tie-free
+    floor form on both sides (similarity.quantize_int8 rounding=
+    "floor"); the green balance/recall queries keep the ROUND chain
+    untouched."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.pq_adc_topk(emb, k=5).select(
+    return S.pq_adc_topk(emb, k=5, rounding="floor").select(
         "query_id", "neighbor_id", "adc_d2", "rank"
     )
 
@@ -4445,9 +4680,10 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared IVF-PQ CTE chain: ann_ivf_topk's cell index (9dp-rounded
 #: assignment, min-cid tiebreak) feeding pq_ann_topk's integer ADC
 #: ranking over the probed cells' candidates. Ends in ``ivfpq_ranked``.
-_IVFPQ_CTES = f"""{_IVF_NRM_SQL},
+def _ivfpq_ctes(pq: str) -> str:
+    return f"""{_IVF_NRM_SQL},
     {_IVF_ASSIGN_PROBES_SQL},
-    {_PQ_CTES},
+    {pq},
     ivfpq_adc AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, SUM(l.d2) AS adc_d2
         FROM probes p
@@ -4466,10 +4702,16 @@ _IVFPQ_CTES = f"""{_IVF_NRM_SQL},
     )"""
 
 
+#: ROUND chain — shared verbatim by the driver-green ann_ivfpq_recall.
+_IVFPQ_CTES = _ivfpq_ctes(_PQ_CTES)
+#: Round-7 tie-free chain for the driver-red ann_ivfpq_topk.
+_IVFPQ_CTES_FLOOR = _ivfpq_ctes(_PQ_CTES_FLOOR)
+
+
 @query(
     "ann_ivfpq_topk",
     oracle=f"""
-    WITH {_IVFPQ_CTES}
+    WITH {_IVFPQ_CTES_FLOOR}
     SELECT query_id, neighbor_id, adc_d2, rank
     FROM ivfpq_ranked WHERE rank <= 5
     """,
@@ -4482,12 +4724,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches nprobe/cells of the corpus and only its m-byte codes
     (operators.similarity.ivfpq_topk: one corpus pass, map-side
     top-k). Cell assignment reuses the proven 9dp-rounded argmax;
-    every distance is an integer sum."""
+    every distance is an integer sum. Round 7: the int8 quantization
+    feeding the codes switches to the tie-free floor form (see
+    pq_ann_topk — same round-6 driver-red cause); the driver-green
+    ann_ivfpq_recall keeps the ROUND chain untouched."""
     emb = load_table(spark, "embeddings", sf_dir)
     # every index parameter pinned: the oracle SQL hardcodes them all
     return S.ivfpq_topk(
         emb, m=4, k=5, num_centroids=16, nprobe=2,
-        num_codewords=16, query_mod=50,
+        num_codewords=16, query_mod=50, rounding="floor",
     ).select("query_id", "neighbor_id", "adc_d2", "rank")
 
 

@@ -152,14 +152,9 @@ SELECT a.score - b.score AS m
 FROM nb_rk a JOIN nb_rk b ON b.doc_id = a.doc_id AND a.rk = 1 AND b.rk = 2
 """
 
-# DSIR per-doc mean hashed-feature log-likelihood ratio, UNROUNDED —
-# the same CTE chain the dsir_* oracles use (queries_ml._DSIR_CTES),
-# so the gate cannot drift. Guards BOTH the rounded avg_llr output
-# cell of dsir_importance_scores AND the rank-on-rounded-score cuts
-# (top-50 / top-20%) that dsir_resample_counts shares: a raw value
-# clear of every half-quantum boundary means the rounded ranking key
-# is engine-stable, so the rank windows (doc_id tiebreak) agree too.
-_DSIR_RAW_SQL = f"WITH {QM._DSIR_CTES} SELECT avg_llr AS m FROM dsir_scored"
+# (round 7: the dsir_* queries moved to scale-1e6 floored-integer
+# scores — sampling.dsir_log_ratio_scaled — so no rounded float cell
+# or rank key remains to guard; the old _DSIR_RAW_SQL gate retired.)
 
 # int8 quantization (ann_int8_recall + the pq_* family): the one float
 # step in those pipelines is code = ROUND((x-mn)/(mx-mn)*255) — a code
@@ -361,6 +356,17 @@ DETERMINISTIC_EXACT = {
     # or a literal (q, lo, hi, width); the interpolation is one
     # fixed-order scalar expression per output row
     ("hist_quantile_order_value", "est"),
+    # round-7 engine-fingerprint canaries: single fixed scalars whose
+    # whole PURPOSE is to surface a driver-engine divergence — locally
+    # deterministic by construction, intentionally unguarded
+    ("canary_engine_agree", "t1"),
+    ("canary_engine_agree", "t2"),
+    ("canary_engine_agree", "t6"),
+    ("canary_engine_agree", "t9"),
+    ("canary_duck_pin", "t7d"),
+    ("canary_duck_pin", "t8d"),
+    ("canary_spark_pin", "t7s"),
+    ("canary_spark_pin", "t8s"),
 }
 
 #: (query, column) → (raw-metric id) for order-dependent float
@@ -368,7 +374,6 @@ DETERMINISTIC_EXACT = {
 #: half-quantum rounding boundary (RAW_MARGIN_METRICS below).
 RAW_MARGIN = {
     ("lm_bigram_perplexity", "avg_nll"): "lm_avg_nll_out",
-    ("dsir_importance_scores", "avg_llr"): "dsir_avg_llr",
     ("perplexity_probe_nll", "min_nll"): "lm_avg_nll_out",
     ("perplexity_probe_nll", "max_nll"): "lm_avg_nll_out",
     ("q1_pricing_summary", "avg_qty"): "q1_avgs",
@@ -395,11 +400,6 @@ RAW_MARGIN = {
 #: still catching any value a real engine difference could flip.
 RAW_MARGIN_METRICS = {
     "lm_avg_nll_out": (_LM_RAW_SQL, 1e-4, 1e-9),
-    # one 4dp score per doc: at sf0.1 (~5k values) the expected min
-    # boundary distance is ~1e-8, so the default 1e-9 bound holds with
-    # margin while staying ~10^4 x the jitter ceiling of a <=4096-term
-    # unit-scale double sum (~1e-13).
-    "dsir_avg_llr": (_DSIR_RAW_SQL, 1e-4, 1e-9),
     # min/max endpoints hit k+0.0 exactly (distance 0.5 from the
     # boundary); interior values are data. ~32k scaled values at
     # sf0.1 against quantum 1 → expected min distance ~1.5e-5;
