@@ -65,10 +65,16 @@ def _cast_text(value: Column, dtype) -> Column:
             .otherwise(value.cast("boolean"))
         )
     if isinstance(dtype, BinaryType):
-        # bytea rides the text envelope as base64 (binary-mode 'b'
-        # tuples, sources.pgoutput._to_map); destinations render it
-        # back as hex literals (functions.dialects.render_hex).
-        return F.unbase64(value)
+        # bytea rides the text envelope two ways: binary-mode 'b'
+        # tuples arrive base64 (sources.pgoutput._to_map), TEXT-mode
+        # tuples arrive in PG's hex text form '\x<hex>' (the wire
+        # default). Decode each by its own marker — unbase64 on a hex
+        # literal silently yields garbage bytes, violating the
+        # module's fail-loud doctrine (destinations render back as hex
+        # literals, functions.dialects.render_hex).
+        return F.when(
+            value.startswith("\\x"), F.unhex(F.substring(value, 3, 2147483647))
+        ).otherwise(F.unbase64(value))
     return value.cast(dtype)
 
 

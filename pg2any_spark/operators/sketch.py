@@ -83,9 +83,13 @@ def histogram_cells(
     """Fixed-edge histogram of ``value_col``: one ``(bucket, n)`` row
     per non-empty bin (≤ ``bins`` rows regardless of input size).
     Out-of-range values clamp into the edge bins, so the histogram is
-    total. Like the count-min cells: mergeable by cell-wise addition,
-    partial-agg'd map-side, and deterministic — bucketing is one
-    scalar expression, so shards, re-runs, and the oracle agree."""
+    total. NULLs are dropped before bucketing — floor(NULL) survives
+    least/greatest as a NULL bucket row, which the quantile cumulative
+    window would order FIRST (nulls-first asc), silently inflating
+    total_n and skewing every estimate. Like the count-min cells:
+    mergeable by cell-wise addition, partial-agg'd map-side, and
+    deterministic — bucketing is one scalar expression, so shards,
+    re-runs, and the oracle agree."""
     v = F.col(value_col).cast("double")
     bucket = F.least(
         F.greatest(
@@ -94,7 +98,8 @@ def histogram_cells(
         F.lit(bins - 1),
     )
     return (
-        df.select(bucket.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -63,12 +63,13 @@ def read_events_jsonl_quarantine(
     corrupt line — correct for an IR the engine itself wrote, but an
     operator replaying a partner-supplied or disk-damaged feed needs
     the Debezium-style DLQ alternative: keep the good 99.999%, land
-    every bad line VERBATIM somewhere auditable. PERMISSIVE mode with
-    ``columnNameOfCorruptRecord`` gives the split; the contract here
-    is that the two outputs PARTITION the input — rows where every
-    schema field is null but the raw line is not are corrupt (a JSON
-    object that parses but matches nothing), rows with a populated
-    corrupt column are malformed JSON.
+    every bad line VERBATIM somewhere auditable. The contract: the two
+    outputs PARTITION the input, and a line is CLEAN only when its
+    non-nullable envelope fields (op/schema/table/txid/lsn/commit_ts)
+    parsed and the op is a known DML code — a junk object sharing one
+    field name ({"op": "zzz"}) is quarantined as schema_mismatch,
+    while a legitimate event whose nullable fields are all explicitly
+    null passes.
 
     Returns the clean typed events; if ``quarantine_path`` is given,
     the corrupt raw lines — VERBATIM, with a ``reason`` — are written
@@ -86,19 +87,30 @@ def read_events_jsonl_quarantine(
     ``{}`` and the audit trail loses the evidence."""
     from pyspark.sql import functions as F
 
+    from pg2any_spark.schemas import DML_OPS
+
     raw = spark.read.text(path).withColumn(
         "_parsed", F.from_json(F.col("value"), CHANGE_EVENT_SCHEMA)
     )
     data_cols = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
-    all_null = None
-    for c in data_cols:
-        cond = F.col("_parsed").getField(c).isNull()
-        all_null = cond if all_null is None else (all_null & cond)
-    # from_json yields an all-NULL struct both for malformed JSON and
-    # for well-formed JSON matching no field, so corrupt = all-null;
-    # the REASON discriminates via try_parse_json, which is NULL only
-    # when the line is not JSON at all
-    is_corrupt = F.col("_parsed").isNull() | all_null
+    # clean requires the NON-NULLABLE envelope fields to be present
+    # and the op to be a known DML code — not just "any field parsed":
+    # a junk object sharing one field name ({"op": "zzz"}) must land
+    # in the DLQ, while a legitimate line whose NULLABLE fields are
+    # all explicitly null must pass. (from_json yields an all-NULL
+    # struct both for malformed JSON and for well-formed JSON matching
+    # no field, so struct-level nullness alone cannot discriminate.)
+    envelope_ok = (
+        F.col("_parsed").getField("op").isin(*DML_OPS)
+        & F.col("_parsed").getField("schema").isNotNull()
+        & F.col("_parsed").getField("table").isNotNull()
+        & F.col("_parsed").getField("txid").isNotNull()
+        & F.col("_parsed").getField("lsn").isNotNull()
+        & F.col("_parsed").getField("commit_ts").isNotNull()
+    )
+    is_corrupt = F.col("_parsed").isNull() | ~F.coalesce(
+        envelope_ok, F.lit(False)
+    )
     if quarantine_path is not None:
         bad = raw.filter(is_corrupt).select(
             F.col("value").alias("raw_line"),

@@ -383,6 +383,7 @@ def start_pgoutput_apply(
     toast_merge: bool = False,
     xlog_envelopes: bool = False,
     max_files_per_trigger: int | None = None,
+    broadcast_commits: bool = True,
 ) -> StreamingQuery:
     """Stream pgoutput WIRE FRAMES straight into a replica: readStream
     over ``(segment_id, seq, wal_lsn, frame)`` parquet → per-batch
@@ -456,7 +457,7 @@ def start_pgoutput_apply(
                 batch_df, protocol_version, toast_merge=toast_merge
             )
             cached = cached.persist(StorageLevel.MEMORY_AND_DISK)
-            events = stamp_commits(cached)
+            events = stamp_commits(cached, broadcast_commits=broadcast_commits)
         else:
             cached = decode_wal_segments(
                 batch_df, protocol_version, toast_merge=toast_merge

@@ -257,6 +257,27 @@ class TestBinaryColumns:
         assert out[0]["blob"] == payload
 
 
+    def test_bytea_hex_text_form_decodes(self, spark):
+        """Text-protocol bytea arrives in PG's hex text form
+        '\\x<hex>' (the wire default); it must decode to the same
+        bytes as the base64 path, not be mis-unbase64d to garbage."""
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        schema = StructType(
+            [StructField("id", LongType(), False),
+             StructField("blob", BinaryType(), True)]
+        )
+        payload = b"\x00\x01\xfe binary!"
+        hex_text = "\\x" + payload.hex()
+        events = make_events(
+            spark, [ev("c", 1, {"id": "1", "blob": hex_text})]
+        )
+        out = apply_changes(events, schema, ["id"]).collect()
+        assert out[0]["blob"] == payload
+
+
 class TestTruncate:
     def test_truncate_clears_base_and_prior_events(self, spark):
         base = spark.createDataFrame([Row(id=9, val=9, col1="x", col2="y")], T1_SCHEMA)

@@ -99,6 +99,42 @@ class TestQuarantine:
         read_events_jsonl_quarantine(spark, p, q).count()
         assert spark.read.json(q).count() == 2
 
+    def test_envelope_gate_catches_field_name_collisions(
+        self, spark, tmp_path
+    ):
+        """A junk object sharing ONE schema field name must land in
+        the DLQ as schema_mismatch (the round-6 advice gap: it used to
+        pass as clean with all-null remaining columns), while a
+        legitimate event whose NULLABLE fields are all explicitly null
+        must stay clean."""
+        from pg2any_spark.sources.jsonlines import (
+            read_events_jsonl_quarantine,
+        )
+
+        p = str(tmp_path / "feed2")
+        import os
+
+        os.makedirs(p)
+        legit_all_nullable_null = (
+            '{"op": "c", "schema": "public", "table": "t1", "txid": 7,'
+            ' "lsn": 42, "commit_ts": "2024-01-01T00:00:00.000Z",'
+            ' "before": null, "after": null, "key_columns": null,'
+            ' "replica_identity": null}'
+        )
+        with open(f"{p}/feed.json", "w") as f:
+            f.write('{"op": "zzz"}\n')                      # junk op
+            f.write('{"op": "c", "table": "t1"}\n')         # missing lsn
+            f.write(legit_all_nullable_null + "\n")
+        q = str(tmp_path / "dlq2")
+        clean = read_events_jsonl_quarantine(spark, p, q)
+        rows = clean.collect()
+        assert len(rows) == 1 and rows[0]["lsn"] == 42
+        dlq = {r["raw_line"]: r["reason"] for r in spark.read.json(q).collect()}
+        assert dlq == {
+            '{"op": "zzz"}': "schema_mismatch",
+            '{"op": "c", "table": "t1"}': "schema_mismatch",
+        }
+
     def test_failfast_reader_still_fatal(self, spark, tmp_path):
         import pytest as _pt
 

@@ -95,6 +95,32 @@ class TestHistogramQuantiles:
         }
         assert cells == {0: 2, 9: 1}
 
+    def test_nulls_dropped_not_bucketed(self, spark):
+        """floor(NULL) would survive least/greatest as a NULL bucket
+        row that the quantile cumulative window orders FIRST (nulls
+        first asc), inflating total_n — NULL values must not bucket."""
+        from pg2any_spark.operators.sketch import (
+            histogram_cells, histogram_quantiles,
+        )
+
+        vals = [float(v) for v in range(100)]
+        df = spark.createDataFrame(
+            [(v,) for v in vals] + [(None,)] * 10, "v double"
+        )
+        cells = histogram_cells(df, "v", 0.0, 100.0, bins=10)
+        got = cells.collect()
+        assert all(r["bucket"] is not None for r in got)
+        assert sum(r["n"] for r in got) == 100
+        est = {
+            r["q"]: r["est"]
+            for r in histogram_quantiles(
+                cells, [0.5], 0.0, 100.0, bins=10
+            ).collect()
+        }
+        import numpy as np
+
+        assert abs(est[0.5] - float(np.quantile(vals, 0.5))) <= 10.0
+
     def test_cells_merge_equals_direct(self, spark):
         from pyspark.sql import functions as F
 
