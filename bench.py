@@ -118,6 +118,38 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Per-query delta vs the latest recorded round (BENCH_r{N}.json):
+    # a real regression becomes visible THE ROUND IT HAPPENS instead
+    # of two rounds later in a judge diff. Only queries drifting >=20%
+    # AND >=0.2s are listed (below that is local[32] noise); the delta
+    # block is advisory — the headline metric is unchanged.
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_paths = sorted(_glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+    if prior_paths:
+        # the driver's BENCH_r{N}.json wraps this script's JSON line
+        # inside a "tail" string field — unwrap it when present
+        try:
+            with open(prior_paths[-1]) as f:
+                rec = json.load(f)
+            if "queries" not in rec and "tail" in rec:
+                line = [
+                    ln for ln in rec["tail"].splitlines()
+                    if ln.startswith("{") and '"queries"' in ln
+                ]
+                rec = json.loads(line[-1]) if line else {}
+            prior = rec.get("queries", {})
+        except (OSError, json.JSONDecodeError, IndexError):
+            prior = {}
+        deltas = {}
+        for name, t in timings.items():
+            p = prior.get(name)
+            if p and t >= p * 1.2 and t - p >= 0.2:
+                deltas[name] = {"prev": p, "now": t,
+                                "pct": round((t - p) / p * 100, 1)}
+        record["regressions_vs"] = os.path.basename(prior_paths[-1])
+        record["regressions"] = deltas
     # Chaos headline (reference scenario 5 analogue): measured by
     # tests/test_scenarios.py::test_s5_megarow_single_tx_hard_kill_bucketed
     # — 1M-row (3M with PG2ANY_CHAOS_ROWS) single-transaction feed,

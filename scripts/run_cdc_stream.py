@@ -44,13 +44,17 @@ def main() -> None:
     src, target, ckpt = sys.argv[1:4]
     max_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark(app_name="cdc-stream-runner", shuffle_partitions=8)
-    if target.startswith("wire:") or target.startswith("wireseg:"):
+    if target.startswith(("wire:", "wireseg:", "wirev2seg:")):
         from pg2any_spark.streaming.pipeline import start_pgoutput_apply
 
-        seg_aligned = target.startswith("wireseg:")
+        # wirev2seg: protocol v2 — segments carry STREAMED transactions
+        # (Stream Start/Stop blocks of many interleaved xids, resolved
+        # by Stream Commit), the pgbench many-concurrent-clients shape.
+        seg_aligned = not target.startswith("wire:")
         query = start_pgoutput_apply(
             spark, src, target.split(":", 1)[1], T1_SCHEMA, ["id"], ckpt,
             table="t1", available_now=True, low_memory=True,
+            protocol_version=2 if target.startswith("wirev2seg:") else 1,
             max_files_per_trigger=max_files if seg_aligned else None,
         )
         query.awaitTermination()

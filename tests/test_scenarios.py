@@ -688,6 +688,133 @@ def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
             )
 
 
+def _wire_frames_v2_interleaved(
+    spark, n, n_segs=8, tx_per_seg=16, chunks=4, txid_base=500
+):
+    """``n`` inserts (same ids/values as _insert_events) as pgoutput
+    PROTOCOL-V2 wire frames: ``n_segs`` segments, each carrying
+    ``tx_per_seg`` STREAMED transactions whose Stream Start/Stop
+    blocks INTERLEAVE round-robin (``chunks`` blocks per transaction)
+    and resolve via Stream Commit at the segment tail — the pgbench
+    100-concurrent-clients WAL shape (run_pgbench_chaos_test.sh:54-66)
+    that the single-mega-transaction chaos never exercises. Rows are
+    striped across (segment, xid, chunk) by modulo so any ``n`` works;
+    every data message carries its stream xid per the v2 framing.
+
+    Total concurrent xids = n_segs × tx_per_seg (128 by default).
+    Segments stay self-contained (decode contract), so the interleave
+    lives INSIDE each segment — which is also where pgbench's
+    interleave lives, between one restart point and the next."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from pg2any_spark.sources import pgoutput as P
+
+    stripe = n_segs * tx_per_seg * chunks
+    block_cap = (n + stripe - 1) // stripe
+    stride = block_cap + 2
+    ts = datetime.datetime(2026, 1, 1)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i0 in pdf["id"]:
+                i0 = int(i0)
+                gid = i0 + 1
+                t = i0 % n_segs
+                j = (i0 // n_segs) % tx_per_seg
+                c = (i0 // (n_segs * tx_per_seg)) % chunks
+                off = i0 // stripe
+                xid = txid_base + t * tx_per_seg + j
+                b = c * tx_per_seg + j
+                rows.append((t, 2 + b * stride + 1 + off, gid, P.encode_insert(
+                    1, [str(gid), str(gid * 10), "x", "y"], stream_xid=xid)))
+            yield pd.DataFrame(
+                rows, columns=["segment_id", "seq", "wal_lsn", "frame"]
+            )
+
+    data = spark.range(n).mapInPandas(gen, P.WAL_FRAME_SCHEMA)
+    cols = [(P.COL_KEY_FLAG, "id", 25, -1), (0, "val", 25, -1),
+            (0, "col1", 25, -1), (0, "col2", 25, -1)]
+    rel = P.encode_relation(1, "public", "t1", cols, "default")
+    marks = []
+    for t in range(n_segs):
+        marks.append(
+            Row(segment_id=t, seq=0, wal_lsn=0, frame=bytearray(rel)))
+        for c in range(chunks):
+            for j in range(tx_per_seg):
+                xid = txid_base + t * tx_per_seg + j
+                b = c * tx_per_seg + j
+                marks.append(Row(
+                    segment_id=t, seq=2 + b * stride, wal_lsn=0,
+                    frame=bytearray(P.encode_stream_start(xid, c == 0))))
+                marks.append(Row(
+                    segment_id=t, seq=2 + b * stride + block_cap + 1,
+                    wal_lsn=0, frame=bytearray(P.encode_stream_stop())))
+        tail = 2 + chunks * tx_per_seg * stride
+        for j in range(tx_per_seg):
+            xid = txid_base + t * tx_per_seg + j
+            clsn = n + t * tx_per_seg + j + 1
+            marks.append(Row(
+                segment_id=t, seq=tail + j, wal_lsn=clsn,
+                frame=bytearray(P.encode_stream_commit(xid, clsn, clsn, ts))))
+    return spark.createDataFrame(marks, P.WAL_FRAME_SCHEMA).unionByName(data)
+
+
+def test_s5_interleaved_tx_wire_kill(spark, tmp_path):
+    """Interleaved-transaction chaos THROUGH THE WIRE, protocol v2:
+    128 concurrent streamed transactions (16 per segment, Stream
+    Start/Stop blocks interleaving round-robin — the pgbench
+    100-client workload shape) ingest through the constant-memory v2
+    decode + commit join in segment-per-file micro-batches while the
+    runner is SIGKILLed after every observed checkpoint advance.
+    Exact replica required after the final drain — the one reference
+    workload shape (run_pgbench_chaos_test.sh:199,223-232) the
+    single-tx and sequential-multi-tx wire chaos left uncovered.
+
+    ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
+    (recorded as CHAOS_INTERLEAVED_3M_WIRE.json); suite default 300k."""
+    import json
+    import os
+    import sys
+
+    n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
+    src = str(tmp_path / "frames")
+    target = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    _wire_frames_v2_interleaved(spark, n).repartition(
+        8, "segment_id"
+    ).write.parquet(src)
+
+    cmd = [
+        sys.executable, "scripts/run_cdc_stream.py", src,
+        f"wirev2seg:{target}", ckpt, "1",
+    ]
+    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, seed=47)
+
+    final = spark.read.parquet(target)
+    got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
+    assert got["n"] == n, f"row count {got['n']} != {n} after {kills} kills"
+    assert got["s"] == n * (n + 1) // 2
+    expected = apply_changes(
+        _insert_events(spark, n, txid=42), T1_SCHEMA, ["id"], scan_for_truncate=False
+    )
+    assert final.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(final).isEmpty()
+    if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
+        label = f"{n // 1_000_000}M"
+        with open(f"/root/repo/CHAOS_INTERLEAVED_{label}_WIRE.json", "w") as f:
+            json.dump(
+                {"rows": n, "wall_seconds": wall_s, "kills": kills,
+                 "concurrent_xids": 128, "protocol_version": 2,
+                 "rows_per_second": round(n / wall_s, 1),
+                 "scenario": "interleaved_streamed_tx_multi_sigkill_wire_v2"},
+                f,
+            )
+
+
 def test_s5_multi_kill_wire(spark, tmp_path):
     """Repeated-kill chaos THROUGH THE WIRE: a 16-transaction pgoutput
     backlog (segment-per-file layout) streams through the constant-
