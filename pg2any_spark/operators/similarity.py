@@ -708,6 +708,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow path: the query matrix (|Q| × dim) is
     collected once and closed over; each corpus partition computes one
@@ -719,11 +720,27 @@ def brute_force_topk_arrow(
     similarity, id tiebreak); ~10-100× faster per pair than the
     expression-fold path because the inner loop is one BLAS call per
     Arrow batch instead of an interpreted lambda per element.
+
+    The collected query matrix is the one driver-side structure here,
+    so |Q| is HARD-CAPPED at ``max_queries`` (64Ki × 64 dims ≈ 32 MB —
+    comfortably inside any driver/closure budget): a modulo-derived
+    query set grows linearly with the corpus, and silently collecting
+    it would OOM the driver at 100×. Past the cap, fail loudly — the
+    scale paths are the LSH/IVF indexes, or chunk the query side and
+    union the per-chunk top-k (exactness composes: each query's global
+    top-k is independent of the other queries).
     """
     import numpy as np
     import pandas as pd
 
     q_rows = _normalized(queries, id_col, "query_id", vec_col, "q_vec").collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_arrow: |Q| = {len(q_rows)} exceeds "
+            f"max_queries = {max_queries}; the query matrix is collected "
+            "to the driver and closed over every task — chunk the query "
+            "side (union per-chunk top-k) or use the LSH/IVF scale paths"
+        )
     if not q_rows:
         schema = "query_id long, neighbor_id long, cos_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], schema)

@@ -181,3 +181,21 @@ def test_global_rank_no_single_task_window(spark):
     ranked = S.global_rank(df, [F.col("k").desc(), F.col("id")])
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
+
+
+def test_brute_force_arrow_query_cap(spark):
+    """The Arrow brute-force path collects the query matrix to the
+    driver — past max_queries it must fail loudly (chunk or use an
+    index), never silently OOM a 1000-executor driver."""
+    import pytest as _pt
+
+    from pg2any_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = spark.range(10).selectExpr(
+        "id AS vec_id", "array(cast(id as double), 1.0d) AS embedding"
+    )
+    with _pt.raises(ValueError, match="max_queries"):
+        brute_force_topk_arrow(emb, emb, k=2, max_queries=5)
+    # under the cap the path works unchanged
+    out = brute_force_topk_arrow(emb, emb.limit(3), k=2)
+    assert out.count() == 6
