@@ -105,9 +105,19 @@ def global_rank(
 
     ``order_cols`` must define a total order (include a unique
     tiebreak column) — otherwise ranks of equal keys depend on
-    partition-internal order. Range boundaries come from Spark's
-    reservoir sampling; ranks are boundary-invariant because the
-    order is total. Returns ``df`` + ``rank_col`` (1-based)."""
+    partition-internal order. Returns ``df`` + ``rank_col`` (1-based).
+
+    Everything happens in ONE lazy plan: the offsets side is a
+    cumulative window over the ≤ P per-partition counts (a
+    SinglePartition exchange of P rows — bounded by construction, not
+    by data), broadcast-joined back. Both branches consume the same
+    ``repartitionByRange`` exchange, which Spark deduplicates
+    (ReusedExchange, ``spark.sql.exchange.reuse`` default-on); and the
+    range partitioner's reservoir sample is seeded per input-partition
+    index, so even an un-reused or re-executed exchange derives the
+    SAME boundaries — no cached state whose loss could let the two
+    branches disagree (the earlier persist+collect form pinned a
+    corpus-sized cache for the session and trusted it to survive)."""
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -115,26 +125,21 @@ def global_rank(
     ranged = df.repartitionByRange(parts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # cache: the per-partition histogram AND the ranked output both
-    # consume the range shuffle; without it the shuffle runs twice
-    # (and reservoir sampling could place boundaries differently —
-    # harmless for ranks, wasteful for time).
-    ranged = ranged.persist()
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    counts = sorted(
-        (r["__pid"], r["count"])
-        for r in ranged.groupBy("__pid").count().collect()
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, cum = [], 0
-    for pid, n in counts:
-        offsets.append((pid, cum))
-        cum += n
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__pid int, __offset long")
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__offset"),
+        )
     )
     return (
         ranged.withColumn("__r", F.row_number().over(w))
-        .join(off_df, "__pid")
+        .join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__offset") + F.col("__r")).cast("long"))
         .drop("__pid", "__r", "__offset")
     )
@@ -702,6 +707,24 @@ def kmeans_refine(
 # ---------------------------------------------------------------------------
 
 
+def _collect_queries(df, max_queries: int, opname: str):
+    """Driver-side query collect with a HARD pre-bounded footprint:
+    at most ``max_queries + 1`` rows ever cross to the driver (the
+    LIMIT bounds the transfer itself, not just a post-hoc check —
+    a guard placed after a plain collect() would OOM inside the
+    collect it documents preventing). Shared by every Arrow ANN path
+    that closes a query matrix over its tasks."""
+    rows = df.limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{opname}: |Q| exceeds max_queries = {max_queries}; the "
+            "query matrix is collected to the driver and closed over "
+            "every task — chunk the query side (union per-chunk top-k) "
+            "or use the LSH/IVF scale paths"
+        )
+    return rows
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -733,14 +756,10 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    q_rows = _normalized(queries, id_col, "query_id", vec_col, "q_vec").collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"brute_force_topk_arrow: |Q| = {len(q_rows)} exceeds "
-            f"max_queries = {max_queries}; the query matrix is collected "
-            "to the driver and closed over every task — chunk the query "
-            "side (union per-chunk top-k) or use the LSH/IVF scale paths"
-        )
+    q_rows = _collect_queries(
+        _normalized(queries, id_col, "query_id", vec_col, "q_vec"),
+        max_queries, "brute_force_topk_arrow",
+    )
     if not q_rows:
         schema = "query_id long, neighbor_id long, cos_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], schema)
@@ -797,6 +816,7 @@ def ivf_topk_arrow(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 2,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """IVF top-k, Arrow path — semantics identical to `ivf_topk` (same
     centroids, same 9dp assignment rounding, same tiebreaks) with the
@@ -818,7 +838,10 @@ def ivf_topk_arrow(
     c_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
     c_mat = np.array([cv for _, cv in cents], dtype=np.float64)
 
-    q_rows = _normalized(queries, id_col, "query_id", vec_col, "q_vec").collect()
+    q_rows = _collect_queries(
+        _normalized(queries, id_col, "query_id", vec_col, "q_vec"),
+        max_queries, "ivf_topk_arrow",
+    )
     if not q_rows:
         schema = "query_id long, neighbor_id long, cos_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], schema)
@@ -937,12 +960,20 @@ def quantize_int8(
     mx = F.array(*[F.lit(float(m)) for m in maxes])
     zipped = F.arrays_zip(F.col(vec_col).alias("x"), mn.alias("mn"), mx.alias("mx"))
     if rounding == "floor":
+        # GREATEST(0, …) clamp: in-corpus x is >= mn by construction,
+        # but the operator's contract allows quantizing vectors not
+        # drawn from the corpus that produced the stats (queries) —
+        # without it a below-min component escapes the int8 range and
+        # the Column/SQL forms diverge from _np_quantize's clip
         quant = lambda t: (  # noqa: E731
-            F.least(
-                F.lit(255),
-                F.floor(
-                    (t["x"] - t["mn"]) * 256 / (t["mx"] - t["mn"])
-                ).cast("int"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (t["x"] - t["mn"]) * 256 / (t["mx"] - t["mn"])
+                    ).cast("int"),
+                ),
             )
             - 128
         )
@@ -1306,6 +1337,7 @@ def ivfpq_topk(
     num_codewords: int = 16,
     query_mod: int = 50,
     rounding: str = "round",
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """IVF-PQ top-k — the composition ``pq_adc_topk``'s docstring
     points at, and the standard billion-vector index layout: IVF cell
@@ -1352,10 +1384,9 @@ def ivfpq_topk(
     )
     B = np.stack([seeds[:, s * sd : (s + 1) * sd] for s in range(m)])  # m×K×sd
 
-    q_rows = (
-        corpus.filter(F.col(id_col) % query_mod == 0)
-        .select(id_col, vec_col)
-        .collect()
+    q_rows = _collect_queries(
+        corpus.filter(F.col(id_col) % query_mod == 0).select(id_col, vec_col),
+        max_queries, "ivfpq_topk",
     )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(

@@ -119,7 +119,7 @@ def quality_fail_int(text: Column) -> Column:
 
         q = 0.5*min(T/50, 1) + 0.3*min(5S/Tg, 1) + 0.2*(1 - min(5P/Lg, 1))
 
-        q < 2/5   ⟺   (multiply both sides by 10·Tg·Lg, all > 0)
+        q < 2/5   ⟺   (multiply both sides by 100·Tg·Lg, all > 0)
 
         min(T,50)·Tg·Lg + 30·min(5S,Tg)·Lg + 20·Tg·(Lg − min(5P,Lg))
             < 40·Tg·Lg

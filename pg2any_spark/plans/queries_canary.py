@@ -125,7 +125,17 @@ def canary_engine_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("f1"),
-        F.lit("de").alias("g1"),
+        # both engines COMPUTE the argmax CASE (a pinned literal here
+        # would make a g1 red unattributable — the canary contract is
+        # engine-PAIR divergence, so Spark must run the same greatest/
+        # CASE chain the oracle does)
+        F.expr(
+            "CASE WHEN greatest(2, 2, 0, 1) < 1 THEN 'und'"
+            " WHEN 2 = greatest(2, 2, 0, 1) THEN 'de'"
+            " WHEN 2 = greatest(2, 0, 1) THEN 'en'"
+            " WHEN 0 = greatest(0, 1) THEN 'es'"
+            " ELSE 'fr' END"
+        ).alias("g1"),
     )
 
 

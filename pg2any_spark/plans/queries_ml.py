@@ -3817,8 +3817,10 @@ def funnel_probe_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel_probe_quality). Round 7: the band is the pure-BIGINT
     comparison ``nll_sum > 3595000·n_bg`` over scale-1e6 floored
     per-bigram nll integers — no raw-float threshold remains; red now
-    implies the integer LM pieces diverge (see ``lm_probe_ints`` /
-    ``lm_probe_vocab``)."""
+    implies the integer LM pieces diverge (see ``repetition_probe_ints``
+    for the per-doc bigram counts and ``lm_probe_vocab`` for the
+    corpus-level LM statistics) or the ln/floor step itself (canary
+    l1-l3)."""
     docs = load_table(spark, "documents", sf_dir)
     return (
         docs.select("doc_id", "source")
@@ -4544,8 +4546,9 @@ def _pq_code_sql(quant: str) -> str:
     (see operators.similarity.quantize_int8)."""
     if quant == "floor":
         return (
-            "LEAST(255, CAST(FLOOR((l.x - s.mn) * 256 / (s.mx - s.mn))"
-            " AS INTEGER)) - 128"
+            "GREATEST(0, LEAST(255,"
+            " CAST(FLOOR((l.x - s.mn) * 256 / (s.mx - s.mn))"
+            " AS INTEGER))) - 128"
         )
     return (
         "GREATEST(-128, LEAST(127,"

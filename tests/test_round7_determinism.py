@@ -125,7 +125,8 @@ def test_quantize_floor_matches_reference(spark):
     }
     for (v,) in vals:
         want = [
-            min(255, math.floor((x - 0.0) * 256 / 1.0)) - 128 for x in v
+            max(0, min(255, math.floor((x - 0.0) * 256 / 1.0))) - 128
+            for x in v
         ]
         assert out[tuple(v)] == want
         assert all(-128 <= c <= 127 for c in out[tuple(v)])
@@ -173,14 +174,20 @@ def test_global_rank_matches_window(spark):
 
 
 def test_global_rank_no_single_task_window(spark):
-    """The physical plan must not contain an unpartitioned window —
-    the whole point of global_rank."""
+    """The corpus-side ranking window must be PARTITIONED (by the
+    range-partition id) — the whole point of global_rank. The only
+    unpartitioned window allowed is the cumulative offset over the
+    ≤ P per-partition counts (bounded by construction), which shows
+    up as exactly one SinglePartition exchange fed by an aggregate."""
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") % 7).alias("k")
     )
     ranked = S.global_rank(df, [F.col("k").desc(), F.col("id")])
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
+    # the row_number window over the data is partitioned by __pid
+    assert "windowspecdefinition(__pid" in plan
+    # one SinglePartition exchange total: the P-row offsets window
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_brute_force_arrow_query_cap(spark):
