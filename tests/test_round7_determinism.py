@@ -206,3 +206,39 @@ def test_brute_force_arrow_query_cap(spark):
     # under the cap the path works unchanged
     out = brute_force_topk_arrow(emb, emb.limit(3), k=2)
     assert out.count() == 6
+
+
+def test_quality_fail_int_property(spark):
+    """Hypothesis sweep: the BIGINT cross-multiplication equals the
+    exact-rational spec on arbitrary ASCII text (word soups spanning
+    the clamp regimes: blank, punctuation-only, stopword-dense, long),
+    batched through ONE Spark job per example set."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    word = st.sampled_from(
+        ["the", "a", "is", "and", "of", "fox", "jumps", "x!", "?!",
+         "word.", ",,,", "lorem", "ipsum", "a,b;c", "zz"]
+    )
+    texts = st.lists(
+        st.lists(word, min_size=0, max_size=120).map(" ".join),
+        min_size=1,
+        max_size=24,
+    )
+
+    @given(texts)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(batch):
+        df = spark.createDataFrame([(t,) for t in batch], "text string")
+        got = [
+            r["fq"]
+            for r in df.select(
+                T.quality_fail_int(F.col("text")).alias("fq")
+            ).collect()
+        ]
+        assert got == [_exact_quality_lt_04(t) for t in batch]
+
+    check()
