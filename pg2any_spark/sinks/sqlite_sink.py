@@ -165,7 +165,18 @@ def apply_batch_to_sqlite(
             conn.execute(f'DELETE FROM "{table}"')
         n_rows = [0]  # shared across both streams: one cap per batch
         col_sql = ", ".join(f'"{c}"' for c in columns)
+        key_idx = [columns.index(k) for k in key_cols]
         for chunk in _iter_chunks(ups, MAX_ROWS_PER_STMT, n_rows, max_driver_rows):
+            # NULL key = unroutable row; the reference hard-errors
+            # instead of writing a NULL-keyed row or matching nothing
+            # (``sql_renderer.rs`` missing-key error; its SQLite test
+            # matrix pins it) — and the whole tx rolls back below.
+            for r in chunk:
+                if any(r[i] is None for i in key_idx):
+                    raise ValueError(
+                        f"apply_batch_to_sqlite: NULL key value for "
+                        f"{key_cols} in upsert row {r!r} (table {table})"
+                    )
             # Multi-value upsert ≈ coalescing rewrite R2 + MERGE
             # semantics of R3/R4 (``coalescing.rs:953-996``).
             placeholders = ", ".join(
@@ -178,6 +189,14 @@ def apply_batch_to_sqlite(
             )
         key_sql = " AND ".join(f'"{k}" = ?' for k in key_cols)
         for chunk in _iter_chunks(dels, MAX_ROWS_PER_STMT, n_rows, max_driver_rows):
+            for r in chunk:
+                if any(v is None for v in r):
+                    raise ValueError(
+                        f"apply_batch_to_sqlite: NULL key value for "
+                        f"{key_cols} in delete row {r!r} (table {table}) — "
+                        "a NULL-keyed DELETE matches nothing and would "
+                        "silently drop the event"
+                    )
             # OR-combined DELETE ≈ rewrite R5 (``coalescing.rs:332-357``).
             cond = " OR ".join(f"({key_sql})" for _ in chunk)
             conn.execute(
