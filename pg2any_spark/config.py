@@ -155,6 +155,13 @@ class CdcConfig:
     #: 0 = destination default (SQL Server hard-caps at 1000)
     max_rows_per_insert: int = 0
     transaction_file_base_path: str = "."
+    #: PG2ANY_ENABLE_COMPRESSION (the reference's CI-matrix flag,
+    #: storage/compressed.rs): gzip the event-mode JSON-lines IR —
+    #: sources.jsonlines threads it into the writer; readers are
+    #: codec-transparent either way. (The reference's seekable gzip
+    #: INDEX has no analogue to need: parquet row groups already give
+    #: indexed, compressed, seekable segments.)
+    enable_compression: bool = False
 
     def map_schema(self, source_schema: str) -> str:
         """P6 schema mapping (``sql_renderer.rs:31-37``): unmapped
@@ -261,6 +268,12 @@ def load_config_from_env(env: Mapping[str, str] | None = None) -> CdcConfig:
         bulk_insert_threshold=_parse_int(env, "CDC_BULK_INSERT_THRESHOLD", 500),
         max_rows_per_insert=_parse_int(env, "CDC_MAX_ROWS_PER_INSERT", 0),
         transaction_file_base_path=env.get("CDC_TRANSACTION_FILE_BASE_PATH", "."),
+        # the reference accepts "true" OR "1" for this flag (its
+        # compression_feature_flag_tests pin exactly that), unlike the
+        # strict CDC_* boolean parser
+        enable_compression=(
+            env.get("PG2ANY_ENABLE_COMPRESSION", "").lower() in ("true", "1")
+        ),
     )
 
 

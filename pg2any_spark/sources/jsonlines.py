@@ -25,14 +25,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA
 
 
-def write_events_jsonl(events: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_events_jsonl(
+    events: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: bool = False,
+) -> None:
     """Persist change events as newline-delimited JSON (event-mode IR).
 
     Null images are written explicitly (``"before": null``) like the
     reference's serde output, so a reader can distinguish "no before
     image" from schema drift.
-    """
-    events.write.mode(mode).option("ignoreNullFields", "false").json(path)
+
+    ``compression=True`` gzips each part file — the analogue of the
+    reference's ``PG2ANY_ENABLE_COMPRESSION`` segment gzip
+    (``storage/compressed.rs``; thread ``CdcConfig.enable_compression``
+    here). All readers in this module are codec-transparent (Spark
+    resolves ``.json.gz`` automatically), so the flag changes bytes on
+    disk, never semantics — the same contract the reference's CI
+    matrix pins by running every integration suite compression on/off.
+    The reference's seekable sync-point INDEX has no analogue to need:
+    per-file gzip keeps file-granular parallelism and checkpoint
+    offsets are file-based, so resume never seeks inside a member."""
+    w = events.write.mode(mode).option("ignoreNullFields", "false")
+    if compression:
+        w = w.option("compression", "gzip")
+    w.json(path)
 
 
 def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
