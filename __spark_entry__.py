@@ -8,13 +8,14 @@ core capability, re-expressed Spark-first).
 from SURVEY.md §2; the driver cross-checks each against DuckDB.
 
 Ordering contract: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` in iteration order. Queries that have never
-earned a driver row are emitted first, then the ones already verified
-in a previous round (CORRECTNESS_r01–r04), so the 50-slot window
-always covers the largest never-checked surface. New queries added in
-any round are automatically in the priority window (they are not in
-``DRIVER_VERIFIED``); round 5 additionally pins the one round-4 red
-(``corpus_filter_funnel``, re-sited threshold) at the front.
+entries of ``queries()`` in iteration order. ``RECHECK_FIRST`` (reds
+under rework + their interpretation anchors) is emitted first, then
+queries that have never earned a driver row, then the cumulative
+``DRIVER_VERIFIED`` set (re-confirmations), with the two no-oracle
+sketches dead last. Round 7's window: the 12 reworked round-6 reds +
+2 green probe anchors + 2 re-pinned r2 per-doc greens (env-drift
+detectors), the 10 new canaries/probes (never-checked), and 24
+verified re-confirms.
 """
 
 from __future__ import annotations
