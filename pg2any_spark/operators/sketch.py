@@ -236,6 +236,75 @@ def kmv_distinct(
     return agg.select(*group_cols, est.alias("kmv_est"))
 
 
+def bloom_cells(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 65_536,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as its SET-BIT table:
+    one ``(pos)`` row per set bit (≤ ``m_bits`` rows regardless of
+    input size) — the MEMBERSHIP sketch completing the family next to
+    count-min (frequency), the fixed-edge histogram (quantiles), and
+    KMV (cardinality). Same engineering contract as the others:
+
+    - **mergeable**: set-bit tables union+distinct cell-wise, so
+      shards and increments combine map-side;
+    - **deterministic**: the ``k`` bit positions are the engine-wide
+      md5-prefix hash family (salt = hash index), so re-runs and the
+      DuckDB oracle reproduce the filter bit for bit;
+    - **no-false-negative**: a key that was inserted always probes
+      present; absent keys collide with probability
+      ≈ (1 − e^{-kn/m})^k.
+
+    Sizing: m/n ≈ 14.4 bits/key with k = 10 gives ~0.1% FP; the
+    defaults (m = 64 Ki, k = 4) target fixture-scale corpora — at
+    100 TB raise ``m_bits`` (the table is ≤ m rows of one int, so
+    even 2^32 bits is a 4-billion-row-max — in practice density-bound
+    — parquet table that joins by ``pos``; broadcast it while it
+    fits, bucket it when it doesn't)."""
+    fan = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+        F.col(key_col).alias("__k"),
+    ).select(_cms_bucket(F.col("__k"), F.col("i"), m_bits).alias("pos"))
+    return fan.distinct()
+
+
+def bloom_probe(
+    cells: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 65_536,
+    k: int = 4,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Probe keys against a Bloom set-bit table: a key tests PRESENT
+    iff all ``k`` of its bit positions are set. Probes fan out ×k,
+    LEFT-join the (≤ m-row, broadcast) cell table, and present =
+    (matched bits == k) folds them back. ``carry_cols`` ride along in
+    the group (e.g. the probing doc's id, so duplicate keys from
+    different docs stay distinct rows). Returns one row per distinct
+    (carry_cols…, key_col): (…, key_col, bloom_hit int)."""
+    carry = carry_cols or []
+    fan = probes.select(
+        *carry,
+        key_col,
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),
+    ).select(
+        *carry,
+        key_col,
+        _cms_bucket(F.col(key_col), F.col("i"), m_bits).alias("pos"),
+    )
+    marked = fan.join(
+        F.broadcast(cells.withColumn("__set", F.lit(1))), ["pos"], "left"
+    )
+    return marked.groupBy(*carry, key_col).agg(
+        (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == k)
+        .cast("int")
+        .alias("bloom_hit")
+    )
+
+
 def cms_estimate(
     cells: DataFrame, probes: DataFrame, key_col: str,
     depth: int = 4, width: int = 1024,

@@ -3336,6 +3336,110 @@ def kmv_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+#: 3-gram table over a doc-id-gated subset as a WITH-clause CTE body —
+#: shared by the Bloom decontamination oracle's train/eval sides.
+def _gram3_cte(name: str, pred: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT DISTINCT doc_id,
+               t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 3 AS INTEGER)] AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t
+              FROM documents WHERE trim(text) <> '' AND {pred}) s,
+             UNNEST(range(len(t) - 2)) AS r(i)
+        WHERE len(t) >= 3
+    )"""
+
+
+#: Bloom bit position, salt i — the engine-wide md5-prefix family
+#: (sketch._cms_bucket with m = 65536).
+_BLOOM_POS = (
+    "CAST(CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || {key}), "
+    "1, 8)) AS BIGINT) % 65536 AS INTEGER)"
+)
+
+
+@query(
+    "decontaminate_bloom_counts",
+    oracle=f"""
+    WITH {_gram3_cte("tr", "doc_id % 10 <> 0")},
+    {_gram3_cte("ev", "doc_id % 10 = 0")},
+    bits AS (
+        SELECT DISTINCT {_BLOOM_POS.format(key='gram')} AS pos
+        FROM (SELECT DISTINCT gram FROM tr) g
+        CROSS JOIN UNNEST(range(4)) AS r(i)
+    ),
+    pr AS (
+        SELECT ev.doc_id, ev.gram,
+               {_BLOOM_POS.format(key='ev.gram')} AS pos
+        FROM ev CROSS JOIN UNNEST(range(4)) AS r(i)
+    ),
+    hits AS (
+        SELECT doc_id, gram,
+               CASE WHEN COUNT(b.pos) = 4 THEN 1 ELSE 0 END AS bloom_hit
+        FROM pr LEFT JOIN bits b USING (pos)
+        GROUP BY doc_id, gram
+    ),
+    ex AS (
+        SELECT DISTINCT ev.doc_id, ev.gram FROM ev
+        JOIN (SELECT DISTINCT gram FROM tr) t ON t.gram = ev.gram
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(h.bloom_hit) AS n_bloom_hits,
+           SUM(CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_exact_hits,
+           SUM(CASE WHEN h.bloom_hit = 1 AND ex.gram IS NULL
+                    THEN 1 ELSE 0 END) AS n_false_positives
+    FROM hits h
+    LEFT JOIN ex ON ex.doc_id = h.doc_id AND ex.gram = h.gram
+    GROUP BY h.doc_id
+    """,
+)
+def decontaminate_bloom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen — the MEMBERSHIP sketch
+    completing the family (count-min = frequency, histogram =
+    quantiles, KMV = cardinality): the train split's distinct 3-grams
+    build a 64 Ki-bit / 4-hash Bloom set-bit table
+    (``sketch.bloom_cells``), every held-out doc's grams probe it, and
+    the report compares Bloom verdicts against exact membership per
+    document — hit counts, and the sketch's false positives (never
+    false negatives: asserted per gram by construction here, since
+    exact ⊆ bloom). At 100 TB the exact side is the expensive join
+    you DON'T run in production — the Bloom probe touches a ≤ m-row
+    broadcast table instead of the full n-gram inventory; this query
+    carries the exact twin precisely to price the sketch's error.
+    Integer-exact end to end (md5-derived bit positions, counts), so
+    the oracle proves bit-level filter equality."""
+    from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.trim(F.col("text")) != ""
+    )
+    grams = docs.select(
+        "doc_id", F.explode(T.word_ngrams(F.col("text"), 3)).alias("gram")
+    ).distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
+    ev = grams.filter(F.col("doc_id") % 10 == 0)
+    cells = bloom_cells(train, "gram")
+    probed = bloom_probe(cells, ev, "gram", carry_cols=["doc_id"])
+    exact = ev.join(train, "gram", "left_semi").withColumn(
+        "exact_hit", F.lit(1)
+    )
+    flagged = probed.join(exact, ["doc_id", "gram"], "left").withColumn(
+        "exact_hit", F.coalesce(F.col("exact_hit"), F.lit(0))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("bloom_hit").alias("n_bloom_hits"),
+        F.sum("exact_hit").alias("n_exact_hits"),
+        F.sum(
+            ((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0)).cast("int")
+        ).alias("n_false_positives"),
+    )
+
+
 @query(
     "hist_quantile_order_value",
     oracle="""

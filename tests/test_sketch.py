@@ -189,3 +189,72 @@ class TestKmv:
         assert sorted(map(tuple, direct.collect())) == sorted(
             map(tuple, remerged.collect())
         )
+
+
+class TestBloom:
+    def _df(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "gram string")
+
+    def test_no_false_negatives(self, spark):
+        from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+
+        keys = [f"gram-{i}" for i in range(300)]
+        cells = bloom_cells(self._df(spark, keys), "gram")
+        got = {
+            r["gram"]: r["bloom_hit"]
+            for r in bloom_probe(cells, self._df(spark, keys), "gram").collect()
+        }
+        assert all(got[k] == 1 for k in keys)
+
+    def test_fp_rate_within_theory(self, spark):
+        """m=64Ki, k=4, n=300 inserted → (1 − e^{-kn/m})^k ≈ 1e-8;
+        probing 1000 absent keys must yield ~0 false positives (allow
+        a couple for hash-collision luck)."""
+        from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+
+        cells = bloom_cells(
+            self._df(spark, [f"in-{i}" for i in range(300)]), "gram"
+        )
+        absent = self._df(spark, [f"out-{i}" for i in range(1000)])
+        fp = sum(
+            r["bloom_hit"]
+            for r in bloom_probe(cells, absent, "gram").collect()
+        )
+        assert fp <= 2, fp
+
+    def test_cells_merge_by_union_distinct(self, spark):
+        from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+
+        a = [f"a-{i}" for i in range(100)]
+        b = [f"b-{i}" for i in range(100)]
+        direct = bloom_cells(self._df(spark, a + b), "gram")
+        merged = (
+            bloom_cells(self._df(spark, a), "gram")
+            .unionByName(bloom_cells(self._df(spark, b), "gram"))
+            .distinct()
+        )
+        assert sorted(r["pos"] for r in direct.collect()) == sorted(
+            r["pos"] for r in merged.collect()
+        )
+        got = {
+            r["gram"]: r["bloom_hit"]
+            for r in bloom_probe(merged, self._df(spark, a + b), "gram").collect()
+        }
+        assert all(v == 1 for v in got.values())
+
+    def test_probe_carry_cols_keep_duplicate_keys_apart(self, spark):
+        from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+
+        cells = bloom_cells(self._df(spark, ["shared"]), "gram")
+        probes = spark.createDataFrame(
+            [(1, "shared"), (2, "shared"), (2, "absent-key")],
+            "doc_id long, gram string",
+        )
+        rows = {
+            (r["doc_id"], r["gram"]): r["bloom_hit"]
+            for r in bloom_probe(
+                cells, probes, "gram", carry_cols=["doc_id"]
+            ).collect()
+        }
+        assert rows[(1, "shared")] == 1 and rows[(2, "shared")] == 1
+        assert rows[(2, "absent-key")] == 0
