@@ -286,7 +286,9 @@ def bloom_probe(
     different docs stay distinct rows). Returns one row per distinct
     (carry_cols…, key_col): (…, key_col, bloom_hit int)."""
     carry = carry_cols or []
-    fan = probes.select(
+    # duplicate probe rows would double the fan and break the
+    # "all k rows matched" fold — the contract is per DISTINCT key
+    fan = probes.select(*carry, key_col).distinct().select(
         *carry,
         key_col,
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i"),

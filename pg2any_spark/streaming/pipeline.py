@@ -1717,6 +1717,66 @@ def read_kmv_cells(
     )
 
 
+def bloom_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cells_path: str,
+    key_col: str,
+    m_bits: int = 65_536,
+    k: int = 4,
+) -> None:
+    """Streaming Bloom-filter maintenance: the batch's own set-bit
+    table lands under the batch partition (same replay-idempotence
+    contract as cms/hist/kmv — deterministic rows + own-partition
+    overwrite). Bloom merges by UNION-DISTINCT of set bits, so like
+    KMV the read path owns the fold; per-batch state is ≤ m rows."""
+    from pg2any_spark.operators.sketch import bloom_cells
+
+    _recover_replica(cells_path)
+    if batch_df.limit(1).count() == 0:
+        return
+    cells = bloom_cells(batch_df, key_col, m_bits, k)
+    _overwrite_ingest_partition(cells, cells_path, batch_id)
+
+
+def read_bloom_cells(spark: SparkSession, cells_path: str) -> DataFrame:
+    """Accumulated Bloom filter: distinct union of every batch's set
+    bits — exactly the one-shot filter over everything ingested so
+    far (set-union is the Bloom merge), ready for
+    ``sketch.bloom_probe``."""
+    return spark.read.parquet(cells_path).select("pos").distinct()
+
+
+def start_streaming_bloom(
+    rows: DataFrame,
+    cells_path: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    available_now: bool = True,
+    **kwargs,
+) -> StreamingQuery:
+    """Continuously maintain a Bloom membership filter over an ingest
+    stream — the streaming twin of a one-shot ``bloom_cells`` build
+    (e.g. the train-set n-gram filter a decontamination screen probes,
+    kept current as new training shards land). At any point
+    ``read_bloom_cells`` + ``bloom_probe`` answer "was this key ever
+    ingested" with no false negatives."""
+    spark = rows.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_apply_batch(
+            spark, batch_df, batch_id, cells_path, key_col, **kwargs
+        )
+
+    writer = rows.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 #: Base partition id for compacted dedup-index state: strictly below
 #: every real micro-batch id, so the probe filter
 #: ``ingest_batch < batch_id`` always includes it.

@@ -1712,6 +1712,72 @@ class TestStreamingCms:
         assert once == twice
 
 
+class TestStreamingBloom:
+    def test_streamed_bloom_equals_batch_and_replays_idempotent(
+        self, spark, tmp_path
+    ):
+        from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+        from pg2any_spark.streaming.pipeline import (
+            bloom_apply_batch,
+            read_bloom_cells,
+        )
+
+        cells_path = str(tmp_path / "bloom")
+        chunks = [
+            [(f"k{i}",) for i in range(300)],
+            [(f"k{i}",) for i in range(200, 500)],
+        ]
+        for i, ch in enumerate(chunks):
+            df = spark.createDataFrame(ch, "key string")
+            bloom_apply_batch(spark, df, i, cells_path, "key")
+        got = read_bloom_cells(spark, cells_path)
+        whole = spark.createDataFrame(chunks[0] + chunks[1], "key string")
+        want = bloom_cells(whole, "key")
+        assert sorted(r["pos"] for r in got.collect()) == sorted(
+            r["pos"] for r in want.collect()
+        )
+        # every ingested key probes present off the streamed filter
+        hits = {
+            r["key"]: r["bloom_hit"]
+            for r in bloom_probe(got, whole, "key").collect()
+        }
+        assert all(v == 1 for v in hits.values())
+        # replay idempotence (snapshot-before contract, as hist/kmv)
+        before = sorted(r["pos"] for r in got.collect())
+        df0 = spark.createDataFrame(chunks[0], "key string")
+        bloom_apply_batch(spark, df0, 0, cells_path, "key")
+        after = sorted(
+            r["pos"] for r in read_bloom_cells(spark, cells_path).collect()
+        )
+        assert before == after
+
+    def test_streaming_bloom_end_to_end(self, spark, tmp_path):
+        import glob
+
+        from pg2any_spark.operators.sketch import bloom_probe
+        from pg2any_spark.streaming.pipeline import (
+            read_bloom_cells,
+            start_streaming_bloom,
+        )
+
+        src = str(tmp_path / "src")
+        keys = [(f"k{i}",) for i in range(200)]
+        spark.createDataFrame(keys, "key string").write.parquet(src)
+        stream = spark.readStream.schema("key string").parquet(src)
+        q = start_streaming_bloom(
+            stream, str(tmp_path / "cells"), str(tmp_path / "ckpt"),
+            key_col="key",
+        )
+        q.awaitTermination()
+        assert glob.glob(str(tmp_path / "cells") + "/*")
+        got = read_bloom_cells(spark, str(tmp_path / "cells"))
+        probe = spark.createDataFrame(keys, "key string")
+        assert all(
+            r["bloom_hit"] == 1
+            for r in bloom_probe(got, probe, "key").collect()
+        )
+
+
 class TestStreamingHistAndKmv:
     def test_streamed_hist_equals_batch(self, spark, tmp_path):
         from pg2any_spark.operators.sketch import (
