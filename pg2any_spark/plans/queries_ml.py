@@ -3412,17 +3412,32 @@ def decontaminate_bloom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the exact twin precisely to price the sketch's error.
     Integer-exact end to end (md5-derived bit positions, counts), so
     the oracle proves bit-level filter equality."""
-    from pg2any_spark.operators.sketch import bloom_cells, bloom_probe
+    from pg2any_spark.operators.sketch import bloom_cells
 
+    grams = _decon_grams(spark, sf_dir)
+    train = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
+    return _bloom_decon_report(grams, train, bloom_cells(train, "gram"))
+
+
+def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 3-gram) pairs — shared by the batch and
+    streamed Bloom decontamination queries."""
     docs = load_table(spark, "documents", sf_dir).filter(
         F.trim(F.col("text")) != ""
     )
-    grams = docs.select(
+    return docs.select(
         "doc_id", F.explode(T.word_ngrams(F.col("text"), 3)).alias("gram")
     ).distinct()
-    train = grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
+
+
+def _bloom_decon_report(
+    grams: DataFrame, train: DataFrame, cells: DataFrame
+) -> DataFrame:
+    """Per-eval-doc Bloom-vs-exact membership report over a set-bit
+    table ``cells`` (however built — one-shot or streamed)."""
+    from pg2any_spark.operators.sketch import bloom_probe
+
     ev = grams.filter(F.col("doc_id") % 10 == 0)
-    cells = bloom_cells(train, "gram")
     probed = bloom_probe(cells, ev, "gram", carry_cols=["doc_id"])
     exact = ev.join(train, "gram", "left_semi").withColumn(
         "exact_hit", F.lit(1)
@@ -3437,6 +3452,81 @@ def decontaminate_bloom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             ((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0)).cast("int")
         ).alias("n_false_positives"),
+    )
+
+
+@query(
+    "bloom_streaming_grams",
+    oracle=f"""
+    WITH {_gram3_cte("tr", "doc_id % 10 <> 0")},
+    {_gram3_cte("ev", "doc_id % 10 = 0")},
+    bits AS (
+        SELECT DISTINCT {_BLOOM_POS.format(key='gram')} AS pos
+        FROM (SELECT DISTINCT gram FROM tr) g
+        CROSS JOIN UNNEST(range(4)) AS r(i)
+    ),
+    pr AS (
+        SELECT ev.doc_id, ev.gram,
+               {_BLOOM_POS.format(key='ev.gram')} AS pos
+        FROM ev CROSS JOIN UNNEST(range(4)) AS r(i)
+    ),
+    hits AS (
+        SELECT doc_id, gram,
+               CASE WHEN COUNT(b.pos) = 4 THEN 1 ELSE 0 END AS bloom_hit
+        FROM pr LEFT JOIN bits b USING (pos)
+        GROUP BY doc_id, gram
+    ),
+    ex AS (
+        SELECT DISTINCT ev.doc_id, ev.gram FROM ev
+        JOIN (SELECT DISTINCT gram FROM tr) t ON t.gram = ev.gram
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(h.bloom_hit) AS n_bloom_hits,
+           SUM(CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_exact_hits,
+           SUM(CASE WHEN h.bloom_hit = 1 AND ex.gram IS NULL
+                    THEN 1 ELSE 0 END) AS n_false_positives
+    FROM hits h
+    LEFT JOIN ex ON ex.doc_id = h.doc_id AND ex.gram = h.gram
+    GROUP BY h.doc_id
+    """,
+)
+def bloom_streaming_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter maintained CONTINUOUSLY: the train split's
+    grams stream in three micro-batches (sharded by doc_id%3), each
+    landing its partial set-bit table under its own ingest partition
+    (``pipeline.bloom_apply_batch``), and the union-distinct read-back
+    filter answers the SAME decontamination report as the one-shot
+    build — same oracle, because set-union mergeability makes
+    streamed == batch exactly, not approximately (the live
+    train-filter a decontamination screen probes while training
+    shards are still landing)."""
+    from pg2any_spark.streaming.pipeline import (
+        read_bloom_cells,
+        start_streaming_bloom,
+    )
+
+    grams = _decon_grams(spark, sf_dir)
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    work = _fresh_workdir("pg2any_bloom_")
+    src = f"{work}/grams"
+    for m in range(3):
+        train.filter(F.col("doc_id") % 3 == m).select("gram").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("gram string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_streaming_bloom(
+        stream, f"{work}/cells", f"{work}/ckpt", key_col="gram"
+    )
+    q.awaitTermination(300)
+    cells = read_bloom_cells(spark, f"{work}/cells")
+    return _bloom_decon_report(
+        grams, train.select("gram").distinct(), cells
     )
 
 
