@@ -12,10 +12,15 @@ entries of ``queries()`` in iteration order. ``RECHECK_FIRST`` (reds
 under rework + their interpretation anchors) is emitted first, then
 queries that have never earned a driver row, then the cumulative
 ``DRIVER_VERIFIED`` set (re-confirmations), with the two no-oracle
-sketches dead last. Round 7's window: the 12 reworked round-6 reds +
-2 green probe anchors + 2 re-pinned r2 per-doc greens (env-drift
-detectors), the 10 new canaries/probes (never-checked), and 24
-verified re-confirms.
+sketches dead last. Round 8's window: the 14 recast-oracle queries
+(the 13 round-7 reds + the latent ``lm_bigram_perplexity`` — all
+fixed by ``CAST(... AS BIGINT)`` on their HUGEINT-typed output
+columns, the round-7 judge's proven mechanism) + the 2 new hugeint
+mechanism canaries (``canary_hugeint_bare`` expected RED,
+``canary_hugeint_cast`` expected GREEN — the controlled pair that
+driver-confirms the diagnosis), then 34 verified re-confirms
+(never-checked bucket is empty: every registered oracle query now
+has a driver row).
 """
 
 from __future__ import annotations
@@ -79,7 +84,9 @@ DRIVER_VERIFIED = {
     "cdc_streaming_agg_view", "cross_source_duplication",
     "dedup_incremental_index", "dedup_keep_best",
     "dedup_lexical_semantic_agreement", "dedup_lsh_recall_report",
-    "embedding_outliers", "knn_label_embeddings", "lm_bigram_perplexity",
+    "embedding_outliers", "knn_label_embeddings",
+    # lm_bigram_perplexity was green here (r4) but its oracle was
+    # re-typed HUGEINT by the r6 rewrite → re-pinned via RECHECK_FIRST
     "pack_sequences_budget", "vocab_growth_curve",
     # r05 greens (47 hash-matched rows in CORRECTNESS_r05.json; the three
     # reds — corpus_filter_funnel, perplexity_bucket_sampling,
@@ -101,6 +108,16 @@ DRIVER_VERIFIED = {
     "kmv_distinct_ngrams", "hist_quantile_order_value", "nb_lang_confusion",
     "pq_code_balance", "ann_ivfpq_recall", "retrieval_bm25_topk",
     "source_quota_cap",
+    # r07 greens (37 hash-matched rows in CORRECTNESS_r07.json; the 13
+    # reds — all the HUGEINT oracle-typing artifact, recast in r8 —
+    # stay OUT and are pinned first via RECHECK_FIRST). Folds in the
+    # 10 round-7 canaries/probes, the newly-green dsir_importance
+    # rework, and the green line-dedup / perplexity anchors.
+    "perplexity_probe_nll", "line_dedup_probe_digest",
+    "dsir_importance_scores", "line_dedup_probe_nlines",
+    "line_dedup_probe_footer", "canary_engine_agree", "canary_duck_pin",
+    "canary_spark_pin", "tok_probe_perdoc", "lang_probe_scores",
+    "quality_probe_ints", "repetition_probe_ints", "lm_probe_vocab",
 }
 
 #: Engine-specific sketch queries with no cross-engine oracle — they can
@@ -108,26 +125,51 @@ DRIVER_VERIFIED = {
 #: dead last regardless of verification status.
 NO_ORACLE = {"approx_distinct_parts", "approx_percentile_order_value"}
 
-#: Queries with a RED driver row in the latest round — all 12 reworked
-#: integer-exact in round 7 — plus their bisection probes and two
-#: re-pinned r2 greens (per-doc tokenization ground truth), emitted
-#: before everything else so the re-check happens even if the
-#: never-checked bucket ever outgrows the 50-slot window. The 10 new
-#: round-7 canaries/probes are never-checked, so they fill the window
-#: right behind these.
+#: Greens the round-7 driver run just re-confirmed (hash-matched rows
+#: in CORRECTNESS_r07.json outside RECHECK_FIRST). Re-checking one in
+#: round 8 spends a slot on the freshest evidence in the repo, so they
+#: sort behind the DRIVER_VERIFIED queries whose last driver row is
+#: older (r2–r6) — the 34 re-confirm slots rotate through the stalest
+#: greens first.
+R7_RECONFIRMED = {
+    "cdc_apply_customer", "cdc_apply_pgoutput", "cdc_apply_toast",
+    "cdc_apply_schema_evolution", "cdc_apply_two_phase",
+    "cdc_apply_quarantined_feed", "cdc_apply_multi_table",
+    "cdc_apply_multi_table_bucketed", "cdc_incremental_agg_view",
+    "q1_pricing_summary", "cdc_apply_truncate",
+    "cdc_apply_orders_full_identity", "cdc_apply_pgoutput_streamed",
+    "cdc_apply_streaming_tx", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_items",
+    "window_top_orders_per_customer", "window_running_revenue",
+    "window_lag_events", "rollup_sales_by_region_nation",
+    "cube_orders_status_priority", "text_stats_documents",
+    "lang_id_documents", "perplexity_probe_nll",
+    "line_dedup_probe_digest", "dsir_importance_scores",
+    "line_dedup_probe_nlines", "line_dedup_probe_footer",
+    "canary_engine_agree", "canary_duck_pin", "canary_spark_pin",
+    "tok_probe_perdoc", "lang_probe_scores", "quality_probe_ints",
+    "repetition_probe_ints", "lm_probe_vocab",
+}
+
+#: Round 8: the 13 round-7 reds + the latent ``lm_bigram_perplexity``
+#: (driver-green in r4, silently re-typed HUGEINT by the round-6
+#: oracle rewrite) — all 14 recast ``CAST(... AS BIGINT)`` per the
+#: round-7 judge's proven HUGEINT mechanism — plus the two new
+#: mechanism canaries (bare expected RED / cast expected GREEN).
+#: Emitted before everything else so the re-check happens even if the
+#: never-checked bucket ever outgrows the 50-slot window.
 RECHECK_FIRST = {
-    # the 12 round-6 reds (reworked)
+    # the 13 round-7 reds, oracles recast to BIGINT outputs
     "corpus_filter_funnel", "funnel_probe_quality", "funnel_probe_repetition",
     "funnel_probe_lang", "funnel_probe_lm",
     "perplexity_bucket_sampling", "line_dedup_c4", "line_dedup_probe_counts",
-    "dsir_importance_scores", "dsir_resample_counts",
-    "pq_ann_topk", "ann_ivfpq_topk",
-    # green anchors re-pinned beside their red siblings
-    "line_dedup_probe_digest", "perplexity_probe_nll",
-    # r2 greens re-pinned: if the driver env drifted since r2, these
-    # per-doc outputs (token counts / lang argmax) go red and explain
-    # the integer-flag contradictions of round 6
-    "lang_id_documents", "text_stats_documents",
+    "dsir_resample_counts", "pq_ann_topk", "ann_ivfpq_topk",
+    "decontaminate_bloom_counts", "bloom_streaming_grams",
+    # latent: r4 green, oracle re-typed HUGEINT by the r6 rewrite and
+    # never re-checked since; recast in r8 and re-pinned
+    "lm_bigram_perplexity",
+    # the one-bit mechanism pair (driver-confirms the r7 diagnosis)
+    "canary_hugeint_bare", "canary_hugeint_cast",
 }
 
 
@@ -141,8 +183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if n in RECHECK_FIRST:
             return -1
         if n in NO_ORACLE:
-            return 2
-        return 1 if n in DRIVER_VERIFIED else 0
+            return 3
+        if n not in DRIVER_VERIFIED:
+            return 0
+        # stalest greens (last driver row r2–r6) rotate in before the
+        # ones round 7 just re-confirmed
+        return 2 if n in R7_RECONFIRMED else 1
 
     # sorted() is stable, so registration order is preserved within
     # each bucket: never-checked first, verified next, no-oracle last

@@ -2,8 +2,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver records only the last ~2000
+chars of stdout — round 7's record was lost to an oversized line):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+and writes the full record (3dp timings, regression table, full chaos
+artifacts) to BENCH_DETAIL_r{N}.json.
 
 Each query executes to completion (collect or count — full plan
 execution, not lazy). The CDC apply throughput maps to the reference's
@@ -111,59 +114,97 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    record = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    # Per-query delta vs the latest recorded round (BENCH_r{N}.json):
-    # a real regression becomes visible THE ROUND IT HAPPENS instead
-    # of two rounds later in a judge diff. Only queries drifting >=20%
-    # AND >=0.2s are listed (below that is local[32] noise); the delta
-    # block is advisory — the headline metric is unchanged.
+    # Per-query delta vs the latest parseable prior round: a real
+    # regression becomes visible THE ROUND IT HAPPENS instead of two
+    # rounds later in a judge diff. Only queries drifting >=20% AND
+    # >=0.2s are listed (below that is local[32] noise); advisory —
+    # the headline metric is unchanged.
     import glob as _glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_paths = sorted(_glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
-    if prior_paths:
+    prior, prior_name = {}, None
+    candidates = sorted(
+        _glob.glob(os.path.join(here, "BENCH_DETAIL_r[0-9]*.json"))
+        + _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+    )
+    for path in reversed(candidates):
         # the driver's BENCH_r{N}.json wraps this script's JSON line
         # inside a "tail" string field — unwrap it when present
         try:
-            with open(prior_paths[-1]) as f:
+            with open(path) as f:
                 rec = json.load(f)
+            if rec is None:
+                continue
             if "queries" not in rec and "tail" in rec:
                 line = [
                     ln for ln in rec["tail"].splitlines()
                     if ln.startswith("{") and '"queries"' in ln
                 ]
                 rec = json.loads(line[-1]) if line else {}
-            prior = rec.get("queries", {})
+            if rec.get("queries"):
+                prior, prior_name = rec["queries"], os.path.basename(path)
+                break
         except (OSError, json.JSONDecodeError, IndexError):
-            prior = {}
-        deltas = {}
-        for name, t in timings.items():
-            p = prior.get(name)
-            if p and t >= p * 1.2 and t - p >= 0.2:
-                deltas[name] = {"prev": p, "now": t,
-                                "pct": round((t - p) / p * 100, 1)}
-        record["regressions_vs"] = os.path.basename(prior_paths[-1])
-        record["regressions"] = deltas
-    # Chaos headline (reference scenario 5 analogue): measured by
-    # tests/test_scenarios.py::test_s5_megarow_single_tx_hard_kill_bucketed
-    # — 1M-row (3M with PG2ANY_CHAOS_ROWS) single-transaction feed,
-    # SIGKILL mid-stream, restart, exact-state verify. Carried from
-    # its artifact (the run itself takes minutes and two JVMs;
-    # re-running it per bench would dwarf the query suite).
-    import glob as _glob
+            continue
+    deltas = {}
+    for name, t in timings.items():
+        p = prior.get(name)
+        if p and t >= p * 1.2 and t - p >= 0.2:
+            deltas[name] = {"prev": p, "now": t,
+                            "pct": round((t - p) / p * 100, 1)}
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    for chaos_path in sorted(_glob.glob(os.path.join(here, "CHAOS_*M.json"))):
-        key = "chaos_sigkill_" + os.path.basename(chaos_path)[6:-5].lower()
+    # Chaos headline (reference scenario 5 analogue): measured by
+    # tests/test_scenarios.py chaos scenarios (1M/3M-row feeds,
+    # SIGKILL mid-stream, restart, exact-state verify). Carried from
+    # their artifacts (each run takes minutes and two JVMs).
+    chaos_full: dict[str, dict] = {}
+    for chaos_path in sorted(_glob.glob(os.path.join(here, "CHAOS_*.json"))):
+        key = os.path.basename(chaos_path)[6:-5].lower()
         with open(chaos_path) as f:
-            record[key] = json.load(f)
-    print(json.dumps(record))
+            chaos_full[key] = json.load(f)
+
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "regressions_vs": prior_name,
+        "regressions": deltas,
+        "chaos": chaos_full,
+    }
+    # Full record goes to a file (round number inferred from the last
+    # driver-recorded BENCH_r{N}); the driver captures only the last
+    # ~2000 chars of stdout, so the final printed line must stay
+    # compact — round 7's record was lost to an oversized line.
+    rounds = [
+        int(p.rsplit("BENCH_r", 1)[-1][:-5])
+        for p in _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+    ]
+    detail_path = os.path.join(
+        here, f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"# full record: {detail_path}", file=sys.stderr)
+
+    record = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": detail["sf"],
+        "regression_count": len(deltas),
+        "chaos_rows_per_second": {
+            k: v.get("rows_per_second") for k, v in chaos_full.items()
+        },
+        "detail": os.path.basename(detail_path),
+    }
+    line = json.dumps(record)
+    if len(line) > 1900:  # keep headroom inside the driver's window
+        record.pop("chaos_rows_per_second", None)
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -71,10 +71,32 @@ def _cast_text(value: Column, dtype) -> Column:
         # default). Decode each by its own marker — unbase64 on a hex
         # literal silently yields garbage bytes, violating the
         # module's fail-loud doctrine (destinations render back as hex
-        # literals, functions.dialects.render_hex).
-        return F.when(
-            value.startswith("\\x"), F.unhex(F.substring(value, 3, 2147483647))
-        ).otherwise(F.unbase64(value))
+        # literals, functions.dialects.render_hex). A value that is
+        # neither (e.g. a server running bytea_output='escape', whose
+        # backslash-octal text would ALSO decode to garbage under
+        # unbase64) errors loudly instead of corrupting silently.
+        b64_shape = value.rlike("^[A-Za-z0-9+/]*={0,2}$") & (
+            F.length(value) % 4 == 0
+        )
+        return (
+            F.when(value.isNull(), F.lit(None).cast("binary"))
+            .when(
+                value.startswith("\\x"),
+                F.unhex(F.substring(value, 3, 2147483647)),
+            )
+            .when(b64_shape, F.unbase64(value))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bytea text is neither PG hex ('\\x…') nor "
+                            "base64 — bytea_output='escape' is unsupported: "
+                        ),
+                        value,
+                    )
+                ).cast("binary")
+            )
+        )
     return value.cast(dtype)
 
 

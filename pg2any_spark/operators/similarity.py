@@ -117,13 +117,26 @@ def global_rank(
     index, so even an un-reused or re-executed exchange derives the
     SAME boundaries — no cached state whose loss could let the two
     branches disagree (the earlier persist+collect form pinned a
-    corpus-sized cache for the session and trusted it to survive)."""
+    corpus-sized cache for the session and trusted it to survive).
+
+    The seeded sample is only reproducible if it reads the same rows
+    in the same ORDER, and shuffle-produced input (e.g. an aggregated
+    score table) has nondeterministic intra-partition arrival order
+    under task/stage retry. ``sortWithinPartitions`` on the order keys
+    pins that order (partition CONTENT is hash-deterministic; only the
+    order floats), so a re-executed exchange — fetch failure, unreused
+    branch — derives identical boundaries from identical samples. One
+    local sort per input partition, no shuffle, no pinned state; the
+    post-shuffle window sort Spark needs anyway makes its cost mostly
+    overlap."""
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.sortWithinPartitions(*order_cols)
+        .repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     woff = Window.orderBy("__pid").rowsBetween(

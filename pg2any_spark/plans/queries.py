@@ -1122,7 +1122,8 @@ def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_join_col="o_custkey",
         right_join_col="c_custkey",
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        raise TimeoutError("streaming join view did not drain in 600s")
     view = spark.read.parquet(view_path)
     return (
         view.groupBy("c_mktsegment")

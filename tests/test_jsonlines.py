@@ -110,6 +110,35 @@ class TestCompression:
             {**env, "PG2ANY_ENABLE_COMPRESSION": "false"}
         ).enable_compression is False
 
+    def test_env_var_changes_bytes_end_to_end(self, spark, sf_dir, tmp_path):
+        """PG2ANY_ENABLE_COMPRESSION=true → the configured writer
+        produces .json.gz parts; unset → plain .json. The env var must
+        have an observable effect through the config-owning entry
+        point (write_events_ir), not just parse into a dead field."""
+        import glob
+
+        from pg2any_spark.config import load_config_from_env as load_config
+        from pg2any_spark.sources.cdc_gen import synth_customer_events
+        from pg2any_spark.sources.jsonlines import (
+            read_events_jsonl,
+            write_events_ir,
+        )
+
+        env = {
+            "CDC_SOURCE_CONNECTION_STRING": "postgres://x",
+            "CDC_DEST_TYPE": "SQLite",
+            "CDC_DEST_URI": "./t.db",
+        }
+        events = synth_customer_events(spark, sf_dir).limit(20)
+        on, off = str(tmp_path / "on"), str(tmp_path / "off")
+        write_events_ir(
+            events, on, load_config({**env, "PG2ANY_ENABLE_COMPRESSION": "true"})
+        )
+        write_events_ir(events, off, load_config(env))
+        assert glob.glob(f"{on}/*.json.gz"), "env var on → gzip parts"
+        assert not glob.glob(f"{off}/*.json.gz"), "env var off → plain parts"
+        assert read_events_jsonl(spark, on).count() == 20
+
     def test_quarantine_reader_handles_gzip(self, spark, tmp_path):
         import gzip
         import os
