@@ -277,6 +277,31 @@ class TestBinaryColumns:
         out = apply_changes(events, schema, ["id"]).collect()
         assert out[0]["blob"] == payload
 
+    def test_bytea_escape_form_errors_loudly(self, spark):
+        """A server running bytea_output='escape' produces
+        backslash-octal text ('abc\\000def'), which is neither PG hex
+        nor valid base64 — unbase64 would silently yield garbage
+        bytes. The decode must hard-error instead (fail-loud
+        doctrine), and NULL bytea must still pass through as NULL."""
+        import pytest
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        schema = StructType(
+            [StructField("id", LongType(), False),
+             StructField("blob", BinaryType(), True)]
+        )
+        events = make_events(
+            spark, [ev("c", 1, {"id": "1", "blob": "abc\\000def"})]
+        )
+        with pytest.raises(Exception, match="bytea|escape"):
+            apply_changes(events, schema, ["id"]).collect()
+
+        null_events = make_events(spark, [ev("c", 1, {"id": "1"})])
+        out = apply_changes(null_events, schema, ["id"]).collect()
+        assert out[0]["blob"] is None
+
 
 class TestTruncate:
     def test_truncate_clears_base_and_prior_events(self, spark):
