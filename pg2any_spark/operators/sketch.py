@@ -327,3 +327,84 @@ def cms_estimate(
         key_col, F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     return joined.groupBy(key_col).agg(F.min("n").alias("cms_n"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: bounded-memory candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries (Misra & Gries 1982,
+    mergeable form per Agarwal et al., "Mergeable Summaries"): at most
+    k−1 candidate keys PER PARTITION, independent of the partition's
+    cardinality — the bounded-memory first pass of exact heavy-hitter
+    detection.
+
+    Superset guarantee (pigeonhole): if a key's GLOBAL count exceeds
+    n/k, then in at least one partition its local count exceeds that
+    partition's n_p/k (otherwise the total could not exceed n/k), and
+    Misra-Gries never evicts a key whose local count exceeds n_p/k.
+    The union of per-partition candidates therefore contains every
+    global heavy hitter; an exact recount of the candidates filters it
+    to exactly them. Works the same across micro-batches: any
+    partitioning of the stream preserves the argument.
+
+    The per-batch update is the summary MERGE: add the batch's exact
+    value counts, then if more than k−1 counters remain subtract the
+    k-th largest counter value from all and drop the non-positive —
+    total decrement stays ≤ n_p/k. Python touches one dict entry per
+    DISTINCT key per Arrow batch (value_counts is vectorized), not one
+    per row."""
+    if k < 2:
+        raise ValueError(f"misra_gries_candidates: k must be ≥ 2, got {k}")
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k - 1:
+                m = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {
+                    key: c - m for key, c in counters.items() if c > m
+                }
+        yield pd.DataFrame({key_col: list(counters)})
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} {df.schema[key_col].dataType.simpleString()}"
+    )
+
+
+def exact_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACT keys with global count strictly above n/k, in two
+    bounded passes — the 100 TB shape of "which tokens/domains/grams
+    dominate the corpus" where a full groupBy's distinct-key shuffle
+    is the thing being avoided:
+
+    1. candidate generation: ``misra_gries_candidates`` (map-side,
+       ≤ k−1 keys per partition, superset of the answer);
+    2. exact recount: broadcast-semi-join the tiny candidate set back
+       onto the corpus and count only those keys — the shuffle carries
+       ≤ (k−1)·P keys, not the vocabulary.
+
+    Returns (key, n_occ, n_total) for exactly the keys with
+    ``n_occ · k > n_total`` — deterministic, engine-checkable output
+    (unlike the sketch estimates, there is nothing approximate in the
+    result; the approximation lives only in the pruning pass)."""
+    cands = misra_gries_candidates(df, key_col, k).distinct()
+    counts = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    total = F.broadcast(
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    return (
+        counts.join(total)
+        .filter(F.col("n_occ") * k > F.col("n_total"))
+        .select(key_col, "n_occ", "n_total")
+    )

@@ -5012,3 +5012,98 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+_HH_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           (SELECT n_total FROM tot) AS n_total
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) * 200 > (SELECT n_total FROM tot)
+    ORDER BY token
+    """
+
+
+@query("heavy_hitters_tokens", oracle=_HH_ORACLE)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters — every token holding strictly more
+    than 1/200th of all occurrences — without ever shuffling the
+    vocabulary: a bounded-memory Misra-Gries pass nominates ≤ k−1
+    candidates per partition (pigeonhole: the union provably contains
+    every global heavy hitter), then one broadcast-semi-join recount
+    scores only the candidates (``sketch.exact_heavy_hitters``). The
+    oracle is the plain GROUP BY + HAVING over exact counts — the two
+    must agree key-for-key BECAUSE the candidate stage is a strict
+    superset and the recount is exact; any approximation leaking into
+    the answer is a correctness failure, not tolerance."""
+    from pg2any_spark.operators.sketch import exact_heavy_hitters
+
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    )
+    return exact_heavy_hitters(toks, "token", 200).orderBy("token")
+
+
+@query("heavy_hitters_streaming", oracle=_HH_ORACLE)
+def heavy_hitters_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter candidates maintained CONTINUOUSLY: token rows
+    stream in three micro-batches (documents sharded by doc_id%3),
+    each batch landing its Misra-Gries summary keys under its own
+    ingest partition (``pipeline.mg_apply_batch``), and the
+    union-distinct read-back candidates feed the SAME exact recount
+    as the one-shot build — same oracle, because the pigeonhole
+    superset argument holds across any partitioning of the stream
+    into batches."""
+    from pg2any_spark.streaming.pipeline import (
+        read_mg_candidates,
+        start_streaming_mg,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.trim(F.col("text")) != ""
+    )
+    work = _fresh_workdir("pg2any_mg_")
+    src = f"{work}/tokens"
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).select(
+            F.explode(T.tokens(F.col("text"))).alias("token")
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_streaming_mg(
+        stream, f"{work}/cands", f"{work}/ckpt", key_col="token", k=200
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError("streaming Misra-Gries did not drain in 300s")
+
+    cands = read_mg_candidates(spark, f"{work}/cands", "token")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    total = F.broadcast(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    return (
+        counts.join(total)
+        .filter(F.col("n_occ") * 200 > F.col("n_total"))
+        .select("token", "n_occ", "n_total")
+        .orderBy("token")
+    )

@@ -1864,3 +1864,63 @@ def compact_ingest_index(
     finally:
         folded.unpersist()
     return n
+
+
+def mg_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cands_path: str,
+    key_col: str,
+    k: int,
+) -> None:
+    """Streaming heavy-hitter candidate maintenance: the batch's
+    Misra-Gries summary keys (≤ (k−1)·partitions rows) land under the
+    batch partition — same replay-idempotence contract as
+    cms/hist/kmv/bloom (deterministic rows + own-partition overwrite).
+    The pigeonhole superset argument holds across ANY partitioning of
+    the stream into batches, so the union of per-batch candidates
+    contains every key whose ALL-TIME count exceeds n/k."""
+    from pg2any_spark.operators.sketch import misra_gries_candidates
+
+    _recover_replica(cands_path)
+    if batch_df.limit(1).count() == 0:
+        return
+    cands = misra_gries_candidates(batch_df, key_col, k)
+    _overwrite_ingest_partition(cands, cands_path, batch_id)
+
+
+def read_mg_candidates(spark: SparkSession, cands_path: str, key_col: str) -> DataFrame:
+    """Accumulated heavy-hitter candidate set: distinct union of every
+    batch's Misra-Gries keys (set-union is the candidate merge). Feed
+    it to an exact recount to turn the superset into the exact
+    answer."""
+    return spark.read.parquet(cands_path).select(key_col).distinct()
+
+
+def start_streaming_mg(
+    rows: DataFrame,
+    cands_path: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    k: int = 200,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain heavy-hitter CANDIDATES over an ingest
+    stream — the streaming twin of ``sketch.misra_gries_candidates``
+    (e.g. "which domains/tokens dominate the crawl so far", kept
+    current as shards land). At any point ``read_mg_candidates`` +
+    one exact recount over the corpus yield the exact heavy hitters;
+    per-batch state is ≤ (k−1)·partitions keys, never the
+    vocabulary."""
+    spark = rows.sparkSession
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        mg_apply_batch(spark, batch_df, batch_id, cands_path, key_col, k)
+
+    writer = rows.writeStream.foreachBatch(apply_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -208,6 +208,12 @@ ARROW_STAGE_ALLOWED = {
     "pq_code_balance",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    # Misra-Gries candidate pass: a bounded dict per partition is
+    # inherently imperative (mapInPandas, one dict op per DISTINCT
+    # key per Arrow batch); the exact recount that follows is pure
+    # codegen
+    "heavy_hitters_tokens",
+    "heavy_hitters_streaming",
     # SemDeDup: per-cell numpy gram kernel (applyInPandas) — the
     # all-pairs cosine inside a cluster cell is exactly the
     # interpreted-HOF hazard the PQ note documents

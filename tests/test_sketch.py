@@ -258,3 +258,73 @@ class TestBloom:
         }
         assert rows[(1, "shared")] == 1 and rows[(2, "shared")] == 1
         assert rows[(2, "absent-key")] == 0
+
+
+class TestMisraGries:
+    """exact_heavy_hitters must be EXACT (the MG stage only prunes):
+    pin the superset guarantee on adversarial layouts and the final
+    equality against a naive full groupBy."""
+
+    def _stream(self, spark, spec, parts=8):
+        # spec: list of (key, count); interleave rows so no partition
+        # sees a clean run of one key
+        rows = []
+        for key, cnt in spec:
+            rows.extend([key] * cnt)
+        rows = [rows[i::7] for i in range(7)]  # deterministic shuffle
+        flat = [x for chunk in rows for x in chunk]
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(token=x) for x in flat]
+        ).repartition(parts)
+
+    def _naive(self, spark, df, k):
+        from pyspark.sql import functions as F
+
+        n = df.count()
+        return {
+            r["token"]: r["c"]
+            for r in df.groupBy("token").agg(F.count("*").alias("c")).collect()
+            if r["c"] * k > n
+        }
+
+    def test_equals_naive_on_zipf_like(self, spark):
+        from pg2any_spark.operators.sketch import exact_heavy_hitters
+
+        spec = [(f"t{i}", max(1, 3000 // (i + 1))) for i in range(200)]
+        df = self._stream(spark, spec)
+        k = 50
+        got = {
+            r["token"]: r["n_occ"]
+            for r in exact_heavy_hitters(df, "token", k).collect()
+        }
+        assert got == self._naive(spark, df, k)
+        # n_total is the corpus size on every row
+        row = exact_heavy_hitters(df, "token", k).first()
+        assert row["n_total"] == df.count()
+
+    def test_no_heavy_hitters_is_empty_not_error(self, spark):
+        from pg2any_spark.operators.sketch import exact_heavy_hitters
+
+        spec = [(f"u{i}", 2) for i in range(500)]  # uniform: no key > n/50
+        df = self._stream(spark, spec)
+        assert exact_heavy_hitters(df, "token", 50).count() == 0
+
+    def test_candidates_bounded_per_partition(self, spark):
+        from pg2any_spark.operators.sketch import misra_gries_candidates
+
+        spec = [(f"v{i}", 5) for i in range(2000)]
+        df = self._stream(spark, spec, parts=4)
+        k = 20
+        # ≤ (k-1) per partition → ≤ 4*(k-1) total, vs 2000 distinct keys
+        assert misra_gries_candidates(df, "token", k).count() <= 4 * (k - 1)
+
+    def test_k_below_two_raises(self, spark):
+        import pytest as _pytest
+
+        from pg2any_spark.operators.sketch import misra_gries_candidates
+
+        df = self._stream(spark, [("a", 3)], parts=1)
+        with _pytest.raises(ValueError):
+            misra_gries_candidates(df, "token", 1)
