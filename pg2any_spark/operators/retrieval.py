@@ -190,3 +190,120 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "doc_id", "n_terms_hit", "tf_total", "bm25")
     )
+
+
+def lexical_jaccard_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_mod: int = 50,
+    k: int = 10,
+    n: int = 3,
+) -> DataFrame:
+    """Lexical doc-to-doc retrieval: for each probe document
+    (``id % query_mod = 0``), the top-``k`` corpus documents by exact
+    3-gram-shingle Jaccard, generated through the shingle INVERTED
+    INDEX — a probe's candidates are only the documents sharing ≥ 1
+    shingle with it (broadcast semi-ish join on the tiny probe
+    shingle set), never an all-pairs scan. Jaccard is the single
+    exact-integer division ``|∩| / (|A|+|B|−|∩|)`` rounded to 6dp;
+    ranking tie-breaks on the rounded score then neighbor id."""
+    from pg2any_spark.operators.dedup import exploded_shingles
+
+    base = docs.where(F.trim(F.col(text_col)) != "")
+    sh = exploded_shingles(base, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    probe = (
+        sh.filter(F.col(id_col) % query_mod == 0)
+        .select(F.col(id_col).alias("query_id"), "shingle")
+    )
+    inter = (
+        F.broadcast(probe)
+        .join(
+            sh.select(F.col(id_col).alias("neighbor_id"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sq = sizes.select(
+        F.col(id_col).alias("query_id"), F.col("set_size").alias("size_q")
+    )
+    sn = sizes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("set_size").alias("size_n")
+    )
+    jac = (
+        inter.join(F.broadcast(sq), "query_id")
+        .join(sn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_q") + F.col("size_n") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id")
+    )
+    return jac.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_mod: int = 50,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the SEMANTIC ranking (exact cosine over the embedding
+    column — the dense retriever) with the LEXICAL ranking
+    (shingle-Jaccard through the inverted index — the sparse
+    retriever) as ``rrf = Σ 1/(c + rank)`` over the lists that
+    contain the candidate. The standard two-tower + BM25-ish fusion a
+    retrieval-augmented pipeline runs, with both towers' ranks exact
+    and the fusion arithmetic two fixed-order IEEE divisions — fully
+    engine-checkable.
+
+    Scale: each tower is its own bounded top-k (map-side pruned
+    cosine; inverted-index Jaccard); the fusion input is ≤ 2·|Q|·k
+    rows — a full outer join of two tiny lists."""
+    from pg2any_spark.operators.similarity import brute_force_topk_arrow
+
+    sem = (
+        brute_force_topk_arrow(
+            emb, emb.filter(F.col("vec_id") % query_mod == 0), k=k
+        )
+        .select("query_id", "neighbor_id", F.col("rank").alias("r_sem"))
+    )
+    lex = lexical_jaccard_topk(
+        docs, query_mod=query_mod, k=k
+    ).select("query_id", "neighbor_id", F.col("rank").alias("r_lex"))
+    fused = sem.join(lex, ["query_id", "neighbor_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("r_sem")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("r_lex")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("r_sem").cast("int").alias("r_sem"),
+            F.col("r_lex").cast("int").alias("r_lex"),
+            "rrf",
+            "rank",
+        )
+    )

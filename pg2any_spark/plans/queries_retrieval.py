@@ -171,3 +171,119 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    ),
+    sem AS (
+        SELECT query_id, neighbor_id, rnk AS r_sem FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id
+                   ) AS rnk
+            FROM sims
+        ) WHERE rnk <= 10
+    ),
+    toked AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                           THEN list_transform(
+                                    generate_series(1, len(t) - 2),
+                                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                           ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toked
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    probe AS (
+        SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id % 50 = 0
+    ),
+    inter AS (
+        SELECT p.query_id, s.doc_id AS neighbor_id, COUNT(*) AS n_inter
+        FROM probe p
+        JOIN sh s ON s.shingle = p.shingle AND s.doc_id <> p.query_id
+        GROUP BY 1, 2
+    ),
+    lexj AS (
+        SELECT i.query_id, i.neighbor_id,
+               ROUND(CAST(i.n_inter AS DOUBLE)
+                     / (sq.set_size + sn.set_size - i.n_inter), 6) AS jac
+        FROM inter i
+        JOIN sizes sq ON sq.doc_id = i.query_id
+        JOIN sizes sn ON sn.doc_id = i.neighbor_id
+    ),
+    lex AS (
+        SELECT query_id, neighbor_id, rnk AS r_lex FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY jac DESC, neighbor_id
+                   ) AS rnk
+            FROM lexj
+        ) WHERE rnk <= 10
+    ),
+    fused AS (
+        SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+               COALESCE(s.neighbor_id, l.neighbor_id) AS neighbor_id,
+               CAST(s.r_sem AS INT) AS r_sem,
+               CAST(l.r_lex AS INT) AS r_lex,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.r_sem),
+                              CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex),
+                              CAST(0.0 AS DOUBLE)), 6) AS rrf
+        FROM sem s
+        FULL OUTER JOIN lex l
+          ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, r_sem, r_lex, rrf, rank
+    FROM (
+        SELECT query_id, neighbor_id, r_sem, r_lex, rrf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rrf DESC, neighbor_id
+               ) AS INT) AS rank
+        FROM fused
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused by Reciprocal Rank Fusion
+    (``retrieval.hybrid_rrf_topk``): the semantic tower is the exact
+    cosine top-10 over the embedding column (``vec_id = doc_id`` — the
+    fixture correspondence the agreement query pins), the lexical
+    tower is 3-gram-shingle Jaccard top-10 through the shingle
+    inverted index, and each candidate scores
+    ``Σ 1/(60 + rank)`` over the lists containing it. Both towers'
+    ranks are exact integers; the fusion is two fixed-order IEEE
+    divisions — so the hybrid list is engine-checkable bit-for-bit,
+    unlike typical score-interpolation hybrids whose weights are
+    tuning folklore. Scale: each tower prunes to k before fusion; the
+    fusion joins two ≤|Q|·k lists."""
+    from pg2any_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        hybrid_rrf_topk(docs, emb, query_mod=50, k=10)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )

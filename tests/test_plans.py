@@ -208,6 +208,8 @@ ARROW_STAGE_ALLOWED = {
     "pq_code_balance",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    # hybrid fusion's dense tower is the Arrow cosine kernel
+    "retrieval_hybrid_rrf",
     # Misra-Gries candidate pass: a bounded dict per partition is
     # inherently imperative (mapInPandas, one dict op per DISTINCT
     # key per Arrow batch); the exact recount that follows is pure

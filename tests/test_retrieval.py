@@ -100,3 +100,55 @@ class TestRegistryQueries:
         for r in out:
             assert r["n_kept"] == min(12, r["n_docs"])
             assert 0 < r["kept_chars"]
+
+
+class TestHybridRRF:
+    def test_both_lists_beat_single_list(self, spark):
+        """A candidate ranked in BOTH towers must outscore one holding
+        the same rank in only one tower: 1/(60+r) twice > once."""
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.retrieval import hybrid_rrf_topk
+
+        # doc 0 probes; doc 1 is a near-identical text AND embedding
+        # (both towers), doc 2 only shares text (lexical only), doc 3
+        # only points the same way (semantic only)
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="alpha beta gamma delta epsilon zeta"),
+                Row(doc_id=1, text="alpha beta gamma delta epsilon eta"),
+                Row(doc_id=2, text="alpha beta gamma delta theta iota"),
+                Row(doc_id=3, text="unrelated words entirely different here now"),
+            ]
+        )
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+                Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0]),
+                Row(vec_id=2, embedding=[0.0, 0.0, 1.0, 0.0]),
+                Row(vec_id=3, embedding=[0.98, 0.15, 0.0, 0.0]),
+            ]
+        )
+        out = hybrid_rrf_topk(docs, emb, query_mod=50, k=3).collect()
+        by_rank = {r["rank"]: r for r in out if r["query_id"] == 0}
+        assert by_rank[1]["neighbor_id"] == 1  # in both towers
+        assert by_rank[1]["r_sem"] is not None
+        assert by_rank[1]["r_lex"] is not None
+        # single-tower candidates trail the dual-tower one
+        assert by_rank[1]["rrf"] > by_rank[2]["rrf"]
+        singles = {r["neighbor_id"] for k, r in by_rank.items() if k > 1}
+        assert singles == {2, 3}
+
+    def test_rank_is_dense_per_query(self, spark):
+        from pg2any_spark.operators.retrieval import hybrid_rrf_topk
+        from pg2any_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        out = hybrid_rrf_topk(docs, emb, query_mod=50, k=10).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert per_q and all(
+            sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values()
+        )
