@@ -143,39 +143,8 @@ def global_rank(
     partitions (a heavily-duplicated first key degrades toward fewer,
     fatter partitions; add a higher-resolution first key if that
     bites)."""
-    spark = df.sparkSession
-    parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    key = boundary_key if boundary_key is not None else order_cols[0]
-    if str(key).rstrip("'>").endswith(("NULLS FIRST", "NULLS LAST")):
-        raise TypeError(
-            "global_rank: boundary key is a SortOrder (asc()/desc()); "
-            "pass a plain ascending expression via boundary_key= "
-            "(e.g. the negated column for a descending order)"
-        )
-    keyed = df.withColumn("__gr_key", key.cast("double"))
-    ktype = df.select(key.alias("__k")).schema["__k"].dataType.simpleString()
-    if not (
-        ktype in ("boolean", "date")
-        or ktype.startswith(("tinyint", "smallint", "int", "bigint",
-                             "float", "double", "decimal", "timestamp"))
-    ):
-        raise TypeError(
-            f"global_rank: first order column must be numeric/temporal "
-            f"(drives boundary assignment), got {ktype}"
-        )
-    bounds: list[float] = []
-    if parts > 1:
-        probs = [i / parts for i in range(1, parts)]
-        bounds = sorted(set(keyed.approxQuantile("__gr_key", probs, 0.001)))
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(F.col("__gr_key") > F.lit(b), 1).otherwise(0)
-    ranged = (
-        keyed.withColumn("__pid", pid.cast("int"))
-        .drop("__gr_key")
-        .repartition(parts, "__pid")
+    ranged = _ranged_by_literal_boundaries(
+        df, order_cols, boundary_key, num_partitions, "global_rank"
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     woff = Window.orderBy("__pid").rowsBetween(
@@ -194,6 +163,103 @@ def global_rank(
         .join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__offset") + F.col("__r")).cast("long"))
         .drop("__pid", "__r", "__offset")
+    )
+
+
+def _ranged_by_literal_boundaries(
+    df: DataFrame,
+    order_cols: list[Column],
+    boundary_key: Column | None,
+    num_partitions: int | None,
+    caller: str,
+) -> DataFrame:
+    """Shared range-bucketing stage of the global rank / running-sum
+    family: ``df`` + an order-aligned ``__pid`` column whose value is
+    a deterministic per-row EXPRESSION (count of approxQuantile
+    boundary literals below the boundary key), hash-repartitioned so
+    each pid is co-located. See ``global_rank`` for why the
+    boundaries must be plan literals rather than a
+    ``repartitionByRange`` sample."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    key = boundary_key if boundary_key is not None else order_cols[0]
+    if str(key).rstrip("'>").endswith(("NULLS FIRST", "NULLS LAST")):
+        raise TypeError(
+            f"{caller}: boundary key is a SortOrder (asc()/desc()); "
+            "pass a plain ascending expression via boundary_key= "
+            "(e.g. the negated column for a descending order)"
+        )
+    keyed = df.withColumn("__gr_key", key.cast("double"))
+    ktype = df.select(key.alias("__k")).schema["__k"].dataType.simpleString()
+    if not (
+        ktype in ("boolean", "date")
+        or ktype.startswith(("tinyint", "smallint", "int", "bigint",
+                             "float", "double", "decimal", "timestamp"))
+    ):
+        raise TypeError(
+            f"{caller}: first order column must be numeric/temporal "
+            f"(drives boundary assignment), got {ktype}"
+        )
+    bounds: list[float] = []
+    if parts > 1:
+        probs = [i / parts for i in range(1, parts)]
+        bounds = sorted(set(keyed.approxQuantile("__gr_key", probs, 0.001)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("__gr_key") > F.lit(b), 1).otherwise(0)
+    return (
+        keyed.withColumn("__pid", pid.cast("int"))
+        .drop("__gr_key")
+        .repartition(parts, "__pid")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    running_col: str = "running",
+    num_partitions: int | None = None,
+    boundary_key: Column | None = None,
+) -> DataFrame:
+    """Exact global PREFIX SUM of ``value_col`` over a TOTAL order —
+    the scalable form of ``SUM(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, which Spark otherwise plans as a single-partition
+    window. Same construction (and the same literal-boundary safety
+    argument) as ``global_rank``: order-aligned deterministic ``__pid``
+    buckets, a within-bucket running sum, and broadcast cumulative
+    per-bucket TOTALS added as offsets. Inclusive of the current row;
+    exact for integral values (the driver of token-budget /
+    quota-style cutoffs — prefer integer units over floats, whose
+    global sum would be order-sensitive anyway)."""
+    ranged = _ranged_by_literal_boundaries(
+        df, order_cols, boundary_key, num_partitions, "global_running_sum"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__tot").over(woff), F.lit(0)).alias("__offset"),
+        )
+    )
+    return (
+        ranged.withColumn("__rs", F.sum(value_col).over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            running_col, (F.col("__offset") + F.col("__rs")).cast("long")
+        )
+        .drop("__pid", "__rs", "__offset")
     )
 
 

@@ -5107,3 +5107,73 @@ def heavy_hitters_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n_occ", "n_total")
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (quality-ordered prefix under a global budget)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH {_LM_INT_CTES},
+    vals AS (
+        SELECT doc_id, n_bg,
+               CAST(nll_sum AS DOUBLE) / CAST(n_bg AS DOUBLE) AS ppl
+        FROM lm_i
+    ),
+    run AS (
+        SELECT doc_id, n_bg,
+               SUM(n_bg) OVER (ORDER BY ppl, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS run_units,
+               (SELECT SUM(n_bg) FROM vals) AS tot_units
+        FROM vals
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r.run_units * 5 <= r.tot_units * 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.run_units * 5 <= r.tot_units * 2
+                         THEN r.n_bg ELSE 0 END) AS BIGINT) AS kept_units
+    FROM run r JOIN documents d ON d.doc_id = r.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-per-token data pruning under a global budget: order
+    documents best-perplexity-first (the CCNet fluency signal — the
+    bit-stable single division of the scaled-integer LM sums) and keep
+    the maximal prefix whose cumulative size stays within 40% of the
+    corpus's total bigram units — "spend the token budget on the most
+    fluent data first". The cumulative size is
+    ``similarity.global_running_sum`` (range-bucketed prefix sum with
+    broadcast bucket offsets), i.e. the 100 TB form of
+    ``SUM(units) OVER (ORDER BY quality)`` — no single-partition
+    window; the cutoff compare is pure BIGINT cross-multiplication
+    (``run·5 ≤ tot·2``)."""
+    docs = load_table(spark, "documents", sf_dir)
+    lm = _lm_scaled_spark(docs)
+    keyed = lm.withColumn(
+        "__ppl",
+        F.col("nll_sum").cast("double") / F.col("n_bg").cast("double"),
+    )
+    run = S.global_running_sum(
+        keyed, [F.col("__ppl"), F.col("doc_id")], "n_bg",
+        running_col="run_units",
+    )
+    tot = F.broadcast(lm.agg(F.sum("n_bg").cast("long").alias("tot_units")))
+    kept = F.col("run_units") * 5 <= F.col("tot_units") * 2
+    return (
+        run.join(tot)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_bg")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_units"),
+        )
+        .orderBy("source")
+    )

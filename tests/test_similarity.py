@@ -572,3 +572,28 @@ class TestGlobalDistribution:
                 ).collect()
             }
             assert got == want, (n, b)
+
+
+class TestGlobalRunningSum:
+    def test_matches_window_prefix_sum_and_survives_composition(self, spark):
+        from pyspark.sql import Row, Window
+
+        df = spark.createDataFrame(
+            [Row(id=i, x=float((i * 13) % 7), v=(i % 9) + 1) for i in range(400)]
+        ).repartition(8)
+        got_frame = S.global_running_sum(
+            df, [F.col("x"), F.col("id")], "v", running_col="run"
+        )
+        w = (
+            Window.orderBy("x", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["id"]: r["run"]
+            for r in df.withColumn("run", F.sum("v").over(w)).collect()
+        }
+        assert {r["id"]: r["run"] for r in got_frame.collect()} == want
+        # the global_rank regression shape: 1-row cross join must not
+        # perturb the prefix sums
+        one = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+        assert {r["id"]: r["run"] for r in got_frame.join(one).collect()} == want
