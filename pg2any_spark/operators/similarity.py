@@ -1622,3 +1622,52 @@ def ivfpq_topk(
     sims = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def truncated_recall_report(
+    emb: DataFrame,
+    trunc_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension ANN vs the full-dimension exact
+    search — the QA gate on Matryoshka-style prefix truncation
+    (Kusupati et al. 2022: nested representations whose leading dims
+    carry most of the signal; serving indexes keep dim/4 and re-rank).
+    Both searches share the brute-force ranking (rounded cosine, id
+    tiebreak), so the report isolates pure truncation loss — cosine is
+    scale-invariant, so slicing needs no renormalization step.
+
+    Scale shape: truncation is a per-row ``slice`` (no stats pass at
+    all — cheaper than quantization); everything else is the map-side
+    top-k brute force; the overlap join is k·|Q| rows."""
+    dbl = F.transform(vec_col, lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), dbl.alias(vec_col))
+    trunc = base.select(
+        id_col, F.slice(vec_col, 1, trunc_dim).alias(vec_col)
+    )
+    exact = brute_force_topk(
+        base, base.filter(F.col(id_col) % query_mod == 0), id_col, vec_col, k
+    ).select("query_id", "neighbor_id")
+    small = brute_force_topk(
+        trunc, trunc.filter(F.col(id_col) % query_mod == 0), id_col, vec_col, k
+    ).select("query_id", F.col("neighbor_id").alias("t_neighbor_id"))
+    overlap = exact.join(
+        small,
+        (exact.query_id == small.query_id)
+        & (exact.neighbor_id == small.t_neighbor_id),
+    ).groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        exact.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / k, 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

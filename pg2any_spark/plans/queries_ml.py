@@ -5177,3 +5177,58 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ann_matryoshka_recall",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    trunc AS (SELECT vec_id, v[1:16] AS v FROM base),
+    exact_top AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM base q JOIN base c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    trunc_top AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM trunc q JOIN trunc c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    e5 AS (SELECT query_id, neighbor_id FROM exact_top WHERE rnk <= 5),
+    t5 AS (SELECT query_id, neighbor_id FROM trunc_top WHERE rnk <= 5),
+    ov AS (
+        SELECT e5.query_id, COUNT(*) AS n_overlap
+        FROM e5 JOIN t5 USING (query_id, neighbor_id)
+        GROUP BY e5.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5, 6)
+               AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM e5) q
+    LEFT JOIN ov USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of prefix-truncated (Matryoshka-style, 64→16 dims)
+    ANN vs the full-dimension exact search — the QA gate on the 4×
+    search-time compression a nested-representation index buys
+    (``similarity.truncated_recall_report``). Unlike int8
+    quantization there is no stats pass at all: truncation is a pure
+    per-row slice, and cosine's scale invariance makes
+    renormalization unnecessary."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.truncated_recall_report(emb, trunc_dim=16, query_mod=50, k=5)

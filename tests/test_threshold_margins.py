@@ -339,6 +339,15 @@ DETERMINISTIC_EXACT = {
     ("media_image_features", "brightness"),
     ("window_value_distribution", "pct_rank"),
     ("window_value_distribution", "cume"),
+    # same integer-ratio divisions, computed from the scalable
+    # global-rank closed forms: (r−1)/(n−1) and r/n of exact BIGINTs —
+    # bit-identical to the window functions' internal arithmetic
+    ("value_distribution_scalable", "pct_rank"),
+    ("value_distribution_scalable", "cume"),
+    # reciprocal rank fusion: two single divisions of exact integers
+    # (1/(60+rank)) added in fixed textual order — never a parallel
+    # float aggregate
+    ("retrieval_hybrid_rrf", "rrf"),
     # per-row FIXED-ORDER expression over identically-derived values
     # (array fold / scalar arithmetic — never a parallel aggregate)
     ("ann_cosine_topk_bruteforce", "cos_sim"),
