@@ -789,3 +789,59 @@ def repeated_span_report(
             ),
         )
     )
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_distance: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """Generalized blocked Hamming near-pair search (the
+    ``simhash_hamming_pairs`` construction for arbitrary fingerprint
+    widths): block on ``max_distance + 1`` disjoint bit-slices — any
+    pair within the distance agrees exactly on at least one slice
+    (pigeonhole) — then verify the exact distance inside blocks. The
+    fingerprint must fit ``bits`` LOW bits of a BIGINT with the sign
+    bit clear (≤ 63 bits)."""
+    if not 0 < bits <= 63:
+        raise ValueError(f"hamming_pairs: bits must be in 1..63, got {bits}")
+    n_blocks = max_distance + 1
+    width = -(-bits // n_blocks)  # ceil: last block may be narrower
+    blocks = []
+    for blk in range(n_blocks):
+        key = F.shiftright(F.col(fp_col), blk * width).bitwiseAND(
+            (1 << width) - 1
+        )
+        blocks.append(
+            fps.select(
+                F.col(id_col),
+                F.col(fp_col),
+                F.lit(blk).alias("block_idx"),
+                key.alias("block_key"),
+            )
+        )
+    blocked = blocks[0]
+    for bdf in blocks[1:]:
+        blocked = blocked.unionByName(bdf)
+    if materialize:
+        blocked = blocked.persist()
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )

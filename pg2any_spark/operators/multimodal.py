@@ -399,3 +399,98 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (image near-dup)
+# ---------------------------------------------------------------------------
+
+#: dHash grid: ROWS×COLS luminance cells → ROWS×(COLS−1) adjacent
+#: comparisons = 56 bits (sign bit clear, so the fingerprint is a
+#: plain BIGINT in both engines).
+DHASH_ROWS, DHASH_COLS = 7, 9
+
+
+def _fake_pixel_grid(payload: bytes, n: int = DHASH_ROWS * DHASH_COLS) -> list:
+    """Deterministic pseudo-luminance grid: the md5-hex chain of the
+    payload (the same chain construction as the fake resizer), read as
+    bytes — oracle-reproducible in SQL via the strpos hex decode."""
+    cur = hashlib.md5(payload).hexdigest()
+    out = b""
+    while len(out) < n:
+        cur = hashlib.md5(cur.encode("ascii")).hexdigest()
+        out += bytes.fromhex(cur)
+    return list(out[:n])
+
+
+def _real_pixel_grid(payload: bytes) -> list:
+    """Real luminance grid: decode, average color channels, then
+    block-average down to the DHASH grid (integer floor — exact)."""
+    import numpy as np
+
+    arr = decode_array(payload)
+    if arr.ndim == 3 and arr.shape[2] in (2, 4):
+        arr = arr[:, :, : arr.shape[2] - 1]
+    gray = arr.astype("int64")
+    if gray.ndim == 3:
+        gray = gray.sum(axis=2) // gray.shape[2]
+    h, w = gray.shape
+    grid = []
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS):
+            r0, r1 = r * h // DHASH_ROWS, max((r + 1) * h // DHASH_ROWS, r * h // DHASH_ROWS + 1)
+            c0, c1 = c * w // DHASH_COLS, max((c + 1) * w // DHASH_COLS, c * w // DHASH_COLS + 1)
+            block = gray[r0:r1, c0:c1]
+            grid.append(int(block.sum()) // block.size)
+    return grid
+
+
+def _dhash_of_grid(grid: list, shift: int = 0) -> int:
+    """Difference hash: bit (r,c) set iff the brightness-shifted cell
+    right of (r,c) is strictly brighter. A uniform shift preserves
+    every comparison except at the 255 clip — so a global
+    brightness/contrast nudge moves the hash only a few bits, which is
+    the property that makes dHash a near-dup detector."""
+    def px(i: int) -> int:
+        return min(255, grid[i] + shift)
+
+    h = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if px(r * DHASH_COLS + c + 1) > px(r * DHASH_COLS + c):
+                h |= 1 << (r * (DHASH_COLS - 1) + c)
+    return h
+
+
+def image_dhash(
+    media: DataFrame,
+    fake: bool = True,
+    brightness_shift: int = 0,
+    id_out: str = "asset_id",
+) -> DataFrame:
+    """Per-image 56-bit perceptual difference hash (dHash) over the
+    binary payload column — the standard image near-dup fingerprint
+    (Arrow-batched mapInPandas, like every decoder in this module;
+    ``fake=True`` derives the luminance grid from the md5 chain so the
+    DuckDB oracle reproduces it bit-for-bit, ``fake=False`` decodes
+    the real pixels through the built-in PNG kernel)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            grids = [
+                _fake_pixel_grid(bytes(p)) if fake else _real_pixel_grid(bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_out: pdf["asset_id"].astype("int64"),
+                    "dhash": [
+                        _dhash_of_grid(g, brightness_shift) for g in grids
+                    ],
+                }
+            )
+
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    )
+    return imgs.mapInPandas(batches, schema=f"{id_out} long, dhash long")

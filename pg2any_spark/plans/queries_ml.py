@@ -5232,3 +5232,91 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     renormalization unnecessary."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.truncated_recall_report(emb, trunc_dim=16, query_mod=50, k=5)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (dHash)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_sql(shift: int) -> str:
+    """56-bit dHash of the 7×9 pixel list ``p`` (1-based), brightness-
+    shifted with a 255 clip — the SQL twin of
+    ``multimodal._dhash_of_grid``."""
+    return f"""CAST(list_sum(list_transform(range(56), i ->
+        CASE WHEN LEAST(255, p[CAST((i // 8) * 9 + (i % 8) + 2 AS INTEGER)]
+                             + {shift})
+                > LEAST(255, p[CAST((i // 8) * 9 + (i % 8) + 1 AS INTEGER)]
+                             + {shift})
+             THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+
+@query(
+    "media_phash_near_dup",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id AS asset_id, md5(text) AS h0
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    c1 AS (SELECT asset_id, md5(h0) AS h1 FROM img),
+    c2 AS (SELECT asset_id, h1, md5(h1) AS h2 FROM c1),
+    c3 AS (SELECT asset_id, h1, h2, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT asset_id, h1 || h2 || h3 || md5(h3) AS hx FROM c3),
+    px AS (
+        SELECT asset_id,
+               list_transform(range(63), i ->
+                   (strpos('0123456789abcdef',
+                           substr(hx, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(hx, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+               ) AS p
+        FROM c4
+    ),
+    fp AS (
+        SELECT asset_id, {_dhash_sql(0)} AS dhash FROM px
+        UNION ALL
+        SELECT asset_id + 100000, {_dhash_sql(3)} AS dhash FROM px
+    ),
+    blocked AS (
+        SELECT asset_id, dhash, b.blk,
+               (dhash >> CAST(b.blk * 8 AS INTEGER)) & 255 AS bkey
+        FROM fp, (SELECT unnest(generate_series(0, 6)) AS blk) b
+    )
+    SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.bkey = b.bkey
+                  AND a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    ORDER BY id_a, id_b
+    """,
+)
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by 56-bit perceptual difference
+    hash (dHash): each image's luminance grid hashes to adjacent-cell
+    brightness comparisons, a planted brightness-shifted variant
+    (+3, clipped at 255) of every image joins the corpus, and pairs
+    within Hamming distance 6 surface through pigeonhole blocking on
+    7 disjoint 8-bit slices (``dedup.hamming_pairs``) — never an
+    all-pairs scan. The shift preserves every comparison except at the
+    clip boundary, so variants land a few bits from their originals —
+    the exact property that makes dHash a crawl-image dedup workhorse.
+    The fake decoder derives the grid from the payload's md5 chain
+    (this module's oracle-reproducibility idiom); the REAL path
+    (``image_dhash(fake=False)``) block-averages actual PNG pixels
+    through the built-in decoder and is unit-tested on synthetic
+    PNGs."""
+    from pg2any_spark.operators.dedup import hamming_pairs
+
+    media = M.synth_media(spark, sf_dir)
+    orig = M.image_dhash(media, fake=True, brightness_shift=0)
+    variant = M.image_dhash(media, fake=True, brightness_shift=3).select(
+        (F.col("asset_id") + 100000).alias("asset_id"), "dhash"
+    )
+    fps = orig.unionByName(variant)
+    return (
+        hamming_pairs(fps, "asset_id", "dhash", bits=56, max_distance=6)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )

@@ -165,3 +165,60 @@ class TestAudio:
             .filter(f"vec_id = {vec_id}")
             .collect()[0]["label"]
         )
+
+
+class TestImageDhash:
+    def test_real_path_brightness_shift_stays_near(self, spark):
+        """Real PNG pixels: a +3 brightness shift (clipped) must move
+        the 56-bit dHash only a few bits — the near-dup property — and
+        an unrelated image must sit far away."""
+        import numpy as np
+
+        from pg2any_spark.functions import png as P
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 250, (40, 60, 3), dtype=np.uint8)
+        shifted = np.minimum(base.astype(np.int64) + 3, 255).astype(np.uint8)
+        other = rng.integers(0, 250, (40, 60, 3), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(P.encode_png(base))),
+                (2, "image", bytearray(P.encode_png(shifted))),
+                (3, "image", bytearray(P.encode_png(other))),
+            ],
+            "asset_id long, media_type string, payload binary",
+        )
+        fps = {
+            r["asset_id"]: r["dhash"]
+            for r in M.image_dhash(media, fake=False).collect()
+        }
+        near = bin(fps[1] ^ fps[2]).count("1")
+        far = bin(fps[1] ^ fps[3]).count("1")
+        assert near <= 6, near
+        assert far > 10, far
+        assert all(0 <= f < (1 << 56) for f in fps.values())
+
+    def test_fake_path_matches_python_reference(self, spark):
+        """The fake (oracle-reproducible) grid: Spark output equals a
+        direct Python recomputation of the md5-chain dHash."""
+        from pg2any_spark.operators.multimodal import (
+            _dhash_of_grid,
+            _fake_pixel_grid,
+        )
+
+        media = M.synth_media(spark, "/root/testdata/sf0.001").filter(
+            "media_type = 'image'"
+        )
+        payloads = {
+            r["asset_id"]: bytes(r["payload"])
+            for r in media.select("asset_id", "payload").limit(10).collect()
+        }
+        got = {
+            r["asset_id"]: r["dhash"]
+            for r in M.image_dhash(media.limit(10), fake=True).collect()
+        }
+        want = {
+            aid: _dhash_of_grid(_fake_pixel_grid(p))
+            for aid, p in payloads.items()
+        }
+        assert got == want and got

@@ -210,6 +210,9 @@ ARROW_STAGE_ALLOWED = {
     "ann_ivfpq_recall",
     # hybrid fusion's dense tower is the Arrow cosine kernel
     "retrieval_hybrid_rrf",
+    # perceptual hash: the (pseudo-)decoder is a mapInPandas kernel
+    # like every media decode in operators/multimodal.py
+    "media_phash_near_dup",
     # Misra-Gries candidate pass: a bounded dict per partition is
     # inherently imperative (mapInPandas, one dict op per DISTINCT
     # key per Arrow batch); the exact recount that follows is pure
