@@ -88,6 +88,15 @@ HEADLINE = [
     "kmv_distinct_ngrams",
     "clean_unicode_docs",
     "sample_fixed_n_per_lang",
+    # round 8: scalable distribution functions (literal-boundary global
+    # rank), exact heavy hitters (Misra-Gries + recount), hybrid
+    # dense+sparse retrieval (RRF), token-budget selection (global
+    # prefix sum), perceptual image dedup (dHash + blocked Hamming)
+    "value_distribution_scalable",
+    "heavy_hitters_tokens",
+    "retrieval_hybrid_rrf",
+    "token_budget_selection",
+    "media_phash_near_dup",
 ]
 
 
