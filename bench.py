@@ -132,9 +132,19 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     prior, prior_name = {}, None
+
+    def _round_of(path: str) -> tuple[int, int]:
+        # order by round number, DETAIL preferred within a round (it
+        # is complete; the driver record is a 2000-char stdout tail) —
+        # a plain lexicographic sort would put every BENCH_r file
+        # after every BENCH_DETAIL file regardless of round
+        base = os.path.basename(path)
+        return (int(base.rsplit("_r", 1)[-1][:-5]), "DETAIL" in base)
+
     candidates = sorted(
         _glob.glob(os.path.join(here, "BENCH_DETAIL_r[0-9]*.json"))
-        + _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+        + _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")),
+        key=_round_of,
     )
     for path in reversed(candidates):
         # the driver's BENCH_r{N}.json wraps this script's JSON line

@@ -78,10 +78,14 @@ def _cast_text(value: Column, dtype) -> Column:
         b64_shape = value.rlike("^[A-Za-z0-9+/]*={0,2}$") & (
             F.length(value) % 4 == 0
         )
+        # the hex branch only accepts WELL-FORMED hex (even length,
+        # hex digits only) — '\xZZ12' or odd-length '\xABC' would
+        # otherwise unhex to NULL, silently nulling a corrupt value
+        hex_shape = value.rlike("^\\\\x([0-9a-fA-F]{2})*$")
         return (
             F.when(value.isNull(), F.lit(None).cast("binary"))
             .when(
-                value.startswith("\\x"),
+                hex_shape,
                 F.unhex(F.substring(value, 3, 2147483647)),
             )
             .when(b64_shape, F.unbase64(value))

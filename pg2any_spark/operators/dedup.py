@@ -368,50 +368,15 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Scale path: block on 4 rotated 8-bit prefixes (any pair within
-    distance ≤3 of a 32-bit hash agrees exactly on at least one of 4
-    disjoint 8-bit blocks — pigeonhole), then verify distance inside
-    blocks. Avoids the all-pairs comparison.
-
-    ``materialize=True`` persists the blocked fingerprint table before
-    the self-join so the upstream signature pipeline (exploded token
-    votes + 32 sums) executes once, not once per join side — same
-    rationale as ``lsh_candidate_pairs``; 4 short rows per document.
-    """
-    blocks = []
-    for blk in range(4):
-        key = F.shiftright(F.col("simhash"), blk * 8).bitwiseAND(0xFF)
-        blocks.append(
-            fps.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(blk).alias("block_idx"),
-                key.alias("block_key"),
-            )
-        )
-    blocked = blocks[0]
-    for bdf in blocks[1:]:
-        blocked = blocked.unionByName(bdf)
-    if materialize:
-        blocked = blocked.persist()
-    a, b = blocked.alias("a"), blocked.alias("b")
-    dist = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dist.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_distance)
-        .distinct()
+    Scale path: pigeonhole blocking + in-block verify — delegates to
+    the generalized ``hamming_pairs`` over the 32-bit ``simhash``
+    column (for the default distance 3 that is exactly 4 disjoint
+    8-bit blocks). Delegation also fixes the former hardcoded-4-block
+    form, which silently missed pairs for ``max_distance > 3``
+    (pigeonhole needs ``max_distance + 1`` blocks)."""
+    return hamming_pairs(
+        fps, id_col, "simhash", bits=32, max_distance=max_distance,
+        materialize=materialize,
     )
 
 
@@ -799,22 +764,31 @@ def hamming_pairs(
     max_distance: int,
     materialize: bool = True,
 ) -> DataFrame:
-    """Generalized blocked Hamming near-pair search (the
-    ``simhash_hamming_pairs`` construction for arbitrary fingerprint
-    widths): block on ``max_distance + 1`` disjoint bit-slices — any
-    pair within the distance agrees exactly on at least one slice
-    (pigeonhole) — then verify the exact distance inside blocks. The
-    fingerprint must fit ``bits`` LOW bits of a BIGINT with the sign
-    bit clear (≤ 63 bits)."""
+    """Generalized blocked Hamming near-pair search: block on
+    ``max_distance + 1`` disjoint CONTIGUOUS bit-slices — any pair
+    within the distance agrees exactly on at least one slice
+    (pigeonhole) — then verify the exact distance inside blocks.
+    Slices partition ``[0, bits)`` as ``[i·bits/n, (i+1)·bits/n)``
+    (variable widths), so no slice can run past the fingerprint and
+    degenerate into an always-equal key (a fixed ceil width would,
+    e.g. bits=4 / distance=2, turning the blocked join into the
+    all-pairs scan it exists to avoid). The fingerprint must fit
+    ``bits`` LOW bits of a BIGINT with the sign bit clear (≤ 63), and
+    ``bits`` must be ≥ ``max_distance + 1`` so every slice is
+    non-empty."""
     if not 0 < bits <= 63:
         raise ValueError(f"hamming_pairs: bits must be in 1..63, got {bits}")
     n_blocks = max_distance + 1
-    width = -(-bits // n_blocks)  # ceil: last block may be narrower
+    if bits < n_blocks:
+        raise ValueError(
+            f"hamming_pairs: need bits >= max_distance + 1 "
+            f"({bits} < {n_blocks}) for non-empty pigeonhole blocks"
+        )
     blocks = []
     for blk in range(n_blocks):
-        key = F.shiftright(F.col(fp_col), blk * width).bitwiseAND(
-            (1 << width) - 1
-        )
+        lo = blk * bits // n_blocks
+        hi = (blk + 1) * bits // n_blocks
+        key = F.shiftright(F.col(fp_col), lo).bitwiseAND((1 << (hi - lo)) - 1)
         blocks.append(
             fps.select(
                 F.col(id_col),

@@ -206,9 +206,20 @@ def _ranged_by_literal_boundaries(
     if parts > 1:
         probs = [i / parts for i in range(1, parts)]
         bounds = sorted(set(keyed.approxQuantile("__gr_key", probs, 0.001)))
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(F.col("__gr_key") > F.lit(b), 1).otherwise(0)
+    if bounds:
+        # pid = |{b : b < key}| over ONE array literal — a single
+        # vectorizable expression. (A chain of P−1 CASE WHENs would
+        # blow Janino's 64KB method limit at cluster partition counts
+        # and fall back to O(P)-per-row interpreted eval.)
+        pid = F.size(
+            F.filter(
+                F.lit(bounds),
+                lambda b: F.col("__gr_key").isNotNull()
+                & (F.col("__gr_key") > b),
+            )
+        )
+    else:
+        pid = F.lit(0)
     return (
         keyed.withColumn("__pid", pid.cast("int"))
         .drop("__gr_key")

@@ -362,16 +362,23 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     def summarize(batches):
         import pandas as pd
 
+        # NULL is a legal key and can be a heavy hitter (a corrupt
+        # feed's missing field usually IS one) — count it under the
+        # sentinel None instead of letting value_counts drop it
         counters: dict = {}
         for pdf in batches:
-            for key, cnt in pdf[key_col].value_counts().items():
+            col = pdf[key_col]
+            n_null = int(col.isna().sum())
+            if n_null:
+                counters[None] = counters.get(None, 0) + n_null
+            for key, cnt in col.value_counts().items():
                 counters[key] = counters.get(key, 0) + int(cnt)
             if len(counters) > k - 1:
                 m = sorted(counters.values(), reverse=True)[k - 1]
                 counters = {
                     key: c - m for key, c in counters.items() if c > m
                 }
-        yield pd.DataFrame({key_col: list(counters)})
+        yield pd.DataFrame({key_col: list(counters)}, dtype=object)
 
     return df.select(key_col).mapInPandas(
         summarize, schema=f"{key_col} {df.schema[key_col].dataType.simpleString()}"
@@ -395,8 +402,15 @@ def exact_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     (unlike the sketch estimates, there is nothing approximate in the
     result; the approximation lives only in the pruning pass)."""
     cands = misra_gries_candidates(df, key_col, k).distinct()
+    # eqNullSafe: a NULL candidate must match NULL corpus keys — a
+    # plain equi-semi-join would drop the NULL group even when it is
+    # the heaviest hitter
     counts = (
-        df.join(F.broadcast(cands), key_col, "left_semi")
+        df.join(
+            F.broadcast(cands.withColumnRenamed(key_col, "__cand")),
+            F.col(key_col).eqNullSafe(F.col("__cand")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )

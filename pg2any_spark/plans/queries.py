@@ -23,6 +23,21 @@ from pg2any_spark.sources.fixtures import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: DuckDB final-SELECT types the driver's type-sensitive result hash
+#: reds against a Spark BIGINT/DOUBLE column even when every value
+#: matches (round-7 judge: HUGEINT-in-output separated red from green
+#: 50/50). Single source of truth for the DESCRIBE lints in
+#: tests/test_queries.py and scripts/check_oracle.py — a constant
+#: split across copies is how the r6 oracle rewrite silently
+#: re-typed a green query.
+BANNED_ORACLE_TYPE_PREFIXES: tuple[str, ...] = (
+    "HUGEINT", "UHUGEINT", "DECIMAL",
+)
+
+#: Queries whose oracle deliberately violates the type lint (the
+#: round-8 mechanism canary carries a bare HUGEINT SUM on purpose).
+HUGEINT_ALLOWED: frozenset[str] = frozenset({"canary_hugeint_bare"})
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):

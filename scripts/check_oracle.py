@@ -33,11 +33,10 @@ from pg2any_spark.schemas import FIXTURE_TABLES  # noqa: E402
 from pg2any_spark.session import get_spark  # noqa: E402
 
 
-#: Oracle output types the driver reds against Spark's BIGINT/DOUBLE
-#: even when every value matches. canary_hugeint_bare violates this on
-#: purpose (it fingerprints the driver's type-sensitive hash).
-BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
-HUGEINT_ALLOWED = {"canary_hugeint_bare"}
+from pg2any_spark.plans.queries import (  # noqa: E402
+    BANNED_ORACLE_TYPE_PREFIXES as BANNED_ORACLE_TYPES,
+    HUGEINT_ALLOWED,
+)
 
 
 def banned_type_cols(con, name, sql):

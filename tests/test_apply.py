@@ -545,3 +545,20 @@ class TestApplyEquivalenceProperty:
             assert got == self._replay(script)
 
         run()
+
+
+def test_bytea_corrupt_hex_errors_loudly(spark):
+    """A '\\x'-prefixed value whose body is not well-formed hex (bad
+    digits or odd length) must hard-error, not silently become NULL
+    via unhex."""
+    import pytest
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType(), False),
+         StructField("blob", BinaryType(), True)]
+    )
+    for bad in ("\\xZZ12", "\\xABC"):
+        events = make_events(spark, [ev("c", 1, {"id": "1", "blob": bad})])
+        with pytest.raises(Exception, match="bytea|escape"):
+            apply_changes(events, schema, ["id"]).collect()

@@ -319,3 +319,57 @@ class TestRepeatedSpans:
         assert out[1]["n_dup_spans"] == 1
         assert out[1]["longest_span_tokens"] == 12
         assert out[1]["dup_token_frac"] == 1.0
+
+
+class TestHammingPairs:
+    def test_variable_slices_never_degenerate(self, spark):
+        """bits=4 / distance=2 forces variable slice widths (2,1,1) —
+        a fixed ceil width would create an always-zero block and
+        silently degrade to the all-pairs scan. Candidates must still
+        contain every pair within distance (pigeonhole), verified
+        against a brute-force reference."""
+        from itertools import combinations
+
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.dedup import hamming_pairs
+
+        fps = [(i, i % 16) for i in range(16)]
+        df = spark.createDataFrame([Row(id=i, fp=f) for i, f in fps])
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_pairs(df, "id", "fp", bits=4, max_distance=2).collect()
+        }
+        want = {
+            (a, b): bin(fa ^ fb).count("1")
+            for (a, fa), (b, fb) in combinations(fps, 2)
+            if bin(fa ^ fb).count("1") <= 2
+        }
+        assert got == want
+
+    def test_rejects_impossible_blocking(self, spark):
+        import pytest as _pt
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.dedup import hamming_pairs
+
+        df = spark.createDataFrame([Row(id=1, fp=3)])
+        with _pt.raises(ValueError, match="non-empty pigeonhole"):
+            hamming_pairs(df, "id", "fp", bits=2, max_distance=5)
+        with _pt.raises(ValueError, match="bits"):
+            hamming_pairs(df, "id", "fp", bits=64, max_distance=3)
+
+    def test_simhash_delegation_preserves_default_blocks(self, spark):
+        """simhash_hamming_pairs(max_distance=3) must produce exactly
+        the old hardcoded 4x8-bit blocking's result (32/4 = 8-bit
+        slices are the variable-slice layout for those parameters)."""
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.dedup import simhash_hamming_pairs
+
+        fps = [Row(id=1, simhash=0b1010), Row(id=2, simhash=0b1011),
+               Row(id=3, simhash=0xFFFF00FF)]
+        df = spark.createDataFrame(fps)
+        out = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_hamming_pairs(df, "id").collect()}
+        assert out == {(1, 2): 1}

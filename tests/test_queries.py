@@ -12,16 +12,12 @@ def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
-#: The one deliberate violation: the round-8 mechanism canary whose
-#: oracle MUST type its output HUGEINT (expected driver-red; its CAST
-#: twin is expected green — together they fingerprint the driver's
-#: type-sensitive hash).
-_HUGEINT_ALLOWED = {"canary_hugeint_bare"}
-
-#: DuckDB output types the driver's type-sensitive hash reds against a
-#: Spark BIGINT/DOUBLE column even when every value matches (round-7
-#: judge: HUGEINT-in-final-SELECT separated red from green 50/50).
-_BANNED_TYPE_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+# single source of truth shared with scripts/check_oracle.py — the
+# canary exemption and the banned-type list must never drift apart
+from pg2any_spark.plans.queries import (
+    BANNED_ORACLE_TYPE_PREFIXES as _BANNED_TYPE_PREFIXES,
+    HUGEINT_ALLOWED as _HUGEINT_ALLOWED,
+)
 
 
 def test_oracle_output_types_never_hugeint():

@@ -168,7 +168,9 @@ def test_global_rank_matches_window(spark):
     }
     got = {
         r["id"]: r["rank"]
-        for r in S.global_rank(df, order, rank_col="rank").collect()
+        for r in S.global_rank(
+            df, order, rank_col="rank", boundary_key=-F.col("k")
+        ).collect()
     }
     assert got == want
 
@@ -182,7 +184,9 @@ def test_global_rank_no_single_task_window(spark):
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") % 7).alias("k")
     )
-    ranked = S.global_rank(df, [F.col("k").desc(), F.col("id")])
+    ranked = S.global_rank(
+        df, [F.col("k").desc(), F.col("id")], boundary_key=-F.col("k")
+    )
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     # the row_number window over the data is partitioned by __pid
     assert "windowspecdefinition(__pid" in plan

@@ -328,3 +328,20 @@ class TestMisraGries:
         df = self._stream(spark, [("a", 3)], parts=1)
         with _pytest.raises(ValueError):
             misra_gries_candidates(df, "token", 1)
+
+    def test_null_key_heavy_hitter_is_exact(self, spark):
+        """NULL is a legal key (a corrupt feed's missing field is
+        often THE heavy hitter): candidate generation must count it
+        and the recount must null-safe-match it."""
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.sketch import exact_heavy_hitters
+
+        rows = [Row(token=None)] * 120 + [
+            Row(token=f"t{i}") for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "token string").repartition(4)
+        out = exact_heavy_hitters(df, "token", 2).collect()  # > n/2
+        assert len(out) == 1
+        assert out[0]["token"] is None
+        assert out[0]["n_occ"] == 120 and out[0]["n_total"] == 200
