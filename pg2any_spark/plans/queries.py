@@ -1216,3 +1216,86 @@ def cdc_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "source_format_parity",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(l_partkey + l_suppkey) AS BIGINT) AS part_supp_sum
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    )
+    SELECT f.fmt, s.n_rows, s.key_sum, s.part_supp_sum
+    FROM s CROSS JOIN (
+        SELECT UNNEST(['csv', 'json', 'orc', 'parquet']) AS fmt
+    ) f
+    ORDER BY f.fmt
+    """,
+)
+def source_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic ingestion: the same table round-trips through
+    ORC, CSV, and JSON writers and every reader answers the q6-shaped
+    filter with IDENTICAL integer statistics to the parquet original —
+    one row per format, all four equal (the oracle computes once and
+    fans out). The parity metrics are order-free BIGINT sums (a float
+    SUM would expose each format's different file-split add order —
+    the exact cross-engine hazard class the round-7 determinism work
+    retired), and the float/timestamp COLUMNS must still round-trip
+    exactly for the q6 predicates to select the same rows: doubles via
+    shortest-decimal repr, timestamps via an explicit micros format on
+    the text codecs. At 100 TB this is the contract that lets a
+    pipeline ingest whatever the upstream drops (ORC exports, CSV
+    dumps, JSON event feeds) through one declarative reader surface
+    with pushdown intact for the columnar formats."""
+    import functools
+
+    li = load_table(spark, "lineitem", sf_dir)
+    work = _fresh_workdir("pg2any_fmt_")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    li.coalesce(4).write.mode("overwrite").orc(f"{work}/orc")
+    li.coalesce(4).write.mode("overwrite").option(
+        "timestampFormat", ts_fmt
+    ).option("header", "true").csv(f"{work}/csv")
+    li.coalesce(4).write.mode("overwrite").option(
+        "timestampFormat", ts_fmt
+    ).json(f"{work}/json")
+    readers = {
+        "parquet": li,
+        "orc": spark.read.orc(f"{work}/orc"),
+        "csv": spark.read.schema(li.schema)
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(f"{work}/csv"),
+        "json": spark.read.schema(li.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(f"{work}/json"),
+    }
+    parts = []
+    for fmt in sorted(readers):
+        df = readers[fmt]
+        parts.append(
+            df.filter(
+                (F.col("l_shipdate")
+                 >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate")
+                   < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_discount").between(0.03, 0.07))
+                & (F.col("l_quantity") < 24)
+            ).agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+                F.sum(F.col("l_partkey") + F.col("l_suppkey"))
+                .cast("bigint")
+                .alias("part_supp_sum"),
+            )
+        )
+    return functools.reduce(
+        lambda a, b: a.unionByName(b), parts
+    ).orderBy("fmt")
