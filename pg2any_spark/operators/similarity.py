@@ -128,11 +128,12 @@ def global_rank(
     count, and intra-partition order, none of which survive plan
     composition or task retry. So instead: one explicit
     ``approxQuantile`` pass computes P−1 interior boundaries of the
-    first order key ONCE, and ``__pid`` becomes a deterministic
-    per-row expression (count of boundaries below the key) baked into
-    the plan — both branches, any retry, any surrounding plan compute
-    identical pids by construction. Rows equal on the first key land
-    in one pid, so cross-pid order stays total.
+    first order key ONCE, and ``__pid`` comes from a broadcast join
+    against the ≤P-row half-open-interval table built from those
+    driver-collected literals — both branches, any retry, any
+    surrounding plan compute identical pids by construction. Rows
+    equal on the first key land in one pid, so cross-pid order stays
+    total.
 
     Scale shape: the boundary pass is a column-pruned quantile-sketch
     scan; then ONE hash exchange on ``__pid`` co-locates each range;
@@ -206,23 +207,35 @@ def _ranged_by_literal_boundaries(
     if parts > 1:
         probs = [i / parts for i in range(1, parts)]
         bounds = sorted(set(keyed.approxQuantile("__gr_key", probs, 0.001)))
-    if bounds:
-        # pid = |{b : b < key}| over ONE array literal — a single
-        # vectorizable expression. (A chain of P−1 CASE WHENs would
-        # blow Janino's 64KB method limit at cluster partition counts
-        # and fall back to O(P)-per-row interpreted eval.)
-        pid = F.size(
-            F.filter(
-                F.lit(bounds),
-                lambda b: F.col("__gr_key").isNotNull()
-                & (F.col("__gr_key") > b),
-            )
+    # Bucket assignment is a BROADCAST INTERVAL JOIN against the ≤P-row
+    # boundary table — each row matches exactly ONE half-open interval
+    # (b_{i-1}, b_i], NULL keys land in bucket 0 (Spark's asc NULLS
+    # FIRST). Measured dead ends for the per-row expression forms: a
+    # P-term CASE chain StackOverflows the ANALYZER at P=512, and the
+    # array-literal filter() HOF (python OR SQL-string lambda) hits a
+    # Catalyst lambda-binding internal error once the two rank/offset
+    # branches share the projection. The tiny join is plan-visible,
+    # O(P) JVM predicate evals per row, and has no expression-size
+    # cliff at cluster partition counts.
+    intervals = [
+        (
+            i,
+            bounds[i - 1] if i > 0 else None,
+            bounds[i] if i < len(bounds) else None,
         )
-    else:
-        pid = F.lit(0)
+        for i in range(len(bounds) + 1)
+    ]
+    bnd = spark.createDataFrame(intervals, "__pid int, __lo double, __hi double")
+    cond = (
+        F.col("__lo").isNull() | (F.col("__gr_key") > F.col("__lo"))
+    ) & (
+        F.col("__hi").isNull()
+        | (F.col("__gr_key") <= F.col("__hi"))
+        | F.col("__gr_key").isNull()
+    )
     return (
-        keyed.withColumn("__pid", pid.cast("int"))
-        .drop("__gr_key")
+        keyed.join(F.broadcast(bnd), cond, "inner")
+        .drop("__gr_key", "__lo", "__hi")
         .repartition(parts, "__pid")
     )
 

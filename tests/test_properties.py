@@ -361,3 +361,42 @@ def test_pgoutput_toast_sentinel_roundtrip(n_extra, data):
             dec2.feed(
                 PG.encode_update(7, vals, old_values=old, old_kind="K"), 5
             )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=200
+    ),
+    st.integers(min_value=2, max_value=40),
+)
+@settings(max_examples=20, derandomize=True, deadline=None)
+def test_global_rank_and_prefix_sum_match_windows(spark, keys, parts):
+    """Property: for ANY key multiset (heavy duplicates included) and
+    ANY partition count, global_rank equals the single-partition
+    ROW_NUMBER and global_running_sum equals the single-partition
+    prefix sum — the literal-boundary bucketing must never duplicate
+    or skip a rank, whatever the boundary collapse pattern."""
+    from pyspark.sql import Row, Window, functions as F
+
+    from pg2any_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [Row(id=i, x=float(k), v=(i % 5) + 1) for i, k in enumerate(keys)]
+    ).repartition(4)
+    order = [F.col("x"), F.col("id")]
+    ranked = S.global_rank(df, order, rank_col="r", num_partitions=parts)
+    summed = S.global_running_sum(
+        df, order, "v", running_col="s", num_partitions=parts
+    )
+    w = Window.orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_r = {
+        r["id"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    want_s = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", F.sum("v").over(wsum)).collect()
+    }
+    assert {r["id"]: r["r"] for r in ranked.collect()} == want_r
+    assert {r["id"]: r["s"] for r in summed.collect()} == want_s
