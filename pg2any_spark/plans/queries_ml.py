@@ -5320,3 +5320,88 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph centrality (scaled-integer PageRank over the event click graph)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**12) -> str:
+    """Unrolled scaled-integer PageRank CTE chain — the SQL twin of
+    ``graph.pagerank_scaled`` (same floor points, same damping
+    cross-multiplication, so every iteration is BIGINT-exact)."""
+    head = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    seq AS (
+        SELECT k AS dst,
+               LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS src
+        FROM ev
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS (
+        SELECT src AS k FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    outdeg AS (
+        SELECT src, CAST(SUM(cnt) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    ),
+    r0 AS (
+        SELECT k, (SELECT {scale} // n FROM nn) AS r FROM nodes
+    )"""
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f""",
+    inc{i} AS (
+        SELECT e.dst AS k,
+               CAST(SUM(e.cnt * (p.r // d.outdeg)) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{i - 1} p ON p.k = e.src
+        JOIN outdeg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n.k,
+               (SELECT ({15 * scale}) // (100 * nn.n) FROM nn)
+               + (85 * COALESCE(i.s, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN inc{i} i ON i.k = n.k
+    )""")
+    tail = f"""
+    SELECT k, CAST(r AS BIGINT) AS pagerank
+    FROM r{iterations} ORDER BY k
+    """
+    return head + "".join(iters) + tail
+
+
+@query("graph_pagerank_events", oracle=_pagerank_oracle())
+def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the clickstream transition graph
+    (consecutive ``props.k`` visits per user), 3 iterations of EXACT
+    scaled-integer arithmetic (``operators/graph.py``): per-edge
+    contributions integer-divide BEFORE the sum so every aggregate is
+    an order-free BIGINT, and the 0.85 damping is an integer
+    cross-multiplication — a fixed-iteration-count iterative algorithm
+    whose output is bit-identical across engines and partitionings,
+    where the textbook float PageRank would be summation-order
+    jitter. Each iteration is one join of the ≤|V|-row rank vector
+    onto the edge list + one map-side-combinable SUM per
+    destination."""
+    from pg2any_spark.operators.graph import pagerank_scaled, transition_edges
+
+    ev = load_table(spark, "events", sf_dir)
+    edges = transition_edges(
+        ev,
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint"),
+        [F.col("ts"), F.col("event_id")],
+    )
+    return pagerank_scaled(edges, iterations=3).orderBy("k")

@@ -597,3 +597,32 @@ class TestGlobalRunningSum:
         # perturb the prefix sums
         one = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
         assert {r["id"]: r["run"] for r in got_frame.join(one).collect()} == want
+
+
+class TestPagerankScaled:
+    def test_mass_conservation_and_sink_behavior(self, spark):
+        """On a simple known graph the scaled-integer ranks must obey
+        PageRank's qualitative facts: a node every walk funnels into
+        outranks the sources, totals stay <= scale (dangling mass only
+        LEAKS, never appears), and a re-run is bit-identical."""
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.graph import pagerank_scaled
+
+        # star: 1..4 all point at 0; 0 points at 1
+        edges = spark.createDataFrame(
+            [Row(src=i, dst=0, cnt=1) for i in range(1, 5)]
+            + [Row(src=0, dst=1, cnt=1)]
+        )
+        r = {x["k"]: x["pagerank"] for x in pagerank_scaled(edges, 3).collect()}
+        assert set(r) == {0, 1, 2, 3, 4}
+        assert r[0] > r[1] > r[2] == r[3] == r[4]
+        assert sum(r.values()) <= 10**12
+        r2 = {x["k"]: x["pagerank"] for x in pagerank_scaled(edges, 3).collect()}
+        assert r == r2
+
+    def test_empty_graph_is_empty(self, spark):
+        from pg2any_spark.operators.graph import pagerank_scaled
+
+        edges = spark.createDataFrame([], "src long, dst long, cnt long")
+        assert pagerank_scaled(edges, 3).count() == 0
