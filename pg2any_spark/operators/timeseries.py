@@ -63,3 +63,65 @@ def gapfill_daily(
     for name, zero in (fill_zero or {}).items():
         dense = dense.withColumn(name, F.coalesce(F.col(name), zero))
     return dense
+
+
+def mad_anomaly_report(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 3,
+    decimals: int = 2,
+) -> DataFrame:
+    """Robust per-group anomaly accounting by Median Absolute
+    Deviation: a value is anomalous iff ``|v − median| > k · MAD`` —
+    the outlier screen that, unlike mean/stddev, is not itself dragged
+    by the outliers it hunts (50% breakdown point).
+
+    Cross-engine exactness by construction: values are scaled to
+    BIGINT at ``decimals`` places first, so every median/MAD is an
+    interpolation between exact integers — a dyadic rational both
+    engines represent bit-identically whatever interpolation formula
+    they use (lo+(hi−lo)/2 ≡ (lo+hi)/2 for exact inputs) — and the
+    anomaly compare is exact-IEEE on exact operands. The report emits
+    the medians ×2 and MADs ×4 as BIGINTs: no float column leaves the
+    operator.
+
+    Scale: two grouped exact percentiles (per-group multiset
+    materialization — at 100 TB swap ``approx_percentile``'s t-digest,
+    same contract as the percentile query family) + one broadcast
+    join of the ≤|groups|-row stats back onto the stream."""
+    scale = 10**decimals
+    v = df.select(
+        F.col(key_col),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("__v"),
+    )
+    med = v.groupBy(key_col).agg(
+        F.expr("percentile(cast(__v as double), 0.5)").alias("__m")
+    )
+    dev = v.join(F.broadcast(med), key_col).withColumn(
+        "__d", F.abs(F.col("__v").cast("double") - F.col("__m"))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile(__d, 0.5)").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .groupBy(key_col, "__m", "__mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("__d") > F.lit(k) * F.col("__mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "n_anomalies",
+            (F.col("__m") * 2).cast("bigint").alias("med_x2"),
+            (F.col("__mad") * 4).cast("bigint").alias("mad_x4"),
+        )
+    )

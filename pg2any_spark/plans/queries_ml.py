@@ -20,6 +20,7 @@ from pg2any_spark.operators import multimodal as M
 from pg2any_spark.operators import sampling as SA
 from pg2any_spark.operators import similarity as S
 from pg2any_spark.operators import text as T
+from pg2any_spark.operators import timeseries as TS
 from pg2any_spark.plans.queries import _fresh_workdir, query
 from pg2any_spark.sources.fixtures import load_table
 
@@ -5405,3 +5406,51 @@ def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("ts"), F.col("event_id")],
     )
     return pagerank_scaled(edges, iterations=3).orderBy("k")
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(CAST(v100 AS DOUBLE), 0.5) AS m
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.v100,
+               ABS(CAST(v.v100 AS DOUBLE) - med.m) AS d, med.m
+        FROM v JOIN med USING (event_type)
+    ),
+    madt AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN dev.d > 3 * madt.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           CAST(dev.m * 2 AS BIGINT) AS med_x2,
+           CAST(madt.mad * 4 AS BIGINT) AS mad_x4
+    FROM dev JOIN madt USING (event_type)
+    GROUP BY dev.event_type, dev.m, madt.mad
+    ORDER BY dev.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly accounting per event type: Median-Absolute-
+    Deviation outlier screen (``timeseries.mad_anomaly_report`` —
+    |v − median| > 3·MAD, the 50%-breakdown-point alternative to
+    mean/stddev which outliers drag). Values scale to BIGINT cents
+    before the percentiles, so every median/MAD is a dyadic rational
+    both engines represent bit-identically and NO float column leaves
+    the query (medians ×2 / MADs ×4 ride out as BIGINT) — the data-
+    quality monitoring primitive of an ingest pipeline, cross-engine
+    exact."""
+    ev = load_table(spark, "events", sf_dir)
+    return TS.mad_anomaly_report(ev, "event_type", "value").orderBy(
+        "event_type"
+    )

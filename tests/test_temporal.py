@@ -300,3 +300,28 @@ class TestScd2CrossOperatorConsistency:
             .filter("count > 1").count()
         )
         assert multi_open == 0
+
+
+class TestMadAnomaly:
+    def test_planted_outliers_found_robustly(self, spark):
+        """A tight cluster + extreme outliers: MAD must flag exactly
+        the planted outliers — including the case where the outliers
+        are extreme enough to drag a mean/stddev screen into missing
+        them (the robustness argument for MAD)."""
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.timeseries import mad_anomaly_report
+
+        rows = [Row(k="a", v=100.0 + (i % 7) * 0.1) for i in range(50)]
+        rows += [Row(k="a", v=10_000.0), Row(k="a", v=-5_000.0)]
+        rows += [Row(k="b", v=1.0)] * 10  # zero-MAD group: no anomalies
+        df = spark.createDataFrame(rows)
+        out = {
+            r["k"]: r for r in mad_anomaly_report(df, "k", "v").collect()
+        }
+        assert out["a"]["n_events"] == 52
+        assert out["a"]["n_anomalies"] == 2
+        # zero MAD: |v - med| = 0 is NOT > 0 — no anomalies, no crash
+        assert out["b"]["n_anomalies"] == 0 and out["b"]["mad_x4"] == 0
+        # med of group a is a clean cents-scaled integer ×2
+        assert out["a"]["med_x2"] % 1 == 0
