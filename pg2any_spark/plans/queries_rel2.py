@@ -990,3 +990,55 @@ def approx_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "orders_value_deciles",
+    oracle="""
+    WITH banded AS (
+        SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS decile,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM banded GROUP BY decile ORDER BY decile
+    """,
+)
+def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth value banding — the classic OLAP decile report
+    (per band: row count, boundary values, total) — computed through
+    the SCALE path: ``similarity.global_distribution`` supplies the
+    NTILE bucket from the literal-boundary global rank (no
+    single-partition window anywhere), and every reported statistic is
+    BIGINT-exact (prices as cents; MIN/MAX/COUNT/SUM of integers are
+    order-free). The equi-depth shape is what a fixed-edge histogram
+    cannot give: each band holds the same ROW count, boundaries adapt
+    to the distribution — the banding used for monetary percentile
+    tiers and training-data difficulty tranches alike."""
+    from pg2any_spark.operators import similarity as S
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    banded = S.global_distribution(
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")], buckets=10
+    ).select(
+        "decile",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        banded.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("decile", F.col("decile").cast("int"))
+        .orderBy("decile")
+    )
