@@ -24,9 +24,9 @@ driver row yet (``value_distribution_scalable``,
 ``retrieval_hybrid_rrf``, ``token_budget_selection``,
 ``ann_matryoshka_recall``, ``media_phash_near_dup``,
 ``source_format_parity``, ``graph_pagerank_events``,
-``events_anomaly_mad``), then 24 verified re-confirms — the stalest
-(r2–r6) greens rotate in ahead of the queries round 7 just
-re-confirmed (``R7_RECONFIRMED``).
+``events_anomaly_mad``, ``orders_value_deciles`` — 11 in all), then
+23 verified re-confirms — the stalest (r2–r6) greens rotate in ahead
+of the queries round 7 just re-confirmed (``R7_RECONFIRMED``).
 """
 
 from __future__ import annotations

@@ -70,10 +70,17 @@ def pagerank_scaled(
     docstring for the arithmetic contract; the one driver-side scalar
     is the node count (bounded by |V|, needed as a literal in the
     teleport term so both engines floor the same integers)."""
+    # the edge list is typically DERIVED (window + aggregate over the
+    # event stream) and this function consumes it many times: the node
+    # count action, outdeg, and every iteration's join — persist so
+    # the derivation runs once, not once per consumer (same rationale
+    # as lsh_topk's band-table persist)
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("k"))
         .unionByName(edges.select(F.col("dst").alias("k")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     if n == 0:

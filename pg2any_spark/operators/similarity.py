@@ -175,12 +175,15 @@ def _ranged_by_literal_boundaries(
     caller: str,
 ) -> DataFrame:
     """Shared range-bucketing stage of the global rank / running-sum
-    family: ``df`` + an order-aligned ``__pid`` column whose value is
-    a deterministic per-row EXPRESSION (count of approxQuantile
-    boundary literals below the boundary key), hash-repartitioned so
-    each pid is co-located. See ``global_rank`` for why the
-    boundaries must be plan literals rather than a
-    ``repartitionByRange`` sample."""
+    family: ``df`` + an order-aligned ``__pid`` column assigned by a
+    BROADCAST INNER JOIN against the ≤P-row half-open-interval table
+    built from the approxQuantile boundary literals (each row matches
+    exactly one interval), hash-repartitioned so each pid is
+    co-located. See ``global_rank`` for why the boundaries must be
+    plan literals rather than a ``repartitionByRange`` sample — and
+    the comment below for why the assignment is a JOIN rather than a
+    per-row expression (both expression forms are measured dead
+    ends)."""
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")

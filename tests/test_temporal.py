@@ -323,5 +323,7 @@ class TestMadAnomaly:
         assert out["a"]["n_anomalies"] == 2
         # zero MAD: |v - med| = 0 is NOT > 0 — no anomalies, no crash
         assert out["b"]["n_anomalies"] == 0 and out["b"]["mad_x4"] == 0
-        # med of group a is a clean cents-scaled integer ×2
-        assert out["a"]["med_x2"] % 1 == 0
+        # med of group a: 26th/27th of 52 sorted values are both
+        # 100.3 → median 10030 cents → ×2 = 20060 (a robust median —
+        # the outlier-dragged MEAN would sit near 196.15)
+        assert out["a"]["med_x2"] == 20060
