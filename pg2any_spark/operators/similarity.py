@@ -337,6 +337,76 @@ def global_distribution(
     return out if rank_col else out.drop(rc)
 
 
+def exact_auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ROC AUC of an integer-valued classifier score against a
+    boolean label — the Mann-Whitney rank-sum form with the standard
+    tie correction (ties contribute 1/2), emitted as a BIGINT rational
+    so the cross-engine compare never touches rank-average floats:
+
+        auc = auc_num / auc_den,
+        auc_num = Σ_s  np(s) · (2·cum_nn_below(s) + nn(s))   (= 2·U)
+        auc_den = 2 · n_pos · n_neg
+
+    Scale shape (the distributed-AUC classic): ONE map-side-combinable
+    ``groupBy(score)`` collapses the corpus to its score histogram —
+    never a per-row global rank — and the strictly-below negative
+    prefix comes from ``global_running_sum`` over that histogram, so
+    nothing funnels through a single task even when the score domain
+    is large. The quality-classifier QA gate of a curation pipeline
+    (is the filter actually ranking good docs above bad ones?).
+
+    Returns ONE row: (n_pos, n_neg, auc_num, auc_den, auc) — ``auc``
+    is the single rounded division of the two exact BIGINTs (NULL when
+    one class is absent).
+    """
+    hist = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("__np"),
+        F.sum((~F.col(label_col)).cast("long")).alias("__nn"),
+    )
+    run = global_running_sum(
+        hist,
+        [F.col("__s")],
+        "__nn",
+        running_col="__cum_nn",
+        num_partitions=num_partitions,
+    )
+    contrib = run.select(
+        "__np",
+        "__nn",
+        (
+            F.col("__np")
+            * (2 * (F.col("__cum_nn") - F.col("__nn")) + F.col("__nn"))
+        ).alias("__num2"),
+    )
+    out = (
+        contrib.agg(
+            F.sum("__np").cast("long").alias("n_pos"),
+            F.sum("__nn").cast("long").alias("n_neg"),
+            F.sum("__num2").cast("long").alias("auc_num"),
+        )
+        .withColumn(
+            "auc_den", (2 * F.col("n_pos") * F.col("n_neg")).cast("long")
+        )
+        .withColumn(
+            "auc",
+            F.when(
+                F.col("auc_den") > 0,
+                F.round(
+                    F.col("auc_num").cast("double")
+                    / F.col("auc_den").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    )
+    return out
+
+
 def max_key_count(df: DataFrame, key: str) -> int:
     """Size of the largest key group — the skew statistic that decides
     two-phase ranking. One map-side-combinable aggregate; the histogram

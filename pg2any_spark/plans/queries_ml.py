@@ -5152,9 +5152,13 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast bucket offsets), i.e. the 100 TB form of
     ``SUM(units) OVER (ORDER BY quality)`` — no single-partition
     window; the cutoff compare is pure BIGINT cross-multiplication
-    (``run·5 ≤ tot·2``)."""
+    (``run·5 ≤ tot·2``). The per-doc LM table (3 longs/doc — tiny
+    relative to the corpus) is persisted because FOUR independent
+    actions traverse it (the boundary quantile pass, the rank and
+    offset branches, the corpus-total agg); without the persist each
+    traversal re-runs the tokenize/explode/count LM pipeline."""
     docs = load_table(spark, "documents", sf_dir)
-    lm = _lm_scaled_spark(docs)
+    lm = _lm_scaled_spark(docs).persist()
     keyed = lm.withColumn(
         "__ppl",
         F.col("nll_sum").cast("double") / F.col("n_bg").cast("double"),
@@ -5454,3 +5458,65 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.mad_anomaly_report(ev, "event_type", "value").orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier QA: exact ROC AUC (Mann-Whitney rank-sum as a BIGINT rational)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "classifier_auc_exact",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST({_lang_score_sql("en")} AS BIGINT) AS s,
+               CASE WHEN lang IS NOT DISTINCT FROM 'en'
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    hist AS (
+        SELECT s,
+               CAST(SUM(y) AS BIGINT) AS np,
+               CAST(SUM(1 - y) AS BIGINT) AS nn
+        FROM scored GROUP BY s
+    ),
+    cum AS (
+        SELECT np, nn,
+               CAST(COALESCE(SUM(nn) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cn
+        FROM hist
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(np * (2 * cn + nn)) AS BIGINT) AS auc_num,
+           CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS auc_den,
+           CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+               ROUND(CAST(SUM(np * (2 * cn + nn)) AS DOUBLE)
+                     / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE), 6)
+           END AS auc
+    FROM cum
+    """,
+)
+def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA gate on a quality/language classifier: EXACT ROC AUC of the
+    integer English marker-hit score (the very count ``lang_id``
+    argmaxes over, driver-proven green in ``lang_probe_scores``)
+    against the labeled ``lang`` column — does the score actually rank
+    English documents above the rest? ``similarity.exact_auc_report``
+    computes the Mann-Whitney rank-sum over the SCORE HISTOGRAM (one
+    map-side-combinable groupBy, then ``global_running_sum`` for the
+    strictly-below negative prefix — never a per-row global rank), and
+    the AUC leaves the query as a BIGINT rational (num = 2·U with the
+    standard tie-half correction, den = 2·n_pos·n_neg) plus its single
+    rounded division — the one float is a deterministic function of
+    two exact integers. The curation use: a filter whose AUC ~0.5 is
+    hash-sampling with extra steps; this is the number that says so,
+    exactly, at any corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        T.lang_scores(F.col("text"))["en"].cast("long").alias("s_en"),
+        F.col("lang").eqNullSafe(F.lit("en")).alias("is_en"),
+    )
+    return S.exact_auc_report(scored, "s_en", "is_en")

@@ -704,6 +704,108 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_events_stream",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a CONTINUOUS custom stateful operator
+    (``streaming.pipeline.sessionize_stream`` —
+    ``applyInPandasWithState`` keyed by user, one open session of
+    constant bytes per active user in state), driver-checked against
+    the batch gaps-and-islands oracle over the SAME events. The feed
+    is split into three time-contiguous micro-batches (percentile
+    cutoffs on ts keep the 0-second watermark monotone across batches,
+    so no event is ever late) — sessions therefore open in one batch
+    and close in a LATER one, exercising the cross-batch state path,
+    plus event-time timeouts for users who go quiet. A final sentinel
+    batch (one far-future event per user — ONE row per distinct user,
+    the streaming-world flush analogue) closes every tail session;
+    the sentinels' own singleton sessions stay open in state and are
+    excluded by construction (their start is past the corpus max).
+    At 100 TB/day state scales with concurrently-ACTIVE users only;
+    the same query runs unmodified on a Kafka source."""
+    from pg2any_spark.plans.queries import _fresh_workdir
+    from pg2any_spark.streaming.pipeline import sessionize_stream
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id"
+    )
+    tslong = F.col("ts").cast("long")
+    cut1, cut2 = ev.select(
+        F.percentile_approx(tslong, F.lit([1.0 / 3, 2.0 / 3]), 10_000)
+    ).first()[0]
+    max_ts = ev.agg(F.max(tslong)).first()[0]
+    work = _fresh_workdir("pg2any_sess_")
+    src = f"{work}/events"
+    shards = [
+        ev.filter(tslong < cut1),
+        ev.filter((tslong >= cut1) & (tslong < cut2)),
+        ev.filter(tslong >= cut2),
+    ]
+    for shard in shards:  # sequential appends → monotone mod-times
+        shard.coalesce(1).write.mode("append").parquet(src)
+    sentinel_ts = max_ts + 10 * 24 * 3600  # ≫ gap past every real event
+    (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(sentinel_ts).cast("timestamp").alias("ts"),
+            "user_id",
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"sessions_{work.rsplit('_', 1)[-1]}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError("streaming sessionization did not drain in 300s")
+    return (
+        spark.table(sink)
+        .filter(F.col("session_start").cast("long") <= max_ts)
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: retention cohorts + conversion funnel
 # ---------------------------------------------------------------------------

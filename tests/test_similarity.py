@@ -626,3 +626,34 @@ class TestPagerankScaled:
 
         edges = spark.createDataFrame([], "src long, dst long, cnt long")
         assert pagerank_scaled(edges, 3).count() == 0
+
+
+class TestExactAuc:
+    def test_hand_computed_with_ties(self, spark):
+        """pos scores [3,2,2], neg [1,2,0]: U = 3 + 2.5 + 2.5 = 8 →
+        auc_num = 2U = 16, auc_den = 2·3·3 = 18, auc = 8/9."""
+        df = spark.createDataFrame(
+            [(3, True), (2, True), (2, True), (1, False), (2, False), (0, False)],
+            "s long, y boolean",
+        )
+        row = S.exact_auc_report(df, "s", "y").collect()[0]
+        assert (row["n_pos"], row["n_neg"]) == (3, 3)
+        assert (row["auc_num"], row["auc_den"]) == (16, 18)
+        assert row["auc"] == round(16 / 18, 6)
+
+    def test_perfect_and_inverted_ranking(self, spark):
+        perfect = spark.createDataFrame(
+            [(10, True), (11, True), (1, False), (2, False)], "s long, y boolean"
+        )
+        r = S.exact_auc_report(perfect, "s", "y").collect()[0]
+        assert (r["auc_num"], r["auc_den"], r["auc"]) == (8, 8, 1.0)
+        inverted = spark.createDataFrame(
+            [(1, True), (2, True), (10, False), (11, False)], "s long, y boolean"
+        )
+        r = S.exact_auc_report(inverted, "s", "y").collect()[0]
+        assert (r["auc_num"], r["auc"]) == (0, 0.0)
+
+    def test_single_class_yields_null_auc(self, spark):
+        df = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
+        r = S.exact_auc_report(df, "s", "y").collect()[0]
+        assert r["n_neg"] == 0 and r["auc_den"] == 0 and r["auc"] is None
