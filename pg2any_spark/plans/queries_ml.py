@@ -5520,3 +5520,126 @@ def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").eqNullSafe(F.lit("en")).alias("is_en"),
     )
     return S.exact_auc_report(scored, "s_en", "is_en")
+
+
+# ---------------------------------------------------------------------------
+# training-shard assignment (striped LPT-style size balancing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shard_striped_by_size",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len({_TOKS}) END AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    rk AS (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS r
+        FROM tok
+    )
+    SELECT CAST((r - 1) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM rk GROUP BY 1 ORDER BY shard
+    """,
+)
+def shard_striped_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment by SIZE-STRIPED round robin — order
+    documents largest-first and deal them across 8 shards like cards
+    ((rank−1) mod 8, the longest-processing-time heuristic's striped
+    form): each shard receives every 8th document of the size order,
+    so per-shard token totals equalize to within one document without
+    any sequential greedy pass. This is how a writer lays out training
+    shards so no data-loader rank starves. The global size order comes
+    from ``similarity.global_rank`` (range-bucketed, broadcast
+    offsets — never a single-partition window); the tiebreak doc_id
+    makes the assignment fully deterministic and re-run stable. The
+    descending key rides in as ``boundary_key=−n_tok`` per the
+    operator's SortOrder contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    ranked = S.global_rank(
+        tok,
+        [F.col("n_tok").desc(), F.col("doc_id")],
+        rank_col="r",
+        boundary_key=-F.col("n_tok"),
+    )
+    return (
+        ranked.groupBy(((F.col("r") - 1) % 8).cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space QA: per-dimension distribution statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+        SELECT r.i AS dim,
+               CAST(ROUND(CAST(embedding[CAST(r.i + 1 AS INTEGER)] AS DOUBLE)
+                          * 1000000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q * q) AS BIGINT) AS sumsq_q,
+           CAST(SUM(CASE WHEN ABS(q) < 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nearzero,
+           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_q
+    FROM ex GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: per-dimension first/second moments and the
+    dead-dimension count (|x| < 0.01), the screen that catches a
+    collapsed or truncated encoder before ANN indexes get built over
+    garbage. Components quantize to BIGINT at scale 1e6 BEFORE any
+    aggregation (float32→double widening is exact in both engines, so
+    the single multiply-round chain is bit-identical), making every
+    moment an order-independent integer sum — cross-engine exact with
+    no float tolerance; the one emitted double is the final rounded
+    mean division. Overflow headroom: |q| ≤ ~2e6 at unit-ish scale ⇒
+    Σq² fits BIGINT up to ~2×10⁶ vectors per dimension per partial —
+    beyond that, widen the scale down or sum in DECIMAL. Plan: one
+    posexplode + one map-side-combinable groupBy(dim) — 64 output
+    rows at any corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("long").alias("sum_q"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("sumsq_q"),
+            F.sum((F.abs(F.col("q")) < 10_000).cast("long"))
+            .cast("long")
+            .alias("n_nearzero"),
+            F.round(
+                F.sum("q").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_q"),
+        )
+        .orderBy("dim")
+    )

@@ -1144,3 +1144,124 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decile", F.col("decile").cast("int"))
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-integrity audit (constraint validation over the warehouse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "integrity_audit_orders",
+    oracle="""
+    WITH oc AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    lc AS (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'childless_orders' AS rule, CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'dup_lineitem_pk', CAST(COUNT(*) AS BIGINT) FROM (
+        SELECT 1 FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    )
+    UNION ALL
+    SELECT 'null_lineitem_pk', CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IS NULL OR l_linenumber IS NULL
+    UNION ALL
+    SELECT 'orphan_lineitems', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'totalprice_mismatch_gt_1c', CAST(COUNT(*) AS BIGINT)
+    FROM oc JOIN lc ON lc.l_orderkey = oc.o_orderkey
+    WHERE ABS(oc.cents - lc.cents) > 1
+    ORDER BY rule
+    """,
+)
+def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-integrity audit — the constraint-validation
+    pass a warehouse runs before trusting an ingest: referential
+    integrity both directions (childless orders via LEFT ANTI against
+    the distinct child keys, orphan lineitems likewise), primary-key
+    uniqueness (dup (orderkey, linenumber) groups), NULL-key hygiene,
+    and the ARITHMETIC invariant o_totalprice ≈ Σ extprice·(1−disc)·
+    (1+tax) checked in exact BIGINT cents (per-row ROUND(x·100) — the
+    identical single IEEE chain in both engines — so "off by more than
+    one cent" is an integer predicate, never a float tolerance). Five
+    independent map-side-combinable aggregates unioned into one
+    (rule, n_violations) report; every join is on the warehouse's own
+    keys, so the plan is all hash joins + partial counts — nothing
+    funnels through a driver or a single task at any scale."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def one(rule: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+
+    childless = o.join(
+        li.select("l_orderkey").distinct(),
+        o["o_orderkey"] == F.col("l_orderkey"),
+        "left_anti",
+    )
+    orphans = li.join(
+        o.select("o_orderkey").distinct(),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    )
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    nulls = li.filter(
+        F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
+    )
+    oc = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    lc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("l_cents")
+    )
+    mismatch = oc.join(
+        lc, oc["o_orderkey"] == lc["l_orderkey"]
+    ).filter(F.abs(F.col("o_cents") - F.col("l_cents")) > 1)
+
+    def agg1(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("__n"))
+
+    parts = [
+        ("childless_orders", childless),
+        ("dup_lineitem_pk", dups),
+        ("null_lineitem_pk", nulls),
+        ("orphan_lineitems", orphans),
+        ("totalprice_mismatch_gt_1c", mismatch),
+    ]
+    out = None
+    for rule, df in parts:
+        row = agg1(df).select(
+            F.lit(rule).alias("rule"),
+            F.col("__n").cast("long").alias("n_violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rule")
