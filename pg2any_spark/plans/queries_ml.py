@@ -5643,3 +5643,110 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction (pointwise mutual information, top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "collocations_pmi_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest(t) AS tok FROM base) GROUP BY tok
+    ),
+    n_tok AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM uni),
+    bg AS (
+        SELECT t[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+               t[CAST(r.i + 2 AS INTEGER)] AS bg
+        FROM base, UNNEST(range(len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    bgc AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY bg
+    ),
+    n_bg AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS nb FROM bgc),
+    scored AS (
+        SELECT bgc.bg, bgc.c_bg,
+               CAST(FLOOR(CAST(1000000 AS DOUBLE) * ln(
+                   (CAST(bgc.c_bg AS DOUBLE) / CAST(n_bg.nb AS DOUBLE))
+                   / ((CAST(u1.c_w AS DOUBLE) / CAST(n_tok.n AS DOUBLE))
+                      * (CAST(u2.c_w AS DOUBLE) / CAST(n_tok.n AS DOUBLE)))
+               )) AS BIGINT) AS pmi_s
+        FROM bgc
+        JOIN uni u1 ON u1.tok = string_split(bgc.bg, ' ')[1]
+        JOIN uni u2 ON u2.tok = string_split(bgc.bg, ' ')[2]
+        CROSS JOIN n_bg CROSS JOIN n_tok
+        WHERE bgc.c_bg >= 5
+    )
+    SELECT bg, c_bg, pmi_s FROM scored
+    ORDER BY pmi_s DESC, bg LIMIT 20
+    """,
+)
+def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction — the top-20 bigrams by pointwise mutual
+    information (min support 5), the classic corpus-linguistics screen
+    for multi-word units ("new york"-style fused phrases) that a
+    tokenizer or phrase-mining pass should treat as one symbol. Reuses
+    the LM count pipeline's exact-integer skeleton: corpus bigram and
+    unigram counts are BIGINT aggregates, and the PMI quantizes to a
+    scale-1e6 floored BIGINT from one fixed-op-order double chain
+    (p(bg)/(p(w1)·p(w2)) — the same single-ulp-exposure form the
+    driver-green scaled LM uses), so ranking and ties are integer
+    business with the bigram string as the final tiebreak. Plan: two
+    map-side-combinable count aggs, two shuffle joins of the bigram
+    table against the unigram table (no broadcast assumption — the
+    vocabulary can be corpus-sized), broadcast 1-row totals, and a
+    TakeOrdered(20) instead of a global sort."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.filter(F.trim(F.col("text")) != "")
+    uni = (
+        base.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    )
+    n_tok = F.broadcast(uni.agg(F.sum("c_w").cast("long").alias("n")))
+    bgc = (
+        base.select(
+            F.explode(T.word_ngrams(F.col("text"), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+        .filter(F.col("c_bg") >= 5)
+    )
+    n_bg = F.broadcast(
+        base.select(F.explode(T.word_ngrams(F.col("text"), 2)).alias("bg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    u1 = uni.select(F.col("tok").alias("__w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("__w2"), F.col("c_w").alias("c_w2"))
+    scored = (
+        bgc.withColumn("__w1", F.substring_index("bg", " ", 1))
+        .withColumn("__w2", F.substring_index("bg", " ", -1))
+        .join(u1, "__w1")
+        .join(u2, "__w2")
+        .join(n_bg)
+        .join(n_tok)
+        .select(
+            "bg",
+            "c_bg",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.col("c_bg").cast("double") / F.col("nb").cast("double"))
+                    / (
+                        (F.col("c_w1").cast("double") / F.col("n").cast("double"))
+                        * (F.col("c_w2").cast("double") / F.col("n").cast("double"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pmi_s"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_s").desc(), "bg").limit(20)
