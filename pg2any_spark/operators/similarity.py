@@ -452,6 +452,73 @@ def brute_force_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def margin_mining(
+    src_queries: DataFrame,
+    tgt: DataFrame,
+    src_full: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining (the ratio-margin criterion of
+    parallel-corpus construction): for each source-side query, its
+    best target-side neighbor scored by
+
+        margin(x, y) = cos(x, y) / ((a_x + a_y) / 2)
+
+    where ``a_x`` is the mean top-k cosine of x into the target set
+    and ``a_y`` the mean top-k cosine of y back into the FULL source
+    set — the margin discounts "hub" vectors that are everyone's
+    nearest neighbor, the failure mode of raw-cosine mining.
+
+    Exactness: the k-NN means are SUMS of 1e6-quantized BIGINT cosines
+    (each cosine rounded to 6dp first, so the integers are identical
+    in any engine), making the margin ONE division of exact integers —
+    ``2k·c6(x,y) / (ax_sum + ay_sum)`` — rounded once at the output.
+
+    Scale shape: two ``brute_force_topk`` passes (query sides
+    broadcast — the sampled queries and the ≤|Q| best-candidate set),
+    map-side top-k each, then broadcast-joinable |Q|-row margins. For
+    corpus-scale mining swap the brute-force passes for the IVF/LSH
+    candidate generators — the margin algebra is unchanged.
+
+    Returns (src_id, tgt_id, cos_sim, margin) ordered by src_id.
+    """
+    c6 = lambda col: F.round(col * 1_000_000).cast("long")  # noqa: E731
+    fwd = brute_force_topk(tgt, src_queries, id_col, vec_col, k=k)
+    fwd6 = fwd.withColumn("c6", c6(F.col("cos_sim")))
+    ax = fwd6.groupBy("query_id").agg(F.sum("c6").alias("ax_sum"))
+    best = fwd6.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "cos_sim", "c6"
+    )
+    cands = (
+        best.select(F.col("neighbor_id").alias(id_col))
+        .distinct()
+        .join(tgt, id_col)
+    )
+    bwd = brute_force_topk(src_full, cands, id_col, vec_col, k=k)
+    ay = (
+        bwd.withColumn("c6", c6(F.col("cos_sim")))
+        .groupBy(F.col("query_id").alias("__tid"))
+        .agg(F.sum("c6").alias("ay_sum"))
+    )
+    return (
+        best.join(F.broadcast(ax), "query_id")
+        .join(F.broadcast(ay), best["neighbor_id"] == F.col("__tid"))
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            "cos_sim",
+            F.round(
+                F.lit(float(2 * k)) * F.col("c6")
+                / (F.col("ax_sum") + F.col("ay_sum")),
+                6,
+            ).alias("margin"),
+        )
+        .orderBy("src_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH: sign random projections with md5-derived hyperplanes
 # ---------------------------------------------------------------------------

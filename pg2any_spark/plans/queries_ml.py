@@ -5750,3 +5750,83 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_s").desc(), "bg").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (margin-based cross-set pair extraction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitext_margin_mining",
+    oracle="""
+    WITH src AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE label = 0 AND vec_id % 5 = 0
+    ),
+    srcf AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE label = 0
+    ),
+    tgt AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE label = 1
+    ),
+    fwd AS (
+        SELECT s.vec_id AS qid, t.vec_id AS nid,
+               ROUND(list_cosine_similarity(s.v, t.v), 6) AS cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(s.v, t.v), 6) DESC,
+                            t.vec_id
+               ) AS rnk
+        FROM src s CROSS JOIN tgt t
+    ),
+    fwd6 AS (
+        SELECT qid, nid, cs,
+               CAST(ROUND(cs * 1000000) AS BIGINT) AS c6, rnk
+        FROM fwd WHERE rnk <= 4
+    ),
+    ax AS (SELECT qid, CAST(SUM(c6) AS BIGINT) AS ax_sum
+           FROM fwd6 GROUP BY qid),
+    best AS (SELECT qid, nid, cs, c6 FROM fwd6 WHERE rnk = 1),
+    bwd AS (
+        SELECT t.vec_id AS tid, s.vec_id AS sid,
+               CAST(ROUND(ROUND(list_cosine_similarity(t.v, s.v), 6)
+                          * 1000000) AS BIGINT) AS c6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(t.v, s.v), 6) DESC,
+                            s.vec_id
+               ) AS rnk
+        FROM (SELECT tg.vec_id, tg.v FROM tgt tg
+              WHERE tg.vec_id IN (SELECT DISTINCT nid FROM best)) t
+        CROSS JOIN srcf s
+    ),
+    ay AS (SELECT tid, CAST(SUM(c6) AS BIGINT) AS ay_sum
+           FROM bwd WHERE rnk <= 4 GROUP BY tid)
+    SELECT b.qid AS src_id, b.nid AS tgt_id, b.cs AS cos_sim,
+           ROUND(CAST(8 AS DOUBLE) * b.c6 / (ax.ax_sum + ay.ay_sum), 6)
+               AS margin
+    FROM best b
+    JOIN ax ON ax.qid = b.qid
+    JOIN ay ON ay.tid = b.nid
+    ORDER BY src_id
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining between two embedding populations
+    (label 0 → label 1, a %5 query sample): each source query's best
+    cross-set neighbor scored by the ratio margin
+    cos/((a_x+a_y)/2) — the hub-discounting criterion parallel-corpus
+    pipelines mine sentence pairs with (``similarity.margin_mining``).
+    Both k-NN means ride as SUMS of 1e6-quantized BIGINT cosines, so
+    the margin is a single exact-integer division rounded once —
+    cross-engine stable with no float accumulation anywhere. Two
+    broadcast-query brute-force passes at fixture scale; production
+    swaps in the IVF/LSH candidate generators, same margin algebra."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    src_full = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
+    src_q = src_full.filter(F.col("vec_id") % 5 == 0)
+    tgt = emb.filter(F.col("label") == 1).select("vec_id", "embedding")
+    return S.margin_mining(src_q, tgt, src_full, k=4)

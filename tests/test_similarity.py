@@ -657,3 +657,27 @@ class TestExactAuc:
         df = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
         r = S.exact_auc_report(df, "s", "y").collect()[0]
         assert r["n_neg"] == 0 and r["auc_den"] == 0 and r["auc"] is None
+
+
+class TestMarginMining:
+    def test_hub_discount_hand_case(self, spark):
+        """The ratio margin discounts hubs: an isolated mutual pair
+        (x_iso·y_iso = 1, orthogonal to everything) scores margin
+        4·1e6/(1e6+1e6) = 2.0, while x_a's equally-perfect cosine to
+        the hub y_hub (which also attracts x_b at 0.8) is discounted
+        to 4e6/(1.6e6+1.8e6) ≈ 1.176."""
+        def df(rows):
+            return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        src_full = df([(0, [1.0, 0.0, 0.0, 0.0]),
+                       (1, [0.8, 0.6, 0.0, 0.0]),
+                       (2, [0.0, 0.0, 1.0, 0.0])])
+        tgt = df([(10, [1.0, 0.0, 0.0, 0.0]),   # hub: close to 0 AND 1
+                  (11, [0.0, 0.0, 1.0, 0.0]),   # isolated partner of 2
+                  (12, [0.6, 0.8, 0.0, 0.0])])
+        out = {r["src_id"]: r for r in
+               S.margin_mining(src_full, tgt, src_full, k=2).collect()}
+        assert out[2]["tgt_id"] == 11 and out[2]["margin"] == 2.0
+        assert out[0]["tgt_id"] == 10 and abs(out[0]["margin"] - 4e6 / 3.4e6) < 1e-5
+        assert out[2]["margin"] > out[0]["margin"]  # hub discounted
+        assert out[0]["cos_sim"] == 1.0 and out[2]["cos_sim"] == 1.0
