@@ -376,6 +376,15 @@ DETERMINISTIC_EXACT = {
     ("canary_duck_pin", "t8d"),
     ("canary_spark_pin", "t7s"),
     ("canary_spark_pin", "t8s"),
+    # late round-8: single divisions of exact integers — auc is
+    # auc_num/auc_den (both BIGINT), mean_q is BIGINT sum / count,
+    # margin is 2k·c6 / (ax_sum + ay_sum) with every term an exact
+    # 1e6-quantized BIGINT sum; cos_sim is the same per-row fixed-order
+    # array fold already classified for the ann_* family
+    ("classifier_auc_exact", "auc"),
+    ("embedding_dim_stats", "mean_q"),
+    ("bitext_margin_mining", "cos_sim"),
+    ("bitext_margin_mining", "margin"),
 }
 
 #: (query, column) → (raw-metric id) for order-dependent float
