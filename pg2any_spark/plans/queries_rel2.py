@@ -1265,3 +1265,131 @@ def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# storage-layout optimization: Z-order (Morton) data-skipping audit
+# ---------------------------------------------------------------------------
+
+#: 16-bit Morton interleave of two 8-bit bucket ids (cx even bits,
+#: dx odd bits) — pure integer bit arithmetic, identical in any engine.
+_MORTON_TERMS = " + ".join(
+    f"(((cx >> {i}) & 1) * {1 << (2 * i)}) + "
+    f"(((dx >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+
+@query(
+    "zorder_skipping_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 256 AS BIGINT) AS cx,
+               CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256
+                    AS BIGINT) AS dx,
+               CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                    AS BIGINT) AS eday
+        FROM orders
+    ),
+    keyed AS (
+        SELECT *, CAST({_MORTON_TERMS} AS BIGINT) AS zkey FROM base
+    ),
+    zf AS (SELECT cx, dx,
+                  NTILE(64) OVER (ORDER BY zkey, o_orderkey) AS f
+           FROM keyed),
+    df_ AS (SELECT cx, dx,
+                   NTILE(64) OVER (ORDER BY eday, o_orderkey) AS f
+            FROM keyed),
+    zs AS (SELECT f, MIN(cx) mcx, MAX(cx) xcx, MIN(dx) mdx, MAX(dx) xdx
+           FROM zf GROUP BY f),
+    ds AS (SELECT f, MIN(cx) mcx, MAX(cx) xcx, MIN(dx) mdx, MAX(dx) xdx
+           FROM df_ GROUP BY f)
+    SELECT 'datesort' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mcx <= 17 AND 17 <= xcx THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_cust_scan,
+           CAST(SUM(CASE WHEN xdx >= 100 AND mdx <= 110 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_date_scan
+    FROM ds
+    UNION ALL
+    SELECT 'zorder',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN mcx <= 17 AND 17 <= xcx THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN xdx >= 100 AND mdx <= 110 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM zs
+    ORDER BY layout
+    """,
+)
+def zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT AUDIT — the lakehouse data-skipping question
+    answered exactly: bucket orders into 64 equal-row "files" under
+    two physical layouts (date-sorted ingest order vs a 16-bit Morton
+    interleave of customer-bucket × day-bucket), collect per-file
+    min/max zone maps on BOTH dimensions, and count how many files a
+    point predicate on one dimension (cust bucket = 17) and a range
+    predicate on the other (day bucket ∈ [100,110]) must scan. The
+    date-sorted layout prunes only the date predicate; the Z-order
+    layout trades a little of each — THE multi-dimensional-clustering
+    trade-off, measured from real zone maps rather than asserted. The
+    Morton key is pure integer bit arithmetic (identical in any
+    engine); file assignment is the SQL-standard NTILE through
+    ``similarity.global_distribution`` (literal-boundary global rank —
+    no single-partition window), and every reported cell is a BIGINT.
+    At scale this runs as a pre-write audit: the same zone-map
+    statistics the writer would hand the table format, computed before
+    committing to a layout."""
+    from pg2any_spark.operators import similarity as S
+
+    orders = load_table(spark, "orders", sf_dir)
+    epoch = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("cx"),
+        (epoch % 256).cast("long").alias("dx"),
+        epoch.alias("eday"),
+    )
+    zkey = sum(
+        F.shiftright(F.col("cx"), i).bitwiseAND(F.lit(1))
+        * F.lit(1 << (2 * i)).cast("long")
+        + F.shiftright(F.col("dx"), i).bitwiseAND(F.lit(1))
+        * F.lit(1 << (2 * i + 1)).cast("long")
+        for i in range(8)
+    )
+    keyed = base.withColumn("zkey", zkey.cast("long"))
+
+    def layout_stats(order_col: str, name: str) -> DataFrame:
+        files = S.global_distribution(
+            keyed,
+            [F.col(order_col), F.col("o_orderkey")],
+            buckets=64,
+        ).select("decile", "cx", "dx")
+        zone = files.groupBy("decile").agg(
+            F.min("cx").alias("mcx"),
+            F.max("cx").alias("xcx"),
+            F.min("dx").alias("mdx"),
+            F.max("dx").alias("xdx"),
+        )
+        return zone.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(
+                ((F.col("mcx") <= 17) & (F.lit(17) <= F.col("xcx"))).cast("long")
+            )
+            .cast("long")
+            .alias("files_cust_scan"),
+            F.sum(
+                ((F.col("xdx") >= 100) & (F.col("mdx") <= 110)).cast("long")
+            )
+            .cast("long")
+            .alias("files_date_scan"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    return (
+        layout_stats("eday", "datesort")
+        .unionByName(layout_stats("zkey", "zorder"))
+        .orderBy("layout")
+    )
