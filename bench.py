@@ -97,6 +97,20 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "token_budget_selection",
     "media_phash_near_dup",
+    # late round 8: exact rank-sum AUC (score-histogram prefix sum),
+    # integrity audit, striped shard balancing, embedding dim QA, PMI
+    # collocations, bitext margin mining, blocked fuzzy ER, Z-order
+    # skipping audit. (sessionize_events_stream stays out like the
+    # other slow streaming queries — its ~8 s is micro-batch/state
+    # machinery, flat in SF, and would swamp the comparable total.)
+    "classifier_auc_exact",
+    "integrity_audit_orders",
+    "shard_striped_by_size",
+    "embedding_dim_stats",
+    "collocations_pmi_topk",
+    "bitext_margin_mining",
+    "er_blocked_fuzzy_parts",
+    "zorder_skipping_audit",
 ]
 
 

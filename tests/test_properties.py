@@ -400,3 +400,34 @@ def test_global_rank_and_prefix_sum_match_windows(spark, keys, parts):
     }
     assert {r["id"]: r["r"] for r in ranked.collect()} == want_r
     assert {r["id"]: r["s"] for r in summed.collect()} == want_s
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ),
+)
+@settings(max_examples=10, derandomize=True, deadline=None)
+def test_exact_auc_matches_pair_counting(spark, rows):
+    """Property: for ANY (integer score, label) multiset — tie-heavy
+    by construction (scores 0..8) — the histogram+prefix-sum AUC
+    equals brute-force Mann-Whitney pair counting: auc_num == 2·U
+    where U = Σ_{p,n} [s_p > s_n] + ½[s_p = s_n]."""
+    from pyspark.sql import Row
+
+    from pg2any_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [Row(s=s, y=bool(y)) for s, y in rows], "s long, y boolean"
+    )
+    got = S.exact_auc_report(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    u2 = sum(
+        2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
+    )
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc_num"] == u2
+    assert got["auc_den"] == 2 * len(pos) * len(neg)
