@@ -25,7 +25,7 @@ driver row yet (``value_distribution_scalable``,
 ``ann_matryoshka_recall``, ``media_phash_near_dup``,
 ``source_format_parity``, ``graph_pagerank_events``,
 ``events_anomaly_mad``, ``orders_value_deciles``, and the late-r8
-six: ``classifier_auc_exact``, ``sessionize_events_stream``,
+nine: ``classifier_auc_exact``, ``sessionize_events_stream``,
 ``integrity_audit_orders``, ``shard_striped_by_size``,
 ``embedding_dim_stats``, ``collocations_pmi_topk``,
 ``bitext_margin_mining``, ``er_blocked_fuzzy_parts``,

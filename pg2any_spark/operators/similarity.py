@@ -422,6 +422,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -432,14 +433,22 @@ def brute_force_topk(
     cross join into a broadcast nested loop with no shuffle of the
     corpus.
 
+    ``exclude_self`` (default) drops id-equal pairs — correct when
+    queries are drawn FROM the corpus (the ANN-recall harnesses).
+    Pass ``False`` for cross-SET search (e.g. bitext mining), where
+    the two populations may legitimately reuse id values and an
+    id-equal pair is a real candidate, not a self-match.
+
     Returns (query_id, neighbor_id, cos_sim, rank). Ranking uses the
     rounded similarity with id tiebreak — fully deterministic.
     """
     q = F.broadcast(_normalized(queries, id_col, "query_id", vec_col, "q_vec"))
     c = _normalized(corpus, id_col, "neighbor_id", vec_col, "c_vec")
+    pairs = c.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     sims = (
-        c.crossJoin(q)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        pairs
         .select(
             "query_id",
             "neighbor_id",
@@ -480,12 +489,18 @@ def margin_mining(
     broadcast — the sampled queries and the ≤|Q| best-candidate set),
     map-side top-k each, then broadcast-joinable |Q|-row margins. For
     corpus-scale mining swap the brute-force passes for the IVF/LSH
-    candidate generators — the margin algebra is unchanged.
+    candidate generators — the margin algebra is unchanged. Both
+    passes run ``exclude_self=False``: the two populations are
+    distinct SETS, so an id-equal pair (two corpora both numbering
+    from 0) is a legitimate — often the best — candidate, not a
+    self-match.
 
     Returns (src_id, tgt_id, cos_sim, margin) ordered by src_id.
     """
     c6 = lambda col: F.round(col * 1_000_000).cast("long")  # noqa: E731
-    fwd = brute_force_topk(tgt, src_queries, id_col, vec_col, k=k)
+    fwd = brute_force_topk(
+        tgt, src_queries, id_col, vec_col, k=k, exclude_self=False
+    )
     fwd6 = fwd.withColumn("c6", c6(F.col("cos_sim")))
     ax = fwd6.groupBy("query_id").agg(F.sum("c6").alias("ax_sum"))
     best = fwd6.filter(F.col("rank") == 1).select(
@@ -496,7 +511,9 @@ def margin_mining(
         .distinct()
         .join(tgt, id_col)
     )
-    bwd = brute_force_topk(src_full, cands, id_col, vec_col, k=k)
+    bwd = brute_force_topk(
+        src_full, cands, id_col, vec_col, k=k, exclude_self=False
+    )
     ay = (
         bwd.withColumn("c6", c6(F.col("cos_sim")))
         .groupBy(F.col("query_id").alias("__tid"))

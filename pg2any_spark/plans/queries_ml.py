@@ -3186,6 +3186,7 @@ def cms_streaming_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{work}/cells", f"{work}/ckpt", key_col="token"
     )
     if not q.awaitTermination(300):
+        q.stop()
         raise TimeoutError("streaming CMS did not drain in 300s")
 
     cells = read_cms_cells(spark, f"{work}/cells")
@@ -3526,6 +3527,7 @@ def bloom_streaming_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{work}/cells", f"{work}/ckpt", key_col="gram"
     )
     if not q.awaitTermination(300):
+        q.stop()
         raise TimeoutError("streaming Bloom did not drain in 300s")
     cells = read_bloom_cells(spark, f"{work}/cells")
     return _bloom_decon_report(
@@ -5090,6 +5092,7 @@ def heavy_hitters_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{work}/cands", f"{work}/ckpt", key_col="token", k=200
     )
     if not q.awaitTermination(300):
+        q.stop()
         raise TimeoutError("streaming Misra-Gries did not drain in 300s")
 
     cands = read_mg_candidates(spark, f"{work}/cands", "token")
@@ -5705,23 +5708,29 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered(20) instead of a global sort."""
     docs = load_table(spark, "documents", sf_dir)
     base = docs.filter(F.trim(F.col("text")) != "")
+    # uni feeds three consumers (u1, u2, n_tok) and the grouped bigram
+    # table two (the support filter and the corpus total) — persist
+    # both count tables so the corpus tokenize/explode passes run once,
+    # the same multi-traversal rationale as token_budget_selection's
+    # LM persist. Both tables are vocabulary-sized, not corpus-sized.
     uni = (
         base.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+        .persist()
     )
     n_tok = F.broadcast(uni.agg(F.sum("c_w").cast("long").alias("n")))
-    bgc = (
+    bgc_all = (
         base.select(
             F.explode(T.word_ngrams(F.col("text"), 2)).alias("bg")
         )
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
-        .filter(F.col("c_bg") >= 5)
+        .persist()
     )
+    bgc = bgc_all.filter(F.col("c_bg") >= 5)
     n_bg = F.broadcast(
-        base.select(F.explode(T.word_ngrams(F.col("text"), 2)).alias("bg"))
-        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        bgc_all.agg(F.sum("c_bg").cast("long").alias("nb"))
     )
     u1 = uni.select(F.col("tok").alias("__w1"), F.col("c_w").alias("c_w1"))
     u2 = uni.select(F.col("tok").alias("__w2"), F.col("c_w").alias("c_w2"))

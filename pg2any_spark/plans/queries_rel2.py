@@ -756,6 +756,10 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id"
     )
+    import glob
+    import os
+    import time
+
     tslong = F.col("ts").cast("long")
     cut1, cut2 = ev.select(
         F.percentile_approx(tslong, F.lit([1.0 / 3, 2.0 / 3]), 10_000)
@@ -763,26 +767,33 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = ev.agg(F.max(tslong)).first()[0]
     work = _fresh_workdir("pg2any_sess_")
     src = f"{work}/events"
-    shards = [
+    sentinel_ts = max_ts + 10 * 24 * 3600  # ≫ gap past every real event
+    batches = [
         ev.filter(tslong < cut1),
         ev.filter((tslong >= cut1) & (tslong < cut2)),
         ev.filter(tslong >= cut2),
-    ]
-    for shard in shards:  # sequential appends → monotone mod-times
-        shard.coalesce(1).write.mode("append").parquet(src)
-    sentinel_ts = max_ts + 10 * 24 * 3600  # ≫ gap past every real event
-    (
+        # sentinel batch: one far-future event per user flushes tails
         ev.select("user_id")
         .distinct()
         .select(
             F.lit(-1).cast("long").alias("event_id"),
             F.lit(sentinel_ts).cast("timestamp").alias("ts"),
             "user_id",
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(src)
-    )
+        ),
+    ]
+    # FileStreamSource orders unread files by modification time; the
+    # 0-second watermark makes that order LOAD-BEARING (a reordered
+    # shard would arrive entirely late and be dropped), so stamp each
+    # batch's files with explicit strictly-increasing mtimes instead
+    # of trusting write-completion timing/filesystem granularity.
+    stamped: set[str] = set()
+    t0 = time.time() - 3600
+    for i, batch in enumerate(batches):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for p in glob.glob(f"{src}/*.parquet"):
+            if p not in stamped:
+                os.utime(p, (t0 + i, t0 + i))
+                stamped.add(p)
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .option("maxFilesPerTrigger", 1)
@@ -798,6 +809,7 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     if not q.awaitTermination(300):
+        q.stop()  # don't leak a live stream + state store into the session
         raise TimeoutError("streaming sessionization did not drain in 300s")
     return (
         spark.table(sink)
@@ -1204,12 +1216,6 @@ def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels through a driver or a single task at any scale."""
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-
-    def one(rule: str, cnt_df: DataFrame) -> DataFrame:
-        return cnt_df.select(
-            F.lit(rule).alias("rule"),
-            F.count(F.lit(1)).cast("long").alias("n_violations"),
-        )
 
     childless = o.join(
         li.select("l_orderkey").distinct(),

@@ -681,3 +681,16 @@ class TestMarginMining:
         assert out[0]["tgt_id"] == 10 and abs(out[0]["margin"] - 4e6 / 3.4e6) < 1e-5
         assert out[2]["margin"] > out[0]["margin"]  # hub discounted
         assert out[0]["cos_sim"] == 1.0 and out[2]["cos_sim"] == 1.0
+
+    def test_overlapping_id_spaces_keep_id_equal_pairs(self, spark):
+        """Cross-SET mining must not drop id-equal pairs: two corpora
+        both numbering from 0 — the (0, 0) pair is the best candidate
+        and must survive (exclude_self=False underneath)."""
+        def df(rows):
+            return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        src = df([(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+        tgt = df([(0, [1.0, 0.0]), (1, [0.6, 0.8])])  # tgt 0 == src 0
+        out = {r["src_id"]: r for r in
+               S.margin_mining(src, tgt, src, k=2).collect()}
+        assert out[0]["tgt_id"] == 0 and out[0]["cos_sim"] == 1.0
