@@ -18,19 +18,20 @@ fixed by ``CAST(... AS BIGINT)`` on their HUGEINT-typed output
 columns, the round-7 judge's proven mechanism) + the 2 new hugeint
 mechanism canaries (``canary_hugeint_bare`` expected RED,
 ``canary_hugeint_cast`` expected GREEN — the controlled pair that
-driver-confirms the diagnosis), then the 20 round-8 queries with no
+driver-confirms the diagnosis), then the 23 round-8 queries with no
 driver row yet (``value_distribution_scalable``,
 ``heavy_hitters_tokens``, ``heavy_hitters_streaming``,
 ``retrieval_hybrid_rrf``, ``token_budget_selection``,
 ``ann_matryoshka_recall``, ``media_phash_near_dup``,
 ``source_format_parity``, ``graph_pagerank_events``,
 ``events_anomaly_mad``, ``orders_value_deciles``, and the late-r8
-nine: ``classifier_auc_exact``, ``sessionize_events_stream``,
+twelve: ``classifier_auc_exact``, ``sessionize_events_stream``,
 ``integrity_audit_orders``, ``shard_striped_by_size``,
 ``embedding_dim_stats``, ``collocations_pmi_topk``,
 ``bitext_margin_mining``, ``er_blocked_fuzzy_parts``,
-``zorder_skipping_audit`` — all nine
-locally hash-green at sf0.001/0.01/0.1), then 14 verified
+``zorder_skipping_audit``, ``interval_join_stream``,
+``basket_frequent_pairs``, ``graph_triangle_census`` — all twelve
+locally hash-green at sf0.001/0.01/0.1), then 11 verified
 re-confirms — the stalest (r2–r6) greens rotate in ahead of the
 queries round 7 just re-confirmed (``R7_RECONFIRMED``).
 """

@@ -5914,3 +5914,115 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("head")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle census + clustering coefficient (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_census",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           (SELECT n_tri FROM tri) AS n_triangles,
+           CAST((SELECT SUM(CAST(d * (d - 1) / 2 AS BIGINT)) FROM deg)
+                AS BIGINT) AS n_wedges,
+           ROUND(CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE)
+                 / CAST((SELECT SUM(CAST(d * (d - 1) / 2 AS BIGINT)) FROM deg)
+                        AS DOUBLE), 6)
+               AS clustering_coeff
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part
+    pairs co-bought in ≥2 orders) + the global clustering coefficient
+    3·triangles/wedges — the graph-structure summary that tells a
+    recommender whether co-purchase neighborhoods are cliquish or
+    star-shaped. Triangles enumerate by the ORDERED-triple join (each
+    triangle counted exactly once as u<v<w: e(u,v) ⋈ e(v,w) ⋈
+    e(u,w)) — two hash joins on single node keys, the standard
+    distributed triangle pattern whose intermediate is bounded by
+    wedge count (and wedges/degrees are the explicit guardrail
+    output). Every cell is an exact BIGINT; the coefficient is one
+    division of two exact integers (d·(d−1) is always even, so the
+    wedge sum is integer-exact in both engines)."""
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("u", "v")
+        .persist()  # three consumers: deg, and both sides of the triple join
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    counts = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        nodes_wedges.join(counts)
+        .join(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                (3 * F.col("n_tri")).cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -1399,3 +1399,213 @@ def zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(layout_stats("zkey", "zorder"))
         .orderBy("layout")
     )
+
+
+@query(
+    "interval_join_stream",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           p.user_id,
+           date_diff('microsecond', p.ts, e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts <= p.ts + INTERVAL 60 MINUTE
+    ORDER BY purchase_id, error_id
+    """,
+)
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM bounded interval join driver-checked end-to-end —
+    the continuous twin of ``interval_join_purchase_errors`` run over
+    two live feeds (purchases ⋈ errors within an hour, same user)
+    through ``streaming.pipeline.stream_stream_interval_join``, then
+    compared exactly against the batch oracle. Both feeds split into
+    the SAME three time-contiguous micro-batches (cut points from the
+    full event table, so the two sources' watermarks advance in step
+    and the 0-second delay never lands a row behind the global
+    watermark — pairs spanning a batch boundary survive because the
+    time bound keeps the older side buffered exactly until the
+    watermark passes its match horizon, Spark's stream-stream state
+    eviction contract). Inner-join results emit as matches arrive, so
+    no sentinel flush is needed. State per side is bounded by
+    (watermark + gap) × arrival rate — the requirement for an
+    unbounded run at any scale."""
+    import glob
+    import os
+    import time
+
+    from pg2any_spark.plans.queries import _fresh_workdir
+    from pg2any_spark.streaming.pipeline import stream_stream_interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    tslong = F.col("ts").cast("long")
+    cut1, cut2 = ev.select(
+        F.percentile_approx(tslong, F.lit([1.0 / 3, 2.0 / 3]), 10_000)
+    ).first()[0]
+    work = _fresh_workdir("pg2any_ssij_")
+    sides = {
+        "purchase": ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        ),
+        "error": ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("e_ts"),
+        ),
+    }
+    t0 = time.time() - 3600
+    for name, side in sides.items():
+        tcol = "p_ts" if name == "purchase" else "e_ts"
+        stamped: set[str] = set()
+        shards = [
+            side.filter(F.col(tcol).cast("long") < cut1),
+            side.filter(
+                (F.col(tcol).cast("long") >= cut1)
+                & (F.col(tcol).cast("long") < cut2)
+            ),
+            side.filter(F.col(tcol).cast("long") >= cut2),
+        ]
+        for i, shard in enumerate(shards):
+            shard.coalesce(1).write.mode("append").parquet(f"{work}/{name}")
+            for p in glob.glob(f"{work}/{name}/*.parquet"):
+                if p not in stamped:
+                    os.utime(p, (t0 + i, t0 + i))
+                    stamped.add(p)
+    pstream = (
+        spark.readStream.schema("purchase_id long, user_id long, p_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/purchase")
+    )
+    estream = (
+        spark.readStream.schema("error_id long, user_id_r long, e_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/error")
+    )
+    joined = stream_stream_interval_join(
+        pstream, estream, by="user_id", left_ts="p_ts", right_ts="e_ts",
+        max_gap_seconds=3600, watermark="0 seconds", right_by="user_id_r",
+    )
+    sink = f"ssij_{work.rsplit('_', 1)[-1]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-stream interval join did not drain in 300s")
+    return (
+        spark.table(sink)
+        .select(
+            "purchase_id",
+            "error_id",
+            "user_id",
+            (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts")))
+            .alias("gap_us"),
+        )
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket analysis: frequent co-purchased part pairs + lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_frequent_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    part_supp AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.pa, p.pb, p.support,
+           sa.c AS supp_a, sb.c AS supp_b,
+           ROUND(CAST(p.support AS DOUBLE) * CAST(no.n AS DOUBLE)
+                 / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)), 6)
+               AS lift
+    FROM pairs p
+    JOIN part_supp sa ON sa.l_partkey = p.pa
+    JOIN part_supp sb ON sb.l_partkey = p.pb
+    CROSS JOIN n_orders no
+    ORDER BY p.support DESC, p.pa, p.pb
+    LIMIT 50
+    """,
+)
+def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis — the level-2 Apriori pass: part pairs
+    co-purchased in ≥3 orders (the fixture's baskets are sparse — the
+    support histogram tops out at 5), scored by LIFT (support·N /
+    (supp_a·supp_b) — how much more often the pair co-occurs than
+    independence predicts; all inputs exact BIGINTs, one fixed-order
+    double chain rounded at the output). The pair space never
+    materializes corpus-wide: the self-join is keyed on l_orderkey, so
+    candidates are bounded by Σ per-order (items choose 2) — TPC-H
+    baskets hold ~4–7 distinct parts, giving ~10–20 pairs per order at
+    ANY corpus size (the same blocked-pair-enumeration argument as the
+    LSH band joins); the support filter then prunes before the
+    broadcast-joinable per-part supports attach. TakeOrdered(50), no
+    global sort."""
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = F.broadcast(
+        items.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    )
+    part_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    sa = part_supp.select(
+        F.col("l_partkey").alias("__pa"), F.col("c").alias("supp_a")
+    )
+    sb = part_supp.select(
+        F.col("l_partkey").alias("__pb"), F.col("c").alias("supp_b")
+    )
+    return (
+        pairs.join(sa, F.col("pa") == F.col("__pa"))
+        .join(sb, F.col("pb") == F.col("__pb"))
+        .join(n_orders)
+        .select(
+            "pa", "pb", "support", "supp_a", "supp_b",
+            F.round(
+                F.col("support").cast("double") * F.col("n").cast("double")
+                / (F.col("supp_a").cast("double") * F.col("supp_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "pa", "pb")
+        .limit(50)
+    )

@@ -385,6 +385,11 @@ DETERMINISTIC_EXACT = {
     ("embedding_dim_stats", "mean_q"),
     ("bitext_margin_mining", "cos_sim"),
     ("bitext_margin_mining", "margin"),
+    # lift = support·N/(supp_a·supp_b), clustering_coeff =
+    # 3·triangles/wedges — single fixed-order double chains over
+    # exact BIGINT inputs, rounded once
+    ("basket_frequent_pairs", "lift"),
+    ("graph_triangle_census", "clustering_coeff"),
 }
 
 #: (query, column) → (raw-metric id) for order-dependent float
