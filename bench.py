@@ -111,6 +111,10 @@ HEADLINE = [
     "bitext_margin_mining",
     "er_blocked_fuzzy_parts",
     "zorder_skipping_audit",
+    # wave 3: association rules + graph census (interval_join_stream
+    # stays out with the other streaming-machinery-bound queries)
+    "basket_frequent_pairs",
+    "graph_triangle_census",
 ]
 
 
