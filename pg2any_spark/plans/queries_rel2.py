@@ -1421,8 +1421,8 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     two live feeds (purchases ⋈ errors within an hour, same user)
     through ``streaming.pipeline.stream_stream_interval_join``, then
     compared exactly against the batch oracle. Both feeds split into
-    the SAME three time-contiguous micro-batches (cut points from the
-    full event table, so the two sources' watermarks advance in step
+    the SAME two time-contiguous micro-batches at the event-time
+    median (cut point from the full event table, so the two sources' watermarks advance in step
     and the 0-second delay never lands a row behind the global
     watermark — pairs spanning a batch boundary survive because the
     time bound keeps the older side buffered exactly until the
@@ -1440,8 +1440,8 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     tslong = F.col("ts").cast("long")
-    cut1, cut2 = ev.select(
-        F.percentile_approx(tslong, F.lit([1.0 / 3, 2.0 / 3]), 10_000)
+    (cut1,) = ev.select(
+        F.percentile_approx(tslong, F.lit([0.5]), 10_000)
     ).first()[0]
     work = _fresh_workdir("pg2any_ssij_")
     sides = {
@@ -1462,11 +1462,7 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stamped: set[str] = set()
         shards = [
             side.filter(F.col(tcol).cast("long") < cut1),
-            side.filter(
-                (F.col(tcol).cast("long") >= cut1)
-                & (F.col(tcol).cast("long") < cut2)
-            ),
-            side.filter(F.col(tcol).cast("long") >= cut2),
+            side.filter(F.col(tcol).cast("long") >= cut1),
         ]
         for i, shard in enumerate(shards):
             shard.coalesce(1).write.mode("append").parquet(f"{work}/{name}")
