@@ -8,32 +8,20 @@ core capability, re-expressed Spark-first).
 from SURVEY.md §2; the driver cross-checks each against DuckDB.
 
 Ordering contract: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` in iteration order. ``RECHECK_FIRST`` (reds
-under rework + their interpretation anchors) is emitted first, then
-queries that have never earned a driver row, then the cumulative
-``DRIVER_VERIFIED`` set (re-confirmations), with the two no-oracle
-sketches dead last. Round 8's window: the 14 recast-oracle queries
-(the 13 round-7 reds + the latent ``lm_bigram_perplexity`` — all
-fixed by ``CAST(... AS BIGINT)`` on their HUGEINT-typed output
-columns, the round-7 judge's proven mechanism) + the 2 new hugeint
-mechanism canaries (``canary_hugeint_bare`` expected RED,
-``canary_hugeint_cast`` expected GREEN — the controlled pair that
-driver-confirms the diagnosis), then the 23 round-8 queries with no
-driver row yet (``value_distribution_scalable``,
-``heavy_hitters_tokens``, ``heavy_hitters_streaming``,
-``retrieval_hybrid_rrf``, ``token_budget_selection``,
-``ann_matryoshka_recall``, ``media_phash_near_dup``,
-``source_format_parity``, ``graph_pagerank_events``,
-``events_anomaly_mad``, ``orders_value_deciles``, and the late-r8
-twelve: ``classifier_auc_exact``, ``sessionize_events_stream``,
-``integrity_audit_orders``, ``shard_striped_by_size``,
-``embedding_dim_stats``, ``collocations_pmi_topk``,
-``bitext_margin_mining``, ``er_blocked_fuzzy_parts``,
-``zorder_skipping_audit``, ``interval_join_stream``,
-``basket_frequent_pairs``, ``graph_triangle_census`` — all twelve
-locally hash-green at sf0.001/0.01/0.1), then 11 verified
-re-confirms — the stalest (r2–r6) greens rotate in ahead of the
-queries round 7 just re-confirmed (``R7_RECONFIRMED``).
+entries of ``queries()`` in iteration order. Round-9 policy
+(correctness is finished — 191 registered, 188 ever driver-green, the
+only never-green rows being the two no-oracle sketches and the
+intentionally-red hugeint canary): queries that have never earned a
+driver row are emitted first, then every green query ordered
+STALEST-FIRST by the round of its most recent driver-green row in
+``LAST_GREEN`` (the r2/r3 cohort has not been re-confirmed since those
+rounds), so each round's 50-slot window re-validates the oldest
+evidence in the repo. The two retired hugeint mechanism canaries
+(purpose served — the round-8 driver split them exactly as predicted,
+bare RED / cast GREEN, confirming the HUGEINT-hash diagnosis) and the
+two engine-specific approx sketches (no cross-engine oracle by
+construction) are parked dead last so they never consume a priority
+slot again.
 """
 
 from __future__ import annotations
@@ -46,142 +34,123 @@ from pg2any_spark.plans import queries as Q
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: Queries with a full-pass driver row in CORRECTNESS_r02.json or
-#: CORRECTNESS_r03.json. Re-checking one spends a priority slot for no
-#: new evidence, so these are emitted after never-checked queries.
-DRIVER_VERIFIED = {
-    # r01/r02 greens
-    "cdc_apply_customer", "cdc_apply_multi_table", "cdc_incremental_agg_view",
-    "q1_pricing_summary", "cdc_apply_truncate", "cdc_apply_orders_full_identity",
-    "cdc_apply_streaming_tx", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q10_returned_items", "window_top_orders_per_customer",
-    "window_running_revenue", "window_lag_events", "rollup_sales_by_region_nation",
-    "cube_orders_status_priority", "setop_active_both_years",
-    "setop_lapsed_customers", "semi_join_urgent_customers",
-    "anti_join_unsold_parts", "events_daily_by_type", "events_json_props",
-    "distinct_supplier_part_counts",
-    "topk_customers_by_revenue", "q6_forecast_revenue", "text_stats_documents",
-    "doc_fingerprint_rolling", "lang_id_documents", "dedup_exact_recrawl",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_simhash_near_pairs", "ann_cosine_topk_bruteforce", "ann_lsh_topk",
-    "embedding_near_dup", "ann_ivf_topk", "embedding_centroids_by_label",
-    "ivf_kmeans_refined_centroids", "token_hist_by_lang", "cdc_debezium_envelope",
-    "media_metadata", "media_image_features", "media_frame_samples",
-    "media_resize", "doc_quality_bands", "cdc_envelope_roundtrip",
-    "training_pipeline_docs", "dedup_dup_groups", "split_train_eval",
-    # r03 greens (48 hash-matched rows in CORRECTNESS_r03.json)
-    "mix_weighted_sources", "decontaminate_train_split", "top_ngrams_corpus",
-    "tfidf_top_terms_per_doc", "pii_redaction_docs", "doc_repetition_stats",
-    "decontaminate_ngram_overlap", "temperature_mix_by_lang",
-    "source_lang_profile", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q22_idle_rich_customers",
-    "q14_promo_revenue_share", "q12_priority_by_linestatus",
-    "q19_bracketed_revenue", "q13_order_count_distribution",
-    "q7_cross_nation_trade", "full_outer_daily_click_purchase",
-    "pivot_status_by_priority", "grouping_sets_revenue",
-    "percentile_order_value_by_segment", "stats_lineitem_price_qty",
-    "argmax_order_per_customer", "string_funcs_part", "date_funcs_orders",
-    "sessionize_events", "retention_cohorts", "funnel_view_click_purchase",
-    "rolling_7d_revenue", "window_value_distribution",
-    "setop_surplus_1997_orders", "asof_click_before_purchase",
-    "range_band_order_revenue", "interval_join_purchase_errors",
-    "range_join_error_purchase_global", "scd2_customer_history",
-    "scd2_snapshot_time_travel", "timeseries_gapfill_daily_orders",
-    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q15_top_supplier",
-    "q16_supplier_part_counts", "q20_excess_suppliers", "q21_waiting_suppliers",
-    # r04 greens (49 hash-matched rows in CORRECTNESS_r04.json; the one
-    # red, corpus_filter_funnel, stays OUT so round 5 re-checks it first)
-    "ann_int8_recall", "array_funcs_events", "bpe_merges_corpus",
-    "bpe_tokenize_docs", "cdc_apply_multi_table_bucketed",
-    "cdc_streaming_agg_view", "cross_source_duplication",
-    "dedup_incremental_index", "dedup_keep_best",
-    "dedup_lexical_semantic_agreement", "dedup_lsh_recall_report",
-    "embedding_outliers", "knn_label_embeddings",
-    # lm_bigram_perplexity was green here (r4) but its oracle was
-    # re-typed HUGEINT by the r6 rewrite → re-pinned via RECHECK_FIRST
-    "pack_sequences_budget", "vocab_growth_curve",
-    # r05 greens (47 hash-matched rows in CORRECTNESS_r05.json; the three
-    # reds — corpus_filter_funnel, perplexity_bucket_sampling,
-    # line_dedup_c4 — stay OUT and are pinned first via RECHECK_FIRST)
-    "cdc_apply_pgoutput", "cdc_apply_pgoutput_streamed",
-    "dedup_repeated_spans", "dedup_lsh_hot_cap", "media_audio_features",
-    # r06 greens (38 hash-matched rows in CORRECTNESS_r06.json; the 12
-    # reds stay OUT — reworked integer-exact in round 7 and re-pinned
-    # via RECHECK_FIRST. perplexity_probe_nll / line_dedup_probe_digest
-    # were green but stay pinned as interpretation anchors for their
-    # red siblings, and lang_id_documents / text_stats_documents are
-    # re-pinned from r2: their per-doc outputs decide whether the r6
-    # env still agrees with the r2 env on tokenization.)
-    "cdc_apply_toast", "cdc_apply_schema_evolution", "cdc_apply_two_phase",
-    "cdc_apply_quarantined_feed", "cdc_join_view", "semdedup_cells",
-    "gopher_quality_rules", "upsample_epochs_by_source",
-    "decontaminate_semantic", "chunk_context_windows", "cms_token_frequency",
-    "sample_fixed_n_per_lang", "cms_streaming_tokens", "clean_unicode_docs",
-    "kmv_distinct_ngrams", "hist_quantile_order_value", "nb_lang_confusion",
-    "pq_code_balance", "ann_ivfpq_recall", "retrieval_bm25_topk",
-    "source_quota_cap",
-    # r07 greens (37 hash-matched rows in CORRECTNESS_r07.json; the 13
-    # reds — all the HUGEINT oracle-typing artifact, recast in r8 —
-    # stay OUT and are pinned first via RECHECK_FIRST). Folds in the
-    # 10 round-7 canaries/probes, the newly-green dsir_importance
-    # rework, and the green line-dedup / perplexity anchors.
-    "perplexity_probe_nll", "line_dedup_probe_digest",
-    "dsir_importance_scores", "line_dedup_probe_nlines",
-    "line_dedup_probe_footer", "canary_engine_agree", "canary_duck_pin",
-    "canary_spark_pin", "tok_probe_perdoc", "lang_probe_scores",
-    "quality_probe_ints", "repetition_probe_ints", "lm_probe_vocab",
+#: Round of each query's most recent full-pass driver row
+#: (rows+schema+hash in CORRECTNESS_r0N.json, cumulative r1–r8).
+#: Regenerated each round from the correctness artifacts; a registered
+#: query absent here has never been driver-green and sorts first.
+LAST_GREEN = {
+    # last driver-green in round 2 (9 queries)
+    "cdc_envelope_roundtrip": 2, "dedup_dup_groups": 2,
+    "doc_quality_bands": 2, "media_frame_samples": 2,
+    "media_image_features": 2, "media_metadata": 2, "media_resize": 2,
+    "split_train_eval": 2, "training_pipeline_docs": 2,
+    # last driver-green in round 3 (47 queries)
+    "argmax_order_per_customer": 3, "asof_click_before_purchase": 3,
+    "date_funcs_orders": 3, "decontaminate_ngram_overlap": 3,
+    "decontaminate_train_split": 3, "doc_repetition_stats": 3,
+    "full_outer_daily_click_purchase": 3, "funnel_view_click_purchase": 3,
+    "grouping_sets_revenue": 3, "interval_join_purchase_errors": 3,
+    "mix_weighted_sources": 3, "percentile_order_value_by_segment": 3,
+    "pii_redaction_docs": 3, "pivot_status_by_priority": 3,
+    "q11_important_parts": 3, "q12_priority_by_linestatus": 3,
+    "q13_order_count_distribution": 3, "q14_promo_revenue_share": 3,
+    "q15_top_supplier": 3, "q16_supplier_part_counts": 3,
+    "q17_small_quantity_revenue": 3, "q18_large_volume_customers": 3,
+    "q19_bracketed_revenue": 3, "q20_excess_suppliers": 3,
+    "q21_waiting_suppliers": 3, "q22_idle_rich_customers": 3,
+    "q2_min_cost_supplier": 3, "q4_order_priority": 3,
+    "q7_cross_nation_trade": 3, "q8_market_share": 3,
+    "q9_product_profit": 3, "range_band_order_revenue": 3,
+    "range_join_error_purchase_global": 3, "retention_cohorts": 3,
+    "rolling_7d_revenue": 3, "scd2_customer_history": 3,
+    "scd2_snapshot_time_travel": 3, "sessionize_events": 3,
+    "setop_surplus_1997_orders": 3, "source_lang_profile": 3,
+    "stats_lineitem_price_qty": 3, "string_funcs_part": 3,
+    "temperature_mix_by_lang": 3, "tfidf_top_terms_per_doc": 3,
+    "timeseries_gapfill_daily_orders": 3, "top_ngrams_corpus": 3,
+    "window_value_distribution": 3,
+    # last driver-green in round 4 (13 queries)
+    "ann_int8_recall": 4, "array_funcs_events": 4, "bpe_merges_corpus": 4,
+    "bpe_tokenize_docs": 4, "cross_source_duplication": 4,
+    "dedup_incremental_index": 4, "dedup_keep_best": 4,
+    "dedup_lexical_semantic_agreement": 4, "dedup_lsh_recall_report": 4,
+    "embedding_outliers": 4, "knn_label_embeddings": 4,
+    "pack_sequences_budget": 4, "vocab_growth_curve": 4,
+    # last driver-green in round 5 (17 queries)
+    "ann_cosine_topk_bruteforce": 5, "ann_ivf_topk": 5, "ann_lsh_topk": 5,
+    "cdc_debezium_envelope": 5, "dedup_exact_recrawl": 5,
+    "dedup_lsh_hot_cap": 5, "dedup_minhash_lsh": 5,
+    "dedup_ngram_jaccard": 5, "dedup_repeated_spans": 5,
+    "dedup_simhash": 5, "dedup_simhash_near_pairs": 5,
+    "doc_fingerprint_rolling": 5, "embedding_centroids_by_label": 5,
+    "embedding_near_dup": 5, "ivf_kmeans_refined_centroids": 5,
+    "media_audio_features": 5, "token_hist_by_lang": 5,
+    # last driver-green in round 6 (16 queries)
+    "ann_ivfpq_recall": 6, "chunk_context_windows": 6,
+    "clean_unicode_docs": 6, "cms_streaming_tokens": 6,
+    "cms_token_frequency": 6, "decontaminate_semantic": 6,
+    "gopher_quality_rules": 6, "hist_quantile_order_value": 6,
+    "kmv_distinct_ngrams": 6, "nb_lang_confusion": 6, "pq_code_balance": 6,
+    "retrieval_bm25_topk": 6, "sample_fixed_n_per_lang": 6,
+    "semdedup_cells": 6, "source_quota_cap": 6,
+    "upsample_epochs_by_source": 6,
+    # last driver-green in round 7 (37 queries)
+    "canary_duck_pin": 7, "canary_engine_agree": 7, "canary_spark_pin": 7,
+    "cdc_apply_customer": 7, "cdc_apply_multi_table": 7,
+    "cdc_apply_multi_table_bucketed": 7,
+    "cdc_apply_orders_full_identity": 7, "cdc_apply_pgoutput": 7,
+    "cdc_apply_pgoutput_streamed": 7, "cdc_apply_quarantined_feed": 7,
+    "cdc_apply_schema_evolution": 7, "cdc_apply_streaming_tx": 7,
+    "cdc_apply_toast": 7, "cdc_apply_truncate": 7,
+    "cdc_apply_two_phase": 7, "cdc_incremental_agg_view": 7,
+    "cube_orders_status_priority": 7, "dsir_importance_scores": 7,
+    "lang_id_documents": 7, "lang_probe_scores": 7,
+    "line_dedup_probe_digest": 7, "line_dedup_probe_footer": 7,
+    "line_dedup_probe_nlines": 7, "lm_probe_vocab": 7,
+    "perplexity_probe_nll": 7, "q10_returned_items": 7,
+    "q1_pricing_summary": 7, "q3_shipping_priority": 7,
+    "q5_local_supplier_volume": 7, "quality_probe_ints": 7,
+    "repetition_probe_ints": 7, "rollup_sales_by_region_nation": 7,
+    "text_stats_documents": 7, "tok_probe_perdoc": 7,
+    "window_lag_events": 7, "window_running_revenue": 7,
+    "window_top_orders_per_customer": 7,
+    # last driver-green in round 8 (49 queries)
+    "ann_ivfpq_topk": 8, "ann_matryoshka_recall": 8,
+    "anti_join_unsold_parts": 8, "basket_frequent_pairs": 8,
+    "bitext_margin_mining": 8, "bloom_streaming_grams": 8,
+    "canary_hugeint_cast": 8, "cdc_join_view": 8,
+    "cdc_streaming_agg_view": 8, "classifier_auc_exact": 8,
+    "collocations_pmi_topk": 8, "corpus_filter_funnel": 8,
+    "decontaminate_bloom_counts": 8, "distinct_supplier_part_counts": 8,
+    "dsir_resample_counts": 8, "embedding_dim_stats": 8,
+    "er_blocked_fuzzy_parts": 8, "events_anomaly_mad": 8,
+    "events_daily_by_type": 8, "events_json_props": 8,
+    "funnel_probe_lang": 8, "funnel_probe_lm": 8,
+    "funnel_probe_quality": 8, "funnel_probe_repetition": 8,
+    "graph_pagerank_events": 8, "graph_triangle_census": 8,
+    "heavy_hitters_streaming": 8, "heavy_hitters_tokens": 8,
+    "integrity_audit_orders": 8, "interval_join_stream": 8,
+    "line_dedup_c4": 8, "line_dedup_probe_counts": 8,
+    "lm_bigram_perplexity": 8, "media_phash_near_dup": 8,
+    "orders_value_deciles": 8, "perplexity_bucket_sampling": 8,
+    "pq_ann_topk": 8, "q6_forecast_revenue": 8, "retrieval_hybrid_rrf": 8,
+    "semi_join_urgent_customers": 8, "sessionize_events_stream": 8,
+    "setop_active_both_years": 8, "setop_lapsed_customers": 8,
+    "shard_striped_by_size": 8, "source_format_parity": 8,
+    "token_budget_selection": 8, "topk_customers_by_revenue": 8,
+    "value_distribution_scalable": 8, "zorder_skipping_audit": 8,
 }
 
-#: Engine-specific sketch queries with no cross-engine oracle — they can
-#: never hash-match, so they must never occupy a priority slot. Emitted
-#: dead last regardless of verification status.
-NO_ORACLE = {"approx_distinct_parts", "approx_percentile_order_value"}
-
-#: Greens the round-7 driver run just re-confirmed (hash-matched rows
-#: in CORRECTNESS_r07.json outside RECHECK_FIRST). Re-checking one in
-#: round 8 spends a slot on the freshest evidence in the repo, so they
-#: sort behind the DRIVER_VERIFIED queries whose last driver row is
-#: older (r2–r6) — the 34 re-confirm slots rotate through the stalest
-#: greens first.
-R7_RECONFIRMED = {
-    "cdc_apply_customer", "cdc_apply_pgoutput", "cdc_apply_toast",
-    "cdc_apply_schema_evolution", "cdc_apply_two_phase",
-    "cdc_apply_quarantined_feed", "cdc_apply_multi_table",
-    "cdc_apply_multi_table_bucketed", "cdc_incremental_agg_view",
-    "q1_pricing_summary", "cdc_apply_truncate",
-    "cdc_apply_orders_full_identity", "cdc_apply_pgoutput_streamed",
-    "cdc_apply_streaming_tx", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q10_returned_items",
-    "window_top_orders_per_customer", "window_running_revenue",
-    "window_lag_events", "rollup_sales_by_region_nation",
-    "cube_orders_status_priority", "text_stats_documents",
-    "lang_id_documents", "perplexity_probe_nll",
-    "line_dedup_probe_digest", "dsir_importance_scores",
-    "line_dedup_probe_nlines", "line_dedup_probe_footer",
-    "canary_engine_agree", "canary_duck_pin", "canary_spark_pin",
-    "tok_probe_perdoc", "lang_probe_scores", "quality_probe_ints",
-    "repetition_probe_ints", "lm_probe_vocab",
-}
-
-#: Round 8: the 13 round-7 reds + the latent ``lm_bigram_perplexity``
-#: (driver-green in r4, silently re-typed HUGEINT by the round-6
-#: oracle rewrite) — all 14 recast ``CAST(... AS BIGINT)`` per the
-#: round-7 judge's proven HUGEINT mechanism — plus the two new
-#: mechanism canaries (bare expected RED / cast expected GREEN).
-#: Emitted before everything else so the re-check happens even if the
-#: never-checked bucket ever outgrows the 50-slot window.
-RECHECK_FIRST = {
-    # the 13 round-7 reds, oracles recast to BIGINT outputs
-    "corpus_filter_funnel", "funnel_probe_quality", "funnel_probe_repetition",
-    "funnel_probe_lang", "funnel_probe_lm",
-    "perplexity_bucket_sampling", "line_dedup_c4", "line_dedup_probe_counts",
-    "dsir_resample_counts", "pq_ann_topk", "ann_ivfpq_topk",
-    "decontaminate_bloom_counts", "bloom_streaming_grams",
-    # latent: r4 green, oracle re-typed HUGEINT by the r6 rewrite and
-    # never re-checked since; recast in r8 and re-pinned
-    "lm_bigram_perplexity",
-    # the one-bit mechanism pair (driver-confirms the r7 diagnosis)
+#: Parked dead last, never spending a window slot:
+#: - the two engine-specific approx sketches (HLL/KLL — no cross-engine
+#:   oracle by construction, rows-only forever);
+#: - the retired round-8 hugeint mechanism canaries. Their one-bit job
+#:   is done: CORRECTNESS_r08 shows ``canary_hugeint_bare`` red on hash
+#:   only and ``canary_hugeint_cast`` green in the same window, the
+#:   driver-confirmed proof of the HUGEINT-hash mechanism. They stay
+#:   registered as executable documentation of that mechanism.
+PARKED = {
+    "approx_distinct_parts", "approx_percentile_order_value",
     "canary_hugeint_bare", "canary_hugeint_cast",
 }
 
@@ -193,18 +162,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bucket(n: str) -> int:
-        if n in RECHECK_FIRST:
-            return -1
-        if n in NO_ORACLE:
-            return 3
-        if n not in DRIVER_VERIFIED:
-            return 0
-        # stalest greens (last driver row r2–r6) rotate in before the
-        # ones round 7 just re-confirmed
-        return 2 if n in R7_RECONFIRMED else 1
+        if n in PARKED:
+            return 99
+        # never driver-checked sorts before everything (round 0);
+        # otherwise stalest evidence first
+        return LAST_GREEN.get(n, 0)
 
     # sorted() is stable, so registration order is preserved within
-    # each bucket: never-checked first, verified next, no-oracle last
+    # each staleness bucket
     names = sorted(Q.QUERIES, key=bucket)
     return {n: Q.QUERIES[n] for n in names}
 

@@ -5,8 +5,19 @@
 Prints ONE compact JSON line (the driver records only the last ~2000
 chars of stdout — round 7's record was lost to an oversized line):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-and writes the full record (3dp timings, regression table, full chaos
-artifacts) to BENCH_DETAIL_r{N}.json.
+and writes the full record (3dp timings, per-run spreads, regression
+table, full chaos artifacts) to BENCH_DETAIL_r{N}.json.
+
+Methodology (round 9): each headline query runs MEDIAN-OF-3
+($SPARK_GRAFT_BENCH_REPS to override) — three rounds running, the
+single-run-per-query record produced 20-35% "regressions" that later
+re-measured at their old medians (shared-host noise); the median kills
+that false-alarm class at the cost of ~3× bench wall time. Min/max per
+query go to the DETAIL record so genuine variance stays visible. The
+stateful streaming queries run as a separate ``streaming_suite_seconds``
+metric (single run — their cost is micro-batch startup machinery, flat
+in SF) so regressions in the stateful path are visible round-over-round
+without swamping the SF-comparable headline total.
 
 Each query executes to completion (collect or count — full plan
 execution, not lazy). The CDC apply throughput maps to the reference's
@@ -117,6 +128,17 @@ HEADLINE = [
     "graph_triangle_census",
 ]
 
+#: Stateful streaming queries, measured as their own suite: the
+#: ~10-13 s each is micro-batch startup + state-store machinery (flat
+#: in SF), which would swamp the SF-comparable headline total — but
+#: hiding them entirely left the stateful path unmeasured (round-8
+#: verdict item 6). Single run each; the driver-visible metric is
+#: ``streaming_suite_seconds``.
+STREAMING = [
+    "sessionize_events_stream",
+    "interval_join_stream",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,14 +153,37 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        print(
+            f"# {name}: med={timings[name]:.3f}s "
+            f"[{spreads[name][0]:.3f}, {spreads[name][1]:.3f}] rows={n}",
+            file=sys.stderr,
+        )
+
+    stream_timings: dict[str, float] = {}
+    for name in STREAMING:
+        fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        n = fn(spark, sf_dir).count()
+        stream_timings[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# {name}: {stream_timings[name]:.3f}s rows={n} (streaming)",
+            file=sys.stderr,
+        )
+    streaming_total = round(sum(stream_timings.values()), 3)
 
     total = round(sum(timings.values()), 3)
     # Per-query delta vs the latest parseable prior round: a real
@@ -200,12 +245,21 @@ def main() -> None:
         with open(chaos_path) as f:
             chaos_full[key] = json.load(f)
 
+    try:
+        loadavg = list(os.getloadavg())
+    except OSError:
+        loadavg = None
     detail = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "reps": reps,
         "queries": timings,
+        "query_min_max": spreads,
+        "streaming_suite_seconds": streaming_total,
+        "streaming_queries": stream_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_at_exit": loadavg,
         "regressions_vs": prior_name,
         "regressions": deltas,
         "chaos": chaos_full,
@@ -229,7 +283,9 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "reps": reps,
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "streaming_suite_seconds": streaming_total,
         "sf": detail["sf"],
         "regression_count": len(deltas),
         "chaos_rows_per_second": {

@@ -1,0 +1,70 @@
+"""Query-scoped cache lifecycle.
+
+Registered queries persist small intermediate tables (vocabulary
+counts, LM per-doc sums, band keys) because several consumers or
+several actions traverse them. A query function cannot unpersist its
+own caches — the driver materializes the returned DataFrame *after*
+the function returns — so a bare ``.persist()`` leaks its blocks for
+the session lifetime, and a 191-query driver run accumulates every
+query's working set (round-8 advisor finding).
+
+``managed_persist`` keeps the persist-for-multi-traversal benefit but
+bounds the leak to ONE query's caches: every managed DataFrame is
+recorded here, and the ``@query`` decorator calls
+``release_persisted()`` on entry to the next top-level registered
+query — by which point the previous query's result has been
+materialized (driver / bench / oracle-checker all run
+build → collect → next). Unpersisting is a pure performance hint, so
+even an out-of-order caller can never lose correctness, only a cache
+hit. Nested registered-query calls (probe queries reusing a sibling's
+plan) must not flush their parent's caches mid-build, so release only
+fires at call depth 0 — see ``query_scope``.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+_DEPTH = 0
+
+
+def managed_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` whose lifetime ends at the next top-level
+    registered-query invocation instead of the session's."""
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist (non-blocking) every managed DataFrame; returns the
+    number released. Safe to call at any time — a second unpersist of
+    the same plan is a no-op."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            # the owning SparkSession may already be stopped (tests
+            # tear sessions down); a dead handle has no blocks to free
+            pass
+    return n
+
+
+@contextmanager
+def query_scope():
+    """Top-level entry releases the previous query's caches; nested
+    registered-query calls leave their caller's caches alone."""
+    global _DEPTH
+    if _DEPTH == 0:
+        release_persisted()
+    _DEPTH += 1
+    try:
+        yield
+    finally:
+        _DEPTH -= 1

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pg2any_spark.caching import managed_persist
+
 from pg2any_spark.operators.text import normalize_text, tokens as tokens_
 
 DEFAULT_NUM_HASHES = 12
@@ -254,7 +256,7 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     bands_df = lsh_band_keys(sigs, id_col, num_hashes, bands)
     if materialize:
-        bands_df = bands_df.persist()
+        bands_df = managed_persist(bands_df)
     return (
         join_band_tables(
             bands_df, bands_df, id_col,
@@ -507,7 +509,7 @@ def ngram_jaccard(
     """
     sh = exploded_shingles(corpus, id_col, text_col, n).distinct()
     if materialize:
-        sh = sh.persist()
+        sh = managed_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle"))
@@ -801,7 +803,7 @@ def hamming_pairs(
     for bdf in blocks[1:]:
         blocked = blocked.unionByName(bdf)
     if materialize:
-        blocked = blocked.persist()
+        blocked = managed_persist(blocked)
     a, b = blocked.alias("a"), blocked.alias("b")
     dist = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
     return (

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pg2any_spark.caching import managed_persist
+
 #: Fixed-point scale: ranks are BIGINT multiples of 1e-12.
 PAGERANK_SCALE = 10**12
 
@@ -75,12 +77,11 @@ def pagerank_scaled(
     # count action, outdeg, and every iteration's join — persist so
     # the derivation runs once, not once per consumer (same rationale
     # as lsh_topk's band-table persist)
-    edges = edges.persist()
-    nodes = (
+    edges = managed_persist(edges)
+    nodes = managed_persist(
         edges.select(F.col("src").alias("k"))
         .unionByName(edges.select(F.col("dst").alias("k")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
     if n == 0:

@@ -28,6 +28,8 @@ from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pg2any_spark.caching import managed_persist
+
 #: Modulus for hash bucketing: fits in a signed 32-bit parse of an
 #: 8-hex-digit md5 prefix, large enough for 0.01% split granularity.
 HASH_MOD = 1_000_000
@@ -529,7 +531,7 @@ def dsir_log_ratio(
     # scoring join — persist once (same fan-out argument as
     # text.lm_bigram_scores / tfidf_top_terms).
     if materialize:
-        docfeat = docfeat.persist()
+        docfeat = managed_persist(docfeat)
     rawc = docfeat.groupBy("f").agg(F.sum("n").alias("c_raw"))
     tgtc = (
         docfeat.filter(F.col("is_tgt"))
@@ -622,7 +624,7 @@ def dsir_log_ratio_scaled(
         .agg(F.count(F.lit(1)).alias("n"), F.first("is_tgt").alias("is_tgt"))
     )
     if materialize:
-        docfeat = docfeat.persist()
+        docfeat = managed_persist(docfeat)
     rawc = docfeat.groupBy("f").agg(F.sum("n").alias("c_raw"))
     tgtc = (
         docfeat.filter(F.col("is_tgt"))

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from pg2any_spark.caching import managed_persist
+
 NUM_PLANES = 16
 
 
@@ -483,7 +485,11 @@ def margin_mining(
     Exactness: the k-NN means are SUMS of 1e6-quantized BIGINT cosines
     (each cosine rounded to 6dp first, so the integers are identical
     in any engine), making the margin ONE division of exact integers —
-    ``2k·c6(x,y) / (ax_sum + ay_sum)`` — rounded once at the output.
+    ``(n_ax + n_ay)·c6(x,y) / (ax_sum + ay_sum)`` — rounded once at
+    the output. ``n_ax``/``n_ay`` are the ACTUAL neighbor counts
+    (``= k`` whenever the opposing set has ≥ k members): a population
+    smaller than k would otherwise inflate the margin by the missing
+    terms' share (round-8 advisor finding).
 
     Scale shape: two ``brute_force_topk`` passes (query sides
     broadcast — the sampled queries and the ≤|Q| best-candidate set),
@@ -502,7 +508,10 @@ def margin_mining(
         tgt, src_queries, id_col, vec_col, k=k, exclude_self=False
     )
     fwd6 = fwd.withColumn("c6", c6(F.col("cos_sim")))
-    ax = fwd6.groupBy("query_id").agg(F.sum("c6").alias("ax_sum"))
+    ax = fwd6.groupBy("query_id").agg(
+        F.sum("c6").alias("ax_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_ax"),
+    )
     best = fwd6.filter(F.col("rank") == 1).select(
         "query_id", "neighbor_id", "cos_sim", "c6"
     )
@@ -517,7 +526,10 @@ def margin_mining(
     ay = (
         bwd.withColumn("c6", c6(F.col("cos_sim")))
         .groupBy(F.col("query_id").alias("__tid"))
-        .agg(F.sum("c6").alias("ay_sum"))
+        .agg(
+            F.sum("c6").alias("ay_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_ay"),
+        )
     )
     return (
         best.join(F.broadcast(ax), "query_id")
@@ -527,7 +539,7 @@ def margin_mining(
             F.col("neighbor_id").alias("tgt_id"),
             "cos_sim",
             F.round(
-                F.lit(float(2 * k)) * F.col("c6")
+                (F.col("n_ax") + F.col("n_ay")).cast("double") * F.col("c6")
                 / (F.col("ax_sum") + F.col("ay_sum")),
                 6,
             ).alias("margin"),
@@ -704,7 +716,7 @@ def lsh_topk(
     if salt_threshold is not None:
         # persist: the bucket histogram and the join both consume the
         # SRP projection — without persist it would run twice
-        c = c.persist()
+        c = managed_persist(c)
         if max_key_count(c, "bucket") > salt_threshold:
             salts = num_salts
     sims = (
@@ -738,7 +750,7 @@ def cosine_near_dup_pairs(
         corpus, id_col, "id", vec_col, "vec", dim, num_planes
     )
     if materialize:
-        tagged = tagged.persist()
+        tagged = managed_persist(tagged)
     a = tagged.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
     )
@@ -965,7 +977,7 @@ def ivf_topk(
     )
     salts = None
     if salt_threshold is not None:
-        c = c.persist()  # histogram + join share the assignment pass
+        c = managed_persist(c)  # histogram + join share the assignment pass
         if max_key_count(c, "cell") > salt_threshold:
             salts = num_salts
     q = (

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from pg2any_spark.caching import managed_persist
+
 #: Stopword markers per language for the n-gram/stopword heuristic.
 #: Deterministic and tiny by design — the point is the *operator shape*
 #: (vectorized scoring + argmax), not NLP quality.
@@ -365,7 +367,7 @@ def tfidf_top_terms(
     # explode→pair-shuffle pipeline executes twice — same
     # double-execution hazard the dedup band table persists against.
     if materialize:
-        tf = tf.persist()
+        tf = managed_persist(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -525,7 +527,7 @@ def lm_bigram_scores(
     # smaller than the text it came from; the default persists, same
     # call as tfidf_top_terms. materialize=False for small ad-hoc use.
     if materialize:
-        docbg = docbg.persist()
+        docbg = managed_persist(docbg)
     bg_counts = docbg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
     hist = (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
@@ -591,7 +593,7 @@ def lm_bigram_scores_scaled(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     if materialize:
-        docbg = docbg.persist()
+        docbg = managed_persist(docbg)
     bg_counts = docbg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
     hist = (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
@@ -888,7 +890,7 @@ def nb_hashed_scores(
     )
     # fans out to class counts, priors, the feature list AND scoring
     if materialize:
-        docfeat = docfeat.persist()
+        docfeat = managed_persist(docfeat)
     cf = (
         docfeat.groupBy(F.col(label_col).alias("clabel"), "f")
         .agg(F.sum("n").alias("c"))

@@ -12,10 +12,12 @@ hash.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pg2any_spark.caching import query_scope
 from pg2any_spark.operators.apply import apply_changes
 from pg2any_spark.sources.cdc_gen import synth_customer_events
 from pg2any_spark.sources.fixtures import load_table
@@ -41,10 +43,19 @@ HUGEINT_ALLOWED: frozenset[str] = frozenset({"canary_hugeint_bare"})
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # top-level entry flushes the PREVIOUS query's managed
+            # caches (see pg2any_spark/caching.py) — by now its result
+            # has been materialized; nested probe-query calls keep
+            # their caller's caches alive via the depth guard
+            with query_scope():
+                return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

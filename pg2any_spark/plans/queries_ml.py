@@ -21,6 +21,7 @@ from pg2any_spark.operators import sampling as SA
 from pg2any_spark.operators import similarity as S
 from pg2any_spark.operators import text as T
 from pg2any_spark.operators import timeseries as TS
+from pg2any_spark.caching import managed_persist
 from pg2any_spark.plans.queries import _fresh_workdir, query
 from pg2any_spark.sources.fixtures import load_table
 
@@ -999,7 +1000,9 @@ def dedup_lsh_hot_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = docs.unionByName(planted)
-    idx = D.lsh_index(corpus, "id", "text", num_hashes=12, bands=4).persist()
+    idx = managed_persist(
+        D.lsh_index(corpus, "id", "text", num_hashes=12, bands=4)
+    )
     hot_n = D.hot_band_keys(idx, _HOT_KEY_CAP).agg(
         F.count(F.lit(1)).cast("long").alias("value")
     )
@@ -4144,8 +4147,8 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("is_cand").alias("is_cand"),
             F.max("is_planted").alias("is_planted"),
         )
-        .persist()
     )
+    pairs = managed_persist(pairs)
     jac = D.ngram_jaccard(
         corpus, pairs.select("id_a", "id_b"), "id", "text", n=3
     )
@@ -5161,7 +5164,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset branches, the corpus-total agg); without the persist each
     traversal re-runs the tokenize/explode/count LM pipeline."""
     docs = load_table(spark, "documents", sf_dir)
-    lm = _lm_scaled_spark(docs).persist()
+    lm = managed_persist(_lm_scaled_spark(docs))
     keyed = lm.withColumn(
         "__ppl",
         F.col("nll_sum").cast("double") / F.col("n_bg").cast("double"),
@@ -5476,6 +5479,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lang IS NOT DISTINCT FROM 'en'
                     THEN 1 ELSE 0 END AS y
         FROM documents
+        WHERE text IS NOT NULL
     ),
     hist AS (
         SELECT s,
@@ -5516,8 +5520,14 @@ def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded division — the one float is a deterministic function of
     two exact integers. The curation use: a filter whose AUC ~0.5 is
     hash-sampling with extra steps; this is the number that says so,
-    exactly, at any corpus size."""
-    docs = load_table(spark, "documents", sf_dir)
+    exactly, at any corpus size. NULL-text documents are excluded on
+    BOTH sides before scoring: a NULL score would sort NULLS FIRST in
+    Spark's ``global_running_sum`` but NULLS LAST under DuckDB's
+    ``ORDER BY``, silently skewing the negative prefix (round-8
+    advisor finding — latent until the fixture grows NULL text)."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
     scored = docs.select(
         T.lang_scores(F.col("text"))["en"].cast("long").alias("s_en"),
         F.col("lang").eqNullSafe(F.lit("en")).alias("is_en"),
@@ -5617,9 +5627,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single multiply-round chain is bit-identical), making every
     moment an order-independent integer sum — cross-engine exact with
     no float tolerance; the one emitted double is the final rounded
-    mean division. Overflow headroom: |q| ≤ ~2e6 at unit-ish scale ⇒
-    Σq² fits BIGINT up to ~2×10⁶ vectors per dimension per partial —
-    beyond that, widen the scale down or sum in DECIMAL. Plan: one
+    mean division. Overflow: |q| ≤ ~2e6 at unit-ish scale ⇒ Σq² passes
+    BIGINT range near ~2×10⁶ vectors per dimension, so the Σq² runs in
+    DECIMAL(38,0) (matching the oracle's HUGEINT accumulator) and the
+    final BIGINT cast is guarded by ``assert_true`` — past the
+    headroom both engines now ERROR loudly instead of Spark wrapping
+    silently while DuckDB raises (round-8 advisor finding). Plan: one
     posexplode + one map-side-combinable groupBy(dim) — 64 output
     rows at any corpus size."""
     emb = load_table(spark, "embeddings", sf_dir)
@@ -5631,12 +5644,23 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
+    # q² itself fits BIGINT comfortably (|q| ≤ ~2e6 ⇒ q² ≤ ~4e12); the
+    # SUM is the wraparound risk, so accumulate in DECIMAL(38,0) and
+    # make the final narrowing cast loud, like DuckDB's HUGEINT→BIGINT
+    sumsq_dec = F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+    sumsq_guarded = F.when(
+        F.assert_true(
+            F.abs(sumsq_dec) <= F.lit(2**63 - 1).cast("decimal(38,0)"),
+            F.lit("embedding_dim_stats: sum(q*q) exceeds BIGINT range"),
+        ).isNull(),
+        sumsq_dec.cast("long"),
+    )
     return (
         ex.groupBy("dim")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("q").cast("long").alias("sum_q"),
-            F.sum(F.col("q") * F.col("q")).cast("long").alias("sumsq_q"),
+            sumsq_guarded.alias("sumsq_q"),
             F.sum((F.abs(F.col("q")) < 10_000).cast("long"))
             .cast("long")
             .alias("n_nearzero"),
@@ -5713,20 +5737,18 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both count tables so the corpus tokenize/explode passes run once,
     # the same multi-traversal rationale as token_budget_selection's
     # LM persist. Both tables are vocabulary-sized, not corpus-sized.
-    uni = (
+    uni = managed_persist(
         base.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
-        .persist()
     )
     n_tok = F.broadcast(uni.agg(F.sum("c_w").cast("long").alias("n")))
-    bgc_all = (
+    bgc_all = managed_persist(
         base.select(
             F.explode(T.word_ngrams(F.col("text"), 2)).alias("bg")
         )
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
-        .persist()
     )
     bgc = bgc_all.filter(F.col("c_bg") >= 5)
     n_bg = F.broadcast(
@@ -5796,7 +5818,8 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(cs * 1000000) AS BIGINT) AS c6, rnk
         FROM fwd WHERE rnk <= 4
     ),
-    ax AS (SELECT qid, CAST(SUM(c6) AS BIGINT) AS ax_sum
+    ax AS (SELECT qid, CAST(SUM(c6) AS BIGINT) AS ax_sum,
+                  CAST(COUNT(*) AS BIGINT) AS n_ax
            FROM fwd6 GROUP BY qid),
     best AS (SELECT qid, nid, cs, c6 FROM fwd6 WHERE rnk = 1),
     bwd AS (
@@ -5812,10 +5835,12 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE tg.vec_id IN (SELECT DISTINCT nid FROM best)) t
         CROSS JOIN srcf s
     ),
-    ay AS (SELECT tid, CAST(SUM(c6) AS BIGINT) AS ay_sum
+    ay AS (SELECT tid, CAST(SUM(c6) AS BIGINT) AS ay_sum,
+                  CAST(COUNT(*) AS BIGINT) AS n_ay
            FROM bwd WHERE rnk <= 4 GROUP BY tid)
     SELECT b.qid AS src_id, b.nid AS tgt_id, b.cs AS cos_sim,
-           ROUND(CAST(8 AS DOUBLE) * b.c6 / (ax.ax_sum + ay.ay_sum), 6)
+           ROUND(CAST(ax.n_ax + ay.n_ay AS DOUBLE) * b.c6
+                 / (ax.ax_sum + ay.ay_sum), 6)
                AS margin
     FROM best b
     JOIN ax ON ax.qid = b.qid
@@ -5986,8 +6011,9 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 2)
         .select("u", "v")
-        .persist()  # three consumers: deg, and both sides of the triple join
     )
+    # three consumers: deg, and both sides of the triple join
+    edges = managed_persist(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
