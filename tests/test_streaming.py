@@ -1946,3 +1946,37 @@ class TestJoinView:
                 view.select("oid", "cust", "amt", "cid", "seg").collect())
         )
         assert got == want
+
+    def test_touched_overflow_stages_to_parquet(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Above TOUCHED_KEYS_COLLECT_MAX the touched set must stage to
+        parquet (no driver collect, no broadcast hint) and produce the
+        identical view; the stage dir must not outlive the batch."""
+        from pg2any_spark.streaming import pipeline as P
+
+        # collect path (default threshold) on a twin directory
+        b2 = [
+            self._ev("d", "cust", 10, before={"cid": "2"}),
+            self._ev("u", "orders", 11,
+                     before={"oid": "10", "cust": "1"},
+                     after={"oid": "10", "cust": "3", "amt": "5"}),
+            self._ev("c", "cust", 12, after={"cid": "3", "seg": "C"}),
+        ]
+        want_dir = tmp_path / "collectpath"
+        want_dir.mkdir()
+        want = sorted(
+            map(tuple, self._apply(spark, want_dir, [self._b1(), b2])
+                .select("oid", "cust", "amt", "cid", "seg").collect())
+        )
+        # overflow path: every batch exceeds a threshold of 1 key
+        monkeypatch.setattr(P, "TOUCHED_KEYS_COLLECT_MAX", 1)
+        view = self._apply(spark, tmp_path, [self._b1(), b2])
+        got = sorted(
+            map(tuple,
+                view.select("oid", "cust", "amt", "cid", "seg").collect())
+        )
+        assert got == want
+        stage = str(tmp_path / "view") + ".__touched_stage"
+        import os as _os
+        assert not _os.path.exists(stage), "stage dir leaked past the batch"
