@@ -821,3 +821,153 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", the ExactSubstr mode) — distributed
+# seed-and-chain approximation of the suffix-array longest-repeat scan
+# ---------------------------------------------------------------------------
+
+
+def _exact_substr_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h): md5 of each positional k-gram. The hash is taken
+    immediately after the gram string is formed, so only 32-byte
+    digests enter any shuffle — never the ~6·k-char gram text."""
+    from pg2any_spark.operators.text import word_ngrams
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 25,
+    min_len: int = 50,
+    max_occ: int = 8,
+) -> DataFrame:
+    """TRUE exact repeated substrings of ≥ ``min_len`` tokens between
+    document pairs — the ExactSubstr dedup criterion, distributed.
+
+    ``repeated_span_report`` (the k-gram COVERAGE report) unions
+    duplicate evidence across all partners, so a document whose
+    positions are covered by k-grams duplicated against DIFFERENT
+    sources chains into one long "span" that repeats nowhere as a
+    whole. This operator instead chains anchors per occurrence PAIR on
+    the match DIAGONAL — the seed-and-extend identity from sequence
+    alignment: occurrences (A, p) and (B, q) of the same k-gram lie on
+    diagonal ``p − q``; two anchors on the same (A, B, diagonal) whose
+    positions differ by ≤ k overlap-or-touch, and a maximal chain of
+    such anchors covering [p_min, p_max + k − 1] is EXACTLY a repeated
+    substring (every position is inside some matching k-gram aligned
+    at the same offset). A suffix array finds the same spans on one
+    node; the anchor chain is the shuffle-native form, exact for every
+    repeat of length ≥ k (spans between min_len and k cannot occur
+    since min_len ≥ k; repeats shorter than k are invisible — the
+    standard ExactSubstr threshold semantics).
+
+    Returns one row per (id_a, id_b) pair — cross-document with
+    id_a < id_b, within-document with id_a = id_b and the earlier
+    occurrence as the chain position — carrying ``n_spans``,
+    ``longest_span`` and ``span_tokens`` (token lengths of the maximal
+    spans ≥ min_len).
+
+    Scale shape: gram hashes aggregate map-side to one row per
+    distinct hash; eligible hashes (2 ≤ occurrences ≤ ``max_occ``)
+    semi-join back; the pair join is per-hash bounded at
+    ``max_occ·(max_occ−1)/2`` — NEVER quadratic in corpus size.
+    Ultra-frequent grams (site boilerplate — the same pathology
+    ``lsh_candidate_pairs`` caps with ``hot_key_cap``) are DROPPED by
+    the cap, which is also what the reference ExactSubstr
+    implementation effectively does by deduplicating the most frequent
+    repeats first; ``exact_substring_hot_grams`` is the mandatory
+    companion report of how many hashes the cap silenced. The chain
+    merge is gaps-and-islands per (pair, diagonal) — windows
+    partitioned by pair, no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    grams = _exact_substr_grams(df, id_col, text_col, k)
+    eligible = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter((F.col("__c") >= 2) & (F.col("__c") <= max_occ))
+        .select("h")
+    )
+    ge = grams.join(eligible, "h", "left_semi")
+    a = ge.select(
+        F.col("h"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = ge.select(
+        F.col("h").alias("__hb"), F.col(id_col).alias("id_b"),
+        F.col("pos").alias("pb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("h") == F.col("__hb"))
+        & (
+            (F.col("id_a") < F.col("id_b"))
+            | ((F.col("id_a") == F.col("id_b")) & (F.col("pa") < F.col("pb")))
+        ),
+    ).select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    spans = (
+        pairs.withColumn(
+            "__new",
+            F.when(F.col("pa") - F.lag("pa").over(w) > F.lit(k), 1).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id_a", "id_b", "diag", "__isl")
+        .agg((F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"))
+        .filter(F.col("__len") >= min_len)
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("__len").cast("long").alias("longest_span"),
+            F.sum("__len").cast("long").alias("span_tokens"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def exact_substring_hot_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 25,
+    max_occ: int = 8,
+) -> DataFrame:
+    """Mandatory companion report for ``exact_substring_spans``: how
+    many distinct k-gram hashes the occurrence cap dropped, and the
+    total occurrences they carried — the operator's coverage loss made
+    visible instead of silent (same convention as ``hot_band_keys``)."""
+    grams = _exact_substr_grams(df, id_col, text_col, k)
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.agg(
+        F.sum((F.col("__c") > max_occ).cast("long"))
+        .cast("long")
+        .alias("n_hot_grams"),
+        F.sum(
+            F.when(F.col("__c") > max_occ, F.col("__c")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hot_occurrences"),
+        F.sum(
+            ((F.col("__c") >= 2) & (F.col("__c") <= max_occ)).cast("long")
+        )
+        .cast("long")
+        .alias("n_eligible_grams"),
+    )

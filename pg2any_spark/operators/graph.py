@@ -107,3 +107,90 @@ def pagerank_scaled(
             ).cast("long").alias("r"),
         )
     return rank.select("k", F.col("r").alias("pagerank"))
+
+
+def triangle_census(
+    edges: DataFrame,
+    degree_cap: int | None = None,
+) -> DataFrame:
+    """Triangle census + global clustering coefficient over an
+    undirected edge list (u, v) with u < v, each edge once.
+
+    Triangles enumerate by the ordered-triple join (u<v<w: e(u,v) ⋈
+    e(v,w) ⋈ e(u,w)) — two hash joins on single node keys, the
+    standard distributed pattern whose intermediate is bounded by the
+    WEDGE count. That bound is exactly the skew hazard: wedges at one
+    hub grow as degree², so a power-law graph concentrates the join in
+    one key (round-8 verdict item 5). ``degree_cap`` is the guardrail:
+    nodes with degree > cap are EXCLUDED from triangle enumeration
+    (the truncated-census estimator used for power-law graphs —
+    triangles through mega-hubs are usually the least informative),
+    bounding per-key wedge fan-out at cap². The cap is never silent:
+    ``n_capped_nodes`` rides in the output even when 0, the
+    ``hot_band_keys`` convention — a bounded operator reports what it
+    bounded. n_nodes / n_edges / n_wedges always describe the FULL
+    graph (they are the structure summary AND the wedge guardrail
+    telemetry); with a cap, ``n_triangles`` counts triangles whose
+    three vertices all have degree ≤ cap — a deterministic lower
+    bound, identical on any engine.
+
+    Every cell is an exact BIGINT; the coefficient is one division of
+    two exact integers (d·(d−1) is always even).
+    """
+    edges = managed_persist(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    if degree_cap is not None:
+        deg = managed_persist(deg)
+        hot = deg.filter(F.col("d") > degree_cap).select("node")
+        hot = managed_persist(hot)
+        tri_edges = (
+            edges.join(
+                hot.select(F.col("node").alias("u")), "u", "left_anti"
+            ).join(hot.select(F.col("node").alias("v")), "v", "left_anti")
+        )
+        tri_edges = managed_persist(tri_edges)
+        n_capped = hot.agg(
+            F.count(F.lit(1)).cast("long").alias("n_capped_nodes")
+        )
+    else:
+        tri_edges = edges
+        n_capped = edges.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_capped_nodes")
+        )
+    e1 = tri_edges.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = tri_edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = tri_edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    counts = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        nodes_wedges.join(counts)
+        .join(tri)
+        .join(F.broadcast(n_capped))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                (3 * F.col("n_tri")).cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+            "n_capped_nodes",
+        )
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg2any_spark.operators import dedup as D
+from pg2any_spark.operators import graph as G
 from pg2any_spark.operators import multimodal as M
 from pg2any_spark.operators import sampling as SA
 from pg2any_spark.operators import similarity as S
@@ -5978,7 +5979,8 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE)
                  / CAST((SELECT SUM(CAST(d * (d - 1) / 2 AS BIGINT)) FROM deg)
                         AS DOUBLE), 6)
-               AS clustering_coeff
+               AS clustering_coeff,
+           CAST(0 AS BIGINT) AS n_capped_nodes
     """,
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5993,7 +5995,12 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge count (and wedges/degrees are the explicit guardrail
     output). Every cell is an exact BIGINT; the coefficient is one
     division of two exact integers (d·(d−1) is always even, so the
-    wedge sum is integer-exact in both engines)."""
+    wedge sum is integer-exact in both engines). The census runs
+    through ``operators.graph.triangle_census``, whose ``degree_cap``
+    guardrail (mandatory ``n_capped_nodes`` report) bounds hub-node
+    wedge fan-out on power-law graphs; the part co-purchase graph's
+    degrees are order-size-bounded by construction, so this query runs
+    uncapped and the report column pins 0."""
     items = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
@@ -6012,43 +6019,153 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__c") >= 2)
         .select("u", "v")
     )
-    # three consumers: deg, and both sides of the triple join
-    edges = managed_persist(edges)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    return G.triangle_census(edges, degree_cap=None)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (ExactSubstr): true ≥50-token repeated spans
+# per document pair, seed-and-chain on match diagonals
+# ---------------------------------------------------------------------------
+
+#: Planted exact-substring fixture (ids above 3e12, clear of both the
+#: fixture and the other planted families). zzs*/zzu* span tokens and
+#: zzf* fillers are nonsense stems that cannot collide with the lorem
+#: corpus. The chain decoy is the documented failure mode of the
+#: k-gram COVERAGE report (dedup_repeated_spans): P3's positions are
+#: covered 0..69 by 10-grams duplicated against DIFFERENT partners
+#: (P4 holds U[0:30], P5 holds U[20:70]), so coverage chains a
+#: 70-token "span" that repeats nowhere as a whole — while the true
+#: pairwise maxima are 30 (below threshold) and 50.
+_XS_SPAN60 = " ".join(f"zzs{i}" for i in range(60))
+_XS_U = [f"zzu{i}" for i in range(80)]
+_XS_FILL = [f"zzf{i}" for i in range(100)]
+_XS_PLANTED = [
+    (3_000_000_000_001,
+     " ".join(_XS_FILL[0:15]) + " " + _XS_SPAN60 + " " + " ".join(_XS_FILL[15:23])),
+    (3_000_000_000_002,
+     " ".join(_XS_FILL[23:32]) + " " + _XS_SPAN60 + " " + " ".join(_XS_FILL[32:37])),
+    (3_000_000_000_003,
+     " ".join(_XS_FILL[37:40]) + " " + " ".join(_XS_U) + " " + " ".join(_XS_FILL[40:42])),
+    (3_000_000_000_004,
+     " ".join(_XS_FILL[42:49]) + " " + " ".join(_XS_U[0:30]) + " " + " ".join(_XS_FILL[49:55])),
+    (3_000_000_000_005,
+     " ".join(_XS_FILL[55:66]) + " " + " ".join(_XS_U[20:70]) + " " + " ".join(_XS_FILL[66:70])),
+]
+
+_XS_VALUES = ",\n               ".join(
+    f"({i}, '{t}')" for i, t in _XS_PLANTED
+)
+
+#: Shared oracle CTE chain ending in g(id, pos, h) — the positional
+#: 25-gram hashes over corpus ∪ planted.
+_XS_GRAM_CTES = f"""
+    xs_corpus AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT CAST(v.id AS BIGINT), v.text
+        FROM (VALUES {_XS_VALUES}) AS v(id, text)
+    ),
+    xs_toks AS (
+        SELECT id, {_TOKS} AS t FROM xs_corpus WHERE trim(text) <> ''
+    ),
+    xs_g AS (
+        SELECT id, CAST(r.i AS INTEGER) AS pos,
+               md5(array_to_string(t[(r.i + 1):(r.i + 25)], ' ')) AS h
+        FROM xs_toks, UNNEST(range(len(t) - 24)) AS r(i)
+        WHERE len(t) >= 25
     )
-    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
-    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b1") == F.col("b2"))
-        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+"""
+
+
+def _xs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).selectExpr(
+        "doc_id AS id", "text"
     )
-    counts = edges.agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges")
+    planted = spark.createDataFrame(_XS_PLANTED, "id long, text string")
+    return docs.unionByName(planted)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_XS_GRAM_CTES},
+    elig AS (SELECT h FROM xs_g GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 8),
+    ge AS (SELECT xs_g.* FROM xs_g JOIN elig USING (h)),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM ge a JOIN ge b ON a.h = b.h
+         AND (a.id < b.id OR (a.id = b.id AND a.pos < b.pos))
+    ),
+    flg AS (
+        SELECT id_a, id_b, diag, pa,
+               CASE WHEN pa - LAG(pa) OVER (
+                        PARTITION BY id_a, id_b, diag ORDER BY pa) > 25
+                    THEN 1 ELSE 0 END AS ns
+        FROM p
+    ),
+    isl AS (
+        SELECT id_a, id_b, diag, pa,
+               SUM(ns) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                             ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flg
+    ),
+    sp AS (
+        SELECT id_a, id_b, MAX(pa) - MIN(pa) + 25 AS len
+        FROM isl GROUP BY id_a, id_b, diag, grp
+        HAVING MAX(pa) - MIN(pa) + 25 >= 50
     )
-    nodes_wedges = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
-        .cast("long")
-        .alias("n_wedges"),
+    SELECT id_a, id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(len) AS BIGINT) AS longest_span,
+           CAST(SUM(len) AS BIGINT) AS span_tokens
+    FROM sp GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): TRUE exact repeated
+    substrings of ≥50 tokens per document pair, found by chaining
+    25-gram anchor matches along occurrence-pair DIAGONALS
+    (``operators.dedup.exact_substring_spans``) — the distributed form
+    of the suffix-array longest-repeat scan, exact for every repeat
+    ≥ 25 tokens under the occurrence cap. Closes the one failure mode
+    of the k-gram coverage report (``dedup_repeated_spans``), which
+    unions duplicate evidence across partners: the planted chain decoy
+    (P3 covered 0..69 by two DIFFERENT partners' 30/50-token overlaps)
+    chains to a 70-token coverage "span" that repeats nowhere, while
+    this query reports the true per-pair spans — (P1,P2) = 60,
+    (P3,P5) = 50, and (P3,P4)'s 30 correctly below threshold. Runs
+    over documents ∪ planted; natural recrawl duplicates in the
+    fixture surface as whole-document spans. Scale: anchors shuffle as
+    md5 digests, the pair join is ≤ C(max_occ,2) per hash, islands
+    merge under pair-partitioned windows — no suffix array, no
+    quadratic blow-up, no global sort."""
+    return D.exact_substring_spans(
+        _xs_corpus(spark, sf_dir), "id", "text",
+        k=25, min_len=50, max_occ=8,
     )
-    return (
-        nodes_wedges.join(counts)
-        .join(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.col("n_tri").alias("n_triangles"),
-            "n_wedges",
-            F.round(
-                (3 * F.col("n_tri")).cast("double")
-                / F.col("n_wedges").cast("double"),
-                6,
-            ).alias("clustering_coeff"),
-        )
+
+
+@query(
+    "xs_probe_hot_grams",
+    oracle=f"""
+    WITH {_XS_GRAM_CTES},
+    c AS (SELECT h, COUNT(*) AS c FROM xs_g GROUP BY h)
+    SELECT CAST(SUM(CASE WHEN c > 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_grams,
+           CAST(SUM(CASE WHEN c > 8 THEN c ELSE 0 END) AS BIGINT)
+               AS hot_occurrences,
+           CAST(SUM(CASE WHEN c BETWEEN 2 AND 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_eligible_grams
+    FROM c
+    """,
+)
+def xs_probe_hot_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mandatory cap report for ``dedup_exact_substring``: distinct
+    25-gram hashes the occurrence cap (8) dropped, the occurrence mass
+    they carried, and the eligible-hash count — the query that keeps
+    the cap honest (``hot_band_keys`` convention: a bounded operator
+    must report what it bounded)."""
+    return D.exact_substring_hot_grams(
+        _xs_corpus(spark, sf_dir), "id", "text", k=25, max_occ=8,
     )

@@ -373,3 +373,99 @@ class TestHammingPairs:
         out = {(r["id_a"], r["id_b"]): r["hamming"]
                for r in simhash_hamming_pairs(df, "id").collect()}
         assert out == {(1, 2): 1}
+
+
+class TestExactSubstring:
+    """exact_substring_spans: true per-pair repeated substrings via
+    diagonal seed-chaining — and the chain-decoy failure mode of the
+    k-gram coverage report it corrects."""
+
+    def _mk(self, spark):
+        span = " ".join(f"s{i}" for i in range(12))  # 12-token repeat
+        u = [f"u{i}" for i in range(30)]
+        fill = [f"f{i}" for i in range(40)]
+        return docs(spark, [
+            # true pair: 12-token exact repeat
+            (1, " ".join(fill[0:4]) + " " + span + " " + " ".join(fill[4:7])),
+            (2, " ".join(fill[7:12]) + " " + span + " " + " ".join(fill[12:14])),
+            # chain decoy: doc 3 holds u0..u29; doc 4 repeats u0..u11,
+            # doc 5 repeats u8..u29 (22 tokens) — coverage on doc 3
+            # chains 0..29, but no 30-token substring repeats anywhere
+            (3, " ".join(u)),
+            (4, " ".join(fill[14:18]) + " " + " ".join(u[0:12])),
+            (5, " ".join(fill[18:22]) + " " + " ".join(u[8:30])),
+        ])
+
+    def test_true_pair_span_exact_length(self, spark):
+        out = D.exact_substring_spans(
+            self._mk(spark), "id", k=5, min_len=10, max_occ=8
+        )
+        by_pair = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+        assert by_pair[(1, 2)]["longest_span"] == 12
+        assert by_pair[(1, 2)]["n_spans"] == 1
+
+    def test_decoy_chain_reports_per_pair_not_union(self, spark):
+        corpus = self._mk(spark)
+        out = {(r["id_a"], r["id_b"]): r for r in D.exact_substring_spans(
+            corpus, "id", k=5, min_len=15, max_occ=8
+        ).collect()}
+        # true per-pair maxima: (3,5) shares 22 tokens >= 15; (3,4)
+        # shares only 12 < 15 and must NOT appear
+        assert out[(3, 5)]["longest_span"] == 22
+        assert (3, 4) not in out
+        # ... while the coverage report over-merges doc 3 to a
+        # 30-token "span" that repeats nowhere as a whole — the
+        # documented failure this operator exists to fix
+        cov = {r["id"]: r["longest_span_tokens"] for r in
+               D.repeated_span_report(corpus, "id", k=5).collect()}
+        assert cov[3] == 30
+
+    def test_within_doc_repeat_found_on_diagonal(self, spark):
+        body = " ".join(f"s{i}" for i in range(10))
+        corpus = docs(spark, [
+            (1, body + " gapa gapb gapc gapd gape gapf " + body),
+        ])
+        out = D.exact_substring_spans(
+            corpus, "id", k=5, min_len=10, max_occ=8
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["id_a"], r["id_b"]) == (1, 1)
+        assert r["longest_span"] == 10
+
+    def test_occurrence_cap_drops_hot_gram_and_reports(self, spark):
+        hot = " ".join(f"h{i}" for i in range(6))
+        rows = [(i, f"lead{i}a lead{i}b " + hot + f" tail{i}") for i in range(10)]
+        corpus = docs(spark, rows)
+        out = D.exact_substring_spans(
+            corpus, "id", k=5, min_len=5, max_occ=4
+        ).collect()
+        assert out == []  # every hot anchor capped away
+        rep = D.exact_substring_hot_grams(
+            corpus, "id", k=5, max_occ=4
+        ).collect()[0]
+        # grams: per doc 5 positional 5-grams, 2 fully inside `hot`
+        # shared by all 10 docs -> 2 hot hashes with 10 occurrences
+        assert rep["n_hot_grams"] == 2
+        assert rep["hot_occurrences"] == 20
+        assert rep["n_eligible_grams"] == 0
+
+    def test_gap_breaks_chain(self, spark):
+        # two 8-token shared blocks separated by differing 6-token
+        # gaps: same diagonal, anchor jump 14 > k=5 -> two islands,
+        # neither reaching min_len=20
+        b1 = " ".join(f"a{i}" for i in range(8))
+        b2 = " ".join(f"b{i}" for i in range(8))
+        corpus = docs(spark, [
+            (1, b1 + " g1 g2 g3 g4 g5 g6 " + b2),
+            (2, b1 + " h1 h2 h3 h4 h5 h6 " + b2),
+        ])
+        out = {(r["id_a"], r["id_b"]): r for r in D.exact_substring_spans(
+            corpus, "id", k=5, min_len=8, max_occ=8
+        ).collect()}
+        r = out[(1, 2)]
+        assert r["n_spans"] == 2 and r["longest_span"] == 8
+        none20 = D.exact_substring_spans(
+            corpus, "id", k=5, min_len=20, max_occ=8
+        ).collect()
+        assert none20 == []

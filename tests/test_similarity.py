@@ -628,6 +628,60 @@ class TestPagerankScaled:
         assert pagerank_scaled(edges, 3).count() == 0
 
 
+class TestTriangleCensusCap:
+    """triangle_census degree_cap: hub-wedge guardrail with the
+    mandatory n_capped_nodes report."""
+
+    def _edges(self, spark):
+        from pyspark.sql import Row
+
+        # triangle among low-degree nodes 1-2-3, plus hub 100 wired to
+        # 20 leaves (degree 20) and to node 1 (making hub triangles
+        # impossible but hub wedges huge)
+        rows = [Row(u=1, v=2), Row(u=1, v=3), Row(u=2, v=3)]
+        rows += [Row(u=min(100, 200 + i), v=max(100, 200 + i))
+                 for i in range(20)]
+        rows += [Row(u=1, v=100)]
+        return spark.createDataFrame(rows)
+
+    def test_uncapped_reports_zero_capped(self, spark):
+        from pg2any_spark.operators.graph import triangle_census
+
+        r = triangle_census(self._edges(spark)).collect()[0]
+        assert r["n_triangles"] == 1
+        assert r["n_capped_nodes"] == 0
+        # hub degree 21 -> 210 wedges at one node dominate
+        assert r["n_wedges"] >= 210
+
+    def test_cap_excludes_hub_keeps_low_degree_triangles(self, spark):
+        from pg2any_spark.operators.graph import triangle_census
+
+        r = triangle_census(self._edges(spark), degree_cap=5).collect()[0]
+        # the 1-2-3 triangle survives (all degrees <= 3+1), the hub is
+        # reported capped, and full-graph structure columns unchanged
+        assert r["n_triangles"] == 1
+        assert r["n_capped_nodes"] == 1
+        assert r["n_nodes"] == 24 and r["n_edges"] == 24
+        un = triangle_census(self._edges(spark)).collect()[0]
+        assert (r["n_nodes"], r["n_edges"], r["n_wedges"]) == (
+            un["n_nodes"], un["n_edges"], un["n_wedges"])
+
+    def test_cap_drops_triangles_through_hubs(self, spark):
+        from pyspark.sql import Row
+
+        from pg2any_spark.operators.graph import triangle_census
+
+        # triangle 1-2-3 where node 3 is also a hub (degree > cap)
+        rows = [Row(u=1, v=2), Row(u=1, v=3), Row(u=2, v=3)]
+        rows += [Row(u=3, v=300 + i) for i in range(10)]
+        edges = spark.createDataFrame(rows)
+        un = triangle_census(edges).collect()[0]
+        assert un["n_triangles"] == 1 and un["n_capped_nodes"] == 0
+        capped = triangle_census(edges, degree_cap=5).collect()[0]
+        assert capped["n_triangles"] == 0  # deterministic lower bound
+        assert capped["n_capped_nodes"] == 1
+
+
 class TestExactAuc:
     def test_hand_computed_with_ties(self, spark):
         """pos scores [3,2,2], neg [1,2,0]: U = 3 + 2.5 + 2.5 = 8 →
