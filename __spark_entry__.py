@@ -9,9 +9,12 @@ from SURVEY.md §2; the driver cross-checks each against DuckDB.
 
 Ordering contract: the driver's correctness gate checks the FIRST 50
 entries of ``queries()`` in iteration order. Round-9 policy
-(correctness is finished — 191 registered, 188 ever driver-green, the
-only never-green rows being the two no-oracle sketches and the
-intentionally-red hugeint canary): queries that have never earned a
+(correctness is finished — 194 registered after the round-9
+ExactSubstr family [``dedup_exact_substring``, ``xs_probe_hot_grams``,
+``dedup_exact_substring_excise``], 188 ever driver-green, the
+only never-green rows being the two no-oracle sketches, the
+intentionally-red hugeint canary, and the three new round-9 queries
+awaiting their first driver row): queries that have never earned a
 driver row are emitted first, then every green query ordered
 STALEST-FIRST by the round of its most recent driver-green row in
 ``LAST_GREEN`` (the r2/r3 cohort has not been re-confirmed since those

@@ -126,6 +126,10 @@ HEADLINE = [
     # stays out with the other streaming-machinery-bound queries)
     "basket_frequent_pairs",
     "graph_triangle_census",
+    # round 9: ExactSubstr dedup — true repeated-span detection
+    # (diagonal seed-chaining) and span excision with digest check
+    "dedup_exact_substring",
+    "dedup_exact_substring_excise",
 ]
 
 #: Stateful streaming queries, measured as their own suite: the

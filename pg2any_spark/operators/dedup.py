@@ -971,3 +971,163 @@ def exact_substring_hot_grams(
         .cast("long")
         .alias("n_eligible_grams"),
     )
+
+
+def exact_substring_excise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 25,
+    min_len: int = 50,
+    max_occ: int = 8,
+) -> DataFrame:
+    """ExactSubstr DEDUP, not just detection: excise the LATER
+    occurrence of every exact repeated substring ≥ ``min_len`` tokens
+    (Lee et al. 2022 remove duplicated spans rather than documents —
+    the half of the method ``exact_substring_spans`` reports on).
+
+    "Later" is the deterministic total order the span finder already
+    imposes: in a pair the occurrence in ``id_b`` (id_a < id_b, or the
+    higher position within one document). Excision is computed against
+    the ORIGINAL corpus in one pass — the standard single-pass
+    approximation of cluster-wise all-but-one removal (a chain
+    A→B→C excises B's and C's copies independently; both go, the
+    difference is only which donor each is attributed to).
+
+    Returns one row per document: ``n_tokens`` (original),
+    ``kept_tokens``, ``excised_tokens``, ``n_excised_spans`` (merged
+    covered intervals) and ``kept_digest`` (md5 of the kept token
+    stream in position order, '' when nothing survives) — the digest
+    makes the excised text itself, not just its size, cross-engine
+    checkable.
+
+    Scale shape: everything up to the span islands is
+    ``exact_substring_spans``; the b-side intervals then merge with a
+    per-document gaps-and-islands window, and kept positions come from
+    one per-document range join (position BETWEEN interval bounds —
+    equi on the document id, interval count per doc bounded by
+    spans). The digest is one ordered aggregation per document. No
+    stage exceeds per-document work; no global sort.
+    """
+    from pyspark.sql import Window
+
+    from pg2any_spark.operators.text import tokens
+
+    grams = _exact_substr_grams(df, id_col, text_col, k)
+    eligible = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter((F.col("__c") >= 2) & (F.col("__c") <= max_occ))
+        .select("h")
+    )
+    ge = grams.join(eligible, "h", "left_semi")
+    a = ge.select(
+        F.col("h"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = ge.select(
+        F.col("h").alias("__hb"), F.col(id_col).alias("id_b"),
+        F.col("pos").alias("pb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("h") == F.col("__hb"))
+        & (
+            (F.col("id_a") < F.col("id_b"))
+            | ((F.col("id_a") == F.col("id_b")) & (F.col("pa") < F.col("pb")))
+        ),
+    ).select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    ex = (
+        pairs.withColumn(
+            "__new",
+            F.when(F.col("pa") - F.lag("pa").over(w) > F.lit(k), 1).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id_a", "id_b", "diag", "__isl")
+        .agg(
+            (F.min("pa") - F.col("diag")).alias("s"),
+            (F.max("pa") - F.col("diag") + F.lit(k) - 1).alias("e"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("__len"),
+        )
+        .filter(F.col("__len") >= min_len)
+        .select(F.col("id_b").alias("__id"), "s", "e")
+    )
+    # merge overlapping/adjacent excision intervals per document
+    wd = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        ex.withColumn(
+            "__new",
+            F.when(
+                F.col("s") > F.coalesce(prev_max_e, F.lit(-2)) + 1, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("__id", "__isl")
+        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
+    )
+    tokpos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+            .otherwise(tokens(F.col(text_col)))
+        ).alias("pos", "tok"),
+    )
+    kept = tokpos.join(
+        cov,
+        (tokpos[id_col] == cov["__id"])
+        & (F.col("pos") >= F.col("cs"))
+        & (F.col("pos") <= F.col("ce")),
+        "left_anti",
+    )
+    per_doc_kept = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+    n_spans = cov.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_excised_spans")
+    )
+    base = tokpos.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc_kept, id_col, "left")
+        .join(n_spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("long")
+            .alias("excised_tokens"),
+            F.coalesce("n_excised_spans", F.lit(0))
+            .cast("long")
+            .alias("n_excised_spans"),
+            F.coalesce(
+                "kept_digest", F.md5(F.lit(""))
+            ).alias("kept_digest"),
+        )
+        .orderBy(id_col)
+    )

@@ -434,7 +434,7 @@ def cdc_apply_multi_table_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM orders WHERE o_orderkey % 4 <> 1
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -464,7 +464,7 @@ def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         deltas.groupBy("o_orderpriority")
         .agg(
             F.sum("sign").cast("bigint").alias("n_orders"),
-            F.round(F.sum("price_delta"), 2).alias("total_price"),
+            F.round(F.sum((F.col("price_delta")).cast("decimal(18,6)")), 2).cast("double").alias("total_price"),
         )
         .filter(F.col("n_orders") > 0)
         .orderBy("o_orderpriority")
@@ -480,10 +480,10 @@ def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -503,10 +503,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum((F.col("l_quantity")).cast("decimal(18,6)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum((F.col("l_extendedprice")).cast("decimal(18,6)")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum((disc_price).cast("decimal(18,6)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -619,7 +619,7 @@ def cdc_apply_streaming_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -645,7 +645,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -655,7 +655,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -689,7 +689,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -698,7 +698,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            c_acctbal, n_name, c_mktsegment
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -726,7 +726,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -767,11 +767,11 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     "window_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_total
+           ), 2) AS DOUBLE) AS running_total
     FROM orders
     """,
 )
@@ -788,7 +788,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2).cast("double").alias("running_total"),
     )
 
 
@@ -819,7 +819,7 @@ def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_sales_by_region_nation",
     oracle="""
     SELECT r_name, n_name,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal,
            COUNT(*) AS n_customers
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -837,7 +837,7 @@ def rollup_sales_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(region, nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum((F.col("c_acctbal")).cast("decimal(18,6)")), 2).cast("double").alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -848,7 +848,7 @@ def rollup_sales_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -858,7 +858,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum((F.col("o_totalprice")).cast("decimal(18,6)")), 2).cast("double").alias("total_price"),
     )
 
 
@@ -959,7 +959,7 @@ def anti_join_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
            COUNT(DISTINCT user_id) AS uniq_users
     FROM events
     GROUP BY day, event_type
@@ -975,7 +975,7 @@ def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum((F.col("value")).cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("uniq_users"),
         )
     )
@@ -1035,7 +1035,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_customers_by_revenue",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -1052,7 +1052,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum((F.col("o_totalprice")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -1063,7 +1063,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1081,7 +1081,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
     )
 
 
@@ -1091,7 +1091,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,
            CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderkey % 4 <> 1 AND c.c_custkey % 7 <> 0
     GROUP BY c.c_mktsegment
@@ -1156,7 +1156,7 @@ def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum((F.col("o_totalprice")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1167,7 +1167,7 @@ def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM orders WHERE o_orderkey % 4 <> 1
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1204,7 +1204,11 @@ def cdc_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return batch_df.filter(F.col("op").isin("c", "d")).select(
             img["o_orderpriority"].alias("o_orderpriority"),
             sign.cast("bigint").alias("n_orders"),
-            (sign * img["o_totalprice"].cast("double")).alias("total_price"),
+            # deltas fold in DECIMAL so the cross-batch accumulation is
+            # order-exact; the fold's generic F.sum keeps the type
+            (sign * img["o_totalprice"].cast("double"))
+            .cast("decimal(18,6)")
+            .alias("total_price"),
         )
 
     q = start_incremental_agg_view(
@@ -1223,7 +1227,9 @@ def cdc_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "n_orders",
-            F.round("total_price", 2).alias("total_price"),
+            F.round(F.col("total_price").cast("decimal(38,6)"), 2)
+            .cast("double")
+            .alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )

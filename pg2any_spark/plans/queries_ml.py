@@ -6169,3 +6169,105 @@ def xs_probe_hot_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_hot_grams(
         _xs_corpus(spark, sf_dir), "id", "text", k=25, max_occ=8,
     )
+
+
+@query(
+    "dedup_exact_substring_excise",
+    oracle=f"""
+    WITH {_XS_GRAM_CTES},
+    elig AS (SELECT h FROM xs_g GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 8),
+    ge AS (SELECT xs_g.* FROM xs_g JOIN elig USING (h)),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM ge a JOIN ge b ON a.h = b.h
+         AND (a.id < b.id OR (a.id = b.id AND a.pos < b.pos))
+    ),
+    flg AS (
+        SELECT id_a, id_b, diag, pa,
+               CASE WHEN pa - LAG(pa) OVER (
+                        PARTITION BY id_a, id_b, diag ORDER BY pa) > 25
+                    THEN 1 ELSE 0 END AS ns
+        FROM p
+    ),
+    isl AS (
+        SELECT id_a, id_b, diag, pa,
+               SUM(ns) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                             ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flg
+    ),
+    ex AS (
+        SELECT id_b AS id, MIN(pa) - diag AS s, MAX(pa) - diag + 24 AS e
+        FROM isl GROUP BY id_a, id_b, diag, grp
+        HAVING MAX(pa) - MIN(pa) + 25 >= 50
+    ),
+    mflg AS (
+        SELECT id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -2) + 1
+                    THEN 1 ELSE 0 END AS ns
+        FROM ex
+    ),
+    misl AS (
+        SELECT id, s, e,
+               SUM(ns) OVER (PARTITION BY id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+        FROM mflg
+    ),
+    cov AS (SELECT id, grp, MIN(s) AS cs, MAX(e) AS ce
+            FROM misl GROUP BY id, grp),
+    xs_tokpos AS (
+        SELECT id, CAST(r.i AS INTEGER) AS pos,
+               t[CAST(r.i + 1 AS INTEGER)] AS tok
+        FROM xs_toks, UNNEST(range(len(t))) AS r(i)
+    ),
+    kept AS (
+        SELECT tp.id, tp.pos, tp.tok FROM xs_tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.id = tp.id
+                            AND tp.pos BETWEEN c.cs AND c.ce)
+    ),
+    pk AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_digest
+        FROM kept GROUP BY id
+    ),
+    nsp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_excised_spans
+            FROM cov GROUP BY id),
+    bs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM xs_tokpos GROUP BY id)
+    SELECT bs.id, bs.n_tokens,
+           CAST(COALESCE(pk.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(bs.n_tokens - COALESCE(pk.kept_tokens, 0) AS BIGINT)
+               AS excised_tokens,
+           CAST(COALESCE(nsp.n_excised_spans, 0) AS BIGINT)
+               AS n_excised_spans,
+           COALESCE(pk.kept_digest, md5('')) AS kept_digest
+    FROM bs
+    LEFT JOIN pk ON pk.id = bs.id
+    LEFT JOIN nsp ON nsp.id = bs.id
+    ORDER BY bs.id
+    """,
+)
+def dedup_exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup APPLIED (Lee et al. 2022 remove duplicated
+    spans, they don't just count them): every exact repeated substring
+    ≥50 tokens loses its LATER occurrence (higher doc id, or higher
+    position within one document), and each document reports original/
+    kept/excised token counts, the merged excision-interval count, and
+    the md5 DIGEST of its surviving token stream — so the driver
+    cross-checks the excised TEXT itself against DuckDB, not just its
+    size. Single-pass against the original corpus (the standard
+    approximation of cluster-wise all-but-one removal). On the planted
+    fixture P2 loses its 60-token span to P1 and P5 its 50-token
+    overlap to P3, while P3/P4's 30-token share — below threshold —
+    survives untouched (``operators.dedup.exact_substring_excise``).
+    Scale: the span machinery of ``dedup_exact_substring`` + one
+    per-document interval merge window + one per-document range join
+    for kept positions + one ordered digest aggregation per document."""
+    return D.exact_substring_excise(
+        _xs_corpus(spark, sf_dir), "id", "text",
+        k=25, min_len=50, max_occ=8,
+    )

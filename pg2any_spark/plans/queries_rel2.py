@@ -28,7 +28,8 @@ from pg2any_spark.sources.fixtures import load_table
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -52,7 +53,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -62,7 +63,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS orderdate,
            o_totalprice,
-           ROUND(SUM(l_quantity), 2) AS total_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -97,7 +98,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"), "o_totalprice",
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.round(F.sum((F.col("l_quantity")).cast("decimal(18,6)")), 2).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -108,7 +109,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_custs,
-           ROUND(SUM(c_acctbal), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
     FROM customer
     WHERE c_acctbal > (
             SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
@@ -143,7 +144,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.sum((F.col("c_acctbal")).cast("decimal(18,6)")), 2).cast("double").alias("total_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -220,7 +221,7 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_bracketed_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -246,9 +247,13 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return j.filter(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ),
+            2,
+        ).cast("double").alias("revenue")
     )
 
 
@@ -292,7 +297,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_cross_nation_trade",
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -327,8 +332,15 @@ def q7_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, supp.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("volume"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                ),
+                2,
+            ).cast("double").alias("volume")
+        )
         .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")
         .limit(20)
     )
@@ -392,9 +404,9 @@ def full_outer_daily_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+           CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS F,
+           CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS O,
+           CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS P
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -408,11 +420,15 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
     )
+    zero = F.lit(0).cast("decimal(18,6)")
     return piv.select(
         "o_orderpriority",
-        *[F.round(F.coalesce(F.col(s), F.lit(0)), 2).alias(s) for s in ["F", "O", "P"]],
+        *[
+            F.round(F.coalesce(F.col(s), zero), 2).cast("double").alias(s)
+            for s in ["F", "O", "P"]
+        ],
     ).orderBy("o_orderpriority")
 
 
@@ -420,7 +436,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT r_name, n_name,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -440,7 +456,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "region", sf_dir).createOrReplaceTempView("region")
     return spark.sql("""
         SELECT r_name, n_name,
-               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                CAST(GROUPING(r_name) AS BIGINT) AS g_region,
                CAST(GROUPING(n_name) AS BIGINT) AS g_nation
         FROM orders
@@ -965,14 +981,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               ROUND(SUM(o_totalprice), 2) AS day_rev
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS day_rev
         FROM orders GROUP BY day
     )
     SELECT day, day_rev,
-           ROUND(SUM(day_rev) OVER (
+           CAST(ROUND(SUM(CAST(day_rev AS DECIMAL(18,6))) OVER (
                ORDER BY day
                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ), 2) AS rolling_7d
+           ), 2) AS DOUBLE) AS rolling_7d
     FROM daily ORDER BY day
     """,
 )
@@ -986,14 +1002,14 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+        .agg(F.round(F.sum((F.col("o_totalprice")).cast("decimal(18,6)")), 2).cast("double").alias("day_rev"))
     )
     w = (
         Window.orderBy(F.col("day").cast("timestamp").cast("long"))
         .rangeBetween(-6 * 86400, 0)
     )
     return (
-        daily.withColumn("rolling_7d", F.round(F.sum("day_rev").over(w), 2))
+        daily.withColumn("rolling_7d", F.round(F.sum(F.col("day_rev").cast("decimal(18,6)")).over(w), 2).cast("double"))
         .orderBy("day")
     )
 

@@ -57,7 +57,7 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT b.band_idx,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM orders
     JOIN (VALUES (0, 0.0, 100000.0), (1, 100000.0, 200000.0),
                  (2, 200000.0, 300000.0), (3, 300000.0, 400000.0),
@@ -79,7 +79,7 @@ def range_band_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_idx")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum((F.col("o_totalprice")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
         )
         .orderBy("band_idx")
     )
@@ -132,7 +132,8 @@ def interval_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT e.event_id AS error_id,
            COUNT(p.event_id) AS n_purchases,
-           ROUND(COALESCE(SUM(p.value), 0), 2) AS purchase_value
+           CAST(ROUND(COALESCE(SUM(CAST(p.value AS DECIMAL(18,6))), 0), 2)
+                AS DOUBLE) AS purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'error') e
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE
@@ -163,7 +164,7 @@ def range_join_error_purchase_global(spark: SparkSession, sf_dir: str) -> DataFr
     )
     per_error = pairs.groupBy("error_id").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.round(F.sum("p_value"), 2).alias("purchase_value"),
+        F.round(F.sum((F.col("p_value")).cast("decimal(18,6)")), 2).cast("double").alias("purchase_value"),
     )
     return (
         errors.select("error_id")
@@ -248,7 +249,7 @@ def scd2_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
-               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+               COUNT(*) AS n_orders, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM orders GROUP BY 1, 2
     ),
     r AS (
@@ -287,7 +288,7 @@ def timeseries_gapfill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum((F.col("o_totalprice")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
     ).withColumn("last_seen_revenue", F.col("revenue"))
     dense = gapfill_daily(
         daily,

@@ -170,7 +170,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_grp THEN volume ELSE 0 END) / SUM(volume), 4)
+           ROUND(CAST(SUM(CASE WHEN supp_grp
+                          THEN CAST(volume AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4)
              AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
@@ -231,12 +234,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_grp",
         )
     )
+    vol6 = F.col("volume").cast("decimal(18,6)")
+    zero6 = F.lit(0).cast("decimal(18,6)")
     return (
         t.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_grp"), F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(F.when(F.col("supp_grp"), vol6).otherwise(zero6))
+                .cast("double")
+                / F.sum(vol6).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -254,9 +260,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     - 0.4 * p_retailprice * l_quantity AS DECIMAL(18,4)))
-                 AS DOUBLE), 2) AS sum_profit
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity AS DECIMAL(18,4))),
+                 2) AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -297,9 +303,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("l_extendedprice") * (1 - F.col("l_discount"))
                         - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
                     ).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("sum_profit")
+            ).cast("double").alias("sum_profit")
         )
         .orderBy("nation", F.col("o_year").desc())
     )
@@ -316,16 +322,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH supply AS ({_SUPPLY_SQL}),
     val AS (
         SELECT ps_partkey AS v_partkey,
-               SUM(ps_cost * ps_qty) AS v_value
+               SUM(CAST(ps_cost * ps_qty AS DECIMAL(18,6))) AS v_value
         FROM supply
         JOIN supplier ON ps_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE n_nationkey % 2 = 0
         GROUP BY 1
     )
-    SELECT v_partkey AS p_partkey, ROUND(v_value, 2) AS part_value
+    SELECT v_partkey AS p_partkey,
+           CAST(ROUND(v_value, 2) AS DOUBLE) AS part_value
     FROM val
-    WHERE v_value > (SELECT SUM(v_value) * 0.001 FROM val)
+    WHERE CAST(v_value AS DOUBLE)
+          > (SELECT CAST(SUM(v_value) AS DOUBLE) * 0.001 FROM val)
     ORDER BY part_value DESC, p_partkey
     LIMIT 100
     """,
@@ -345,15 +353,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         supply.join(F.broadcast(supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)),
                     supply.ps_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("ps_partkey").alias("v_partkey"))
-        .agg(F.sum(F.col("ps_cost") * F.col("ps_qty")).alias("v_value"))
+        .agg(
+            F.sum(
+                (F.col("ps_cost") * F.col("ps_qty")).cast("decimal(18,6)")
+            ).alias("v_value")
+        )
     )
-    total = val.agg((F.sum("v_value") * 0.001).alias("threshold"))
+    total = val.agg(
+        (F.sum("v_value").cast("double") * 0.001).alias("threshold")
+    )
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("v_value") > F.col("threshold"))
+        .filter(F.col("v_value").cast("double") > F.col("threshold"))
         .select(
             F.col("v_partkey").alias("p_partkey"),
-            F.round("v_value", 2).alias("part_value"),
+            F.round("v_value", 2).cast("double").alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
         .limit(100)
@@ -370,7 +384,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -394,9 +408,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, "supplier", sf_dir)
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ),
+            2,
+        ).cast("double").alias("total_revenue")
     )
     # |revenue| ≤ |supplier| — the unpartitioned window is tiny by
     # construction (dim-bounded), not a fact-table global sort.

@@ -469,3 +469,72 @@ class TestExactSubstring:
             corpus, "id", k=5, min_len=20, max_occ=8
         ).collect()
         assert none20 == []
+
+
+class TestExactSubstringExcise:
+    def test_later_occurrence_excised_earlier_kept(self, spark):
+        span = " ".join(f"s{i}" for i in range(12))
+        fill = [f"f{i}" for i in range(20)]
+        corpus = docs(spark, [
+            (1, " ".join(fill[0:3]) + " " + span + " " + " ".join(fill[3:5])),
+            (2, " ".join(fill[5:9]) + " " + span + " " + fill[9]),
+            (3, " ".join(fill[10:16])),  # clean
+        ])
+        out = {r["id"]: r for r in D.exact_substring_excise(
+            corpus, "id", k=5, min_len=10, max_occ=8
+        ).collect()}
+        # doc 1 (earlier) keeps everything
+        assert out[1]["excised_tokens"] == 0
+        assert out[1]["kept_tokens"] == out[1]["n_tokens"] == 17
+        # doc 2 loses exactly the 12-token span, nothing else
+        assert out[2]["n_tokens"] == 17
+        assert out[2]["excised_tokens"] == 12
+        assert out[2]["kept_tokens"] == 5
+        assert out[2]["n_excised_spans"] == 1
+        assert out[3]["excised_tokens"] == 0
+        # the digest is of the kept stream in position order
+        import hashlib
+        want = hashlib.md5(
+            (" ".join(fill[5:9]) + " " + fill[9]).encode()
+        ).hexdigest()
+        assert out[2]["kept_digest"] == want
+
+    def test_whole_doc_excised_digest_of_empty(self, spark):
+        body = " ".join(f"w{i}" for i in range(10))
+        corpus = docs(spark, [(1, body), (2, body)])
+        out = {r["id"]: r for r in D.exact_substring_excise(
+            corpus, "id", k=5, min_len=10, max_occ=8
+        ).collect()}
+        assert out[2]["kept_tokens"] == 0
+        import hashlib
+        assert out[2]["kept_digest"] == hashlib.md5(b"").hexdigest()
+        assert out[1]["kept_tokens"] == 10
+
+    def test_overlapping_excisions_merge(self, spark):
+        # doc 3 copies [0:12] from doc 1 and [6:18] from doc 2 — the
+        # two excision intervals overlap and must merge into ONE
+        # 18-token removal, not double-count
+        u = [f"u{i}" for i in range(18)]
+        corpus = docs(spark, [
+            (1, " ".join(u[0:12])),
+            (2, " ".join(u[6:18])),
+            (3, " ".join(u)),
+        ])
+        out = {r["id"]: r for r in D.exact_substring_excise(
+            corpus, "id", k=5, min_len=12, max_occ=8
+        ).collect()}
+        assert out[3]["excised_tokens"] == 18
+        assert out[3]["n_excised_spans"] == 1
+        assert out[3]["kept_tokens"] == 0
+
+    def test_below_threshold_survives(self, spark):
+        shared = " ".join(f"s{i}" for i in range(8))
+        corpus = docs(spark, [
+            (1, shared + " x1 x2"),
+            (2, shared + " y1 y2"),
+        ])
+        out = {r["id"]: r for r in D.exact_substring_excise(
+            corpus, "id", k=5, min_len=20, max_occ=8
+        ).collect()}
+        assert out[1]["excised_tokens"] == 0
+        assert out[2]["excised_tokens"] == 0
