@@ -6271,3 +6271,176 @@ def dedup_exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         _xs_corpus(spark, sf_dir), "id", "text",
         k=25, min_len=50, max_occ=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splitting: near-dup clusters never straddle train/eval
+# ---------------------------------------------------------------------------
+
+#: Shared oracle tail: recursive-CTE connected components over the
+#: SimHash near-dup pairs (same chain as dedup_dup_groups) + the
+#: group-representative split key for every corpus document.
+_LSPLIT_CTES = """
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+    rep AS (
+        SELECT c.id, COALESCE(cm.component, c.id) AS rep
+        FROM corpus c LEFT JOIN comp cm ON cm.id = c.id
+    )
+"""
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_pairs_ctes()},
+    {_LSPLIT_CTES},
+    spl AS (
+        SELECT id, rep,
+               CAST(('0x' || substr(md5(CAST(rep AS VARCHAR) || 'lsplit'),
+                                    1, 8)) AS BIGINT) % 1000000 AS b
+        FROM rep
+    )
+    SELECT CASE WHEN b < 10000 THEN 'eval'
+                WHEN b < 20000 THEN 'test'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_split_keys
+    FROM spl GROUP BY 1 ORDER BY split
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval/test split: the split key is the
+    near-dup GROUP representative (SimHash pairs → min-label connected
+    components), not the document id — so a mutated recrawl of a
+    training document can never land in eval. This is the split the
+    contamination literature actually calls for: hash-keyed
+    determinism (``split_train_eval``) prevents re-run migration, but
+    keying on the raw id still leaks every near-duplicate pair across
+    the boundary; keying on the component representative makes the
+    boundary respect the duplicate graph by construction. Runs over
+    corpus ∪ mutations so the guarantee is exercised, not vacuous.
+    Scale: pair generation is the blocked SimHash join, components are
+    the per-round localCheckpointed min-label propagation, and the
+    split itself is a pure projection — one broadcast-sized (id → rep)
+    join above the corpus scan."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, "id", "text", bits=32)
+    pairs = D.simhash_hamming_pairs(fps, "id", max_distance=3).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    rep = corpus.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("rep")
+    )
+    return (
+        SA.assign_split(rep, "rep", eval_ppm=10_000, test_ppm=10_000,
+                        salt="lsplit")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep").cast("long").alias("n_split_keys"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "split_leakage_probe",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_pairs_ctes()},
+    {_LSPLIT_CTES},
+    spl AS (
+        SELECT id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(id AS VARCHAR)
+                        || 'lsplit'), 1, 8)) AS BIGINT) % 1000000 < 100000
+                    THEN 'eval'
+                    WHEN CAST(('0x' || substr(md5(CAST(id AS VARCHAR)
+                        || 'lsplit'), 1, 8)) AS BIGINT) % 1000000 < 200000
+                    THEN 'test' ELSE 'train' END AS s_naive,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)
+                        || 'lsplit'), 1, 8)) AS BIGINT) % 1000000 < 100000
+                    THEN 'eval'
+                    WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)
+                        || 'lsplit'), 1, 8)) AS BIGINT) % 1000000 < 200000
+                    THEN 'test' ELSE 'train' END AS s_grouped
+        FROM rep
+    )
+    SELECT CAST(SUM(CASE WHEN a.s_naive <> b.s_naive THEN 1 ELSE 0 END)
+               AS BIGINT) AS leak_pairs_naive,
+           CAST(SUM(CASE WHEN a.s_grouped <> b.s_grouped THEN 1 ELSE 0 END)
+               AS BIGINT) AS leak_pairs_grouped,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT component) FROM comp) AS BIGINT)
+               AS n_dup_groups
+    FROM pairs p
+    JOIN spl a ON a.id = p.id_a
+    JOIN spl b ON b.id = p.id_b
+    """,
+)
+def split_leakage_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage AUDIT that justifies ``split_leakage_safe``: count
+    near-dup pairs straddling a split boundary under (a) the naive
+    id-keyed split and (b) the group-representative split, at 10%/10%
+    eval/test so the naive leak is visible at every fixture SF. The
+    grouped count is 0 BY CONSTRUCTION (both members share their
+    component's representative, hence its split) — but the query
+    computes it, it doesn't assert it: this is the number a data-QA
+    gate would alarm on, next to the naive baseline it retired."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, "id", "text", bits=32)
+    pairs = D.simhash_hamming_pairs(fps, "id", max_distance=3).select(
+        "id_a", "id_b"
+    )
+    pairs = managed_persist(pairs)
+    comp = D.connected_components(pairs)
+    rep = corpus.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("rep")
+    )
+
+    def label(col: str) -> F.Column:
+        b = SA.hash_bucket(F.col(col), SA.HASH_MOD, "lsplit")
+        return (
+            F.when(b < 100_000, F.lit("eval"))
+            .when(b < 200_000, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    spl = rep.select(
+        "id",
+        label("id").alias("s_naive"),
+        label("rep").alias("s_grouped"),
+    )
+    a = spl.select(
+        F.col("id").alias("id_a"),
+        F.col("s_naive").alias("na"), F.col("s_grouped").alias("ga"),
+    )
+    b = spl.select(
+        F.col("id").alias("id_b"),
+        F.col("s_naive").alias("nb"), F.col("s_grouped").alias("gb"),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    groups = F.broadcast(
+        comp.agg(
+            F.countDistinct("component").cast("long").alias("n_dup_groups")
+        )
+    )
+    return joined.join(groups).agg(
+        F.sum((F.col("na") != F.col("nb")).cast("long"))
+        .cast("long")
+        .alias("leak_pairs_naive"),
+        F.sum((F.col("ga") != F.col("gb")).cast("long"))
+        .cast("long")
+        .alias("leak_pairs_grouped"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("n_dup_groups").cast("long").alias("n_dup_groups"),
+    )

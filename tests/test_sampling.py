@@ -470,3 +470,28 @@ def test_chunk_windows_cover_every_token(spark):
             )
 
     run()
+
+
+class TestLeakageSafeSplit:
+    """Group-representative splitting: near-dup pairs never straddle
+    the split boundary."""
+
+    def test_grouped_split_has_zero_leakage(self, spark, sf_dir):
+        from pg2any_spark.plans.queries import QUERIES
+
+        r = QUERIES["split_leakage_probe"](spark, sf_dir).collect()[0]
+        assert r["leak_pairs_grouped"] == 0
+        # the corpus carries planted near-dup mutations, so the naive
+        # id-keyed split must demonstrably leak at 10%/10% eval/test
+        assert r["leak_pairs_naive"] > 0
+        assert r["n_pairs"] >= r["leak_pairs_naive"]
+        assert r["n_dup_groups"] > 0
+
+    def test_split_counts_partition_corpus(self, spark, sf_dir):
+        from pg2any_spark.plans.queries import QUERIES
+        from pg2any_spark.plans.queries_ml import _mutated_corpus
+
+        rows = QUERIES["split_leakage_safe"](spark, sf_dir).collect()
+        n = _mutated_corpus(spark, sf_dir).count()
+        assert sum(r["n_docs"] for r in rows) == n
+        assert {r["split"] for r in rows} <= {"train", "eval", "test"}
