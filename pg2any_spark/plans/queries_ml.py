@@ -6291,8 +6291,10 @@ _LSPLIT_CTES = """
         UNION
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     ),
-    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
-    rep AS (
+    comp AS MATERIALIZED (
+        SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    rep AS MATERIALIZED (
         SELECT c.id, COALESCE(cm.component, c.id) AS rep
         FROM corpus c LEFT JOIN comp cm ON cm.id = c.id
     )
