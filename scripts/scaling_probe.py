@@ -26,6 +26,13 @@ from pg2any_spark.plans.queries import QUERIES  # noqa: E402
 from pg2any_spark.session import get_spark  # noqa: E402
 
 SFS = ["0.001", "0.01", "0.1"]
+
+#: Optional extra scale point: a dir made by scripts/make_sf_scale.py
+#: (e.g. /tmp/sfscale10). Set SPARK_GRAFT_EXTRA_SF_DIR to include it;
+#: the slope column then also reports the 0.1→extra step.
+import os as _os  # noqa: E402
+
+EXTRA_DIR = _os.environ.get("SPARK_GRAFT_EXTRA_SF_DIR")
 DEFAULT = [
     "q1_pricing_summary",          # scan-agg
     "q3_shipping_priority",        # multi-join + top-k
@@ -50,11 +57,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     out: dict[str, dict] = {}
+    points = [(sf, f"/root/testdata/sf{sf}") for sf in SFS]
+    if EXTRA_DIR:
+        points.append(("extra", EXTRA_DIR))
     for name in names:
         fn = QUERIES[name]
         times = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for sf, sf_dir in points:
             fn(spark, sf_dir).count()  # warm (footer cache, codegen)
             runs = []
             for _ in range(3):
@@ -64,7 +73,11 @@ def main() -> None:
             times[sf] = round(statistics.median(runs), 3)
         slope = math.log(times["0.1"] / times["0.01"]) / math.log(10)
         out[name] = {**times, "slope_01_to_1": round(slope, 2)}
-        print(f"# {name}: {times} slope={slope:.2f}", file=sys.stderr)
+        if EXTRA_DIR:
+            out[name]["slope_1_to_extra"] = round(
+                math.log(times["extra"] / times["0.1"]) / math.log(10), 2
+            )
+        print(f"# {name}: {out[name]}", file=sys.stderr)
     print(json.dumps(out))
 
 
