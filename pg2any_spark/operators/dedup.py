@@ -1131,3 +1131,100 @@ def exact_substring_excise(
         )
         .orderBy(id_col)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 8,
+    min_overlap_pct: int = 80,
+) -> DataFrame:
+    """Asymmetric near-dup detection by the OVERLAP COEFFICIENT
+    (containment of the smaller shingle set: |A∩B| / min(|A|,|B|)) —
+    the case Jaccard-keyed dedup structurally misses: a short document
+    swallowed by a long one (quote pages, wrapper boilerplate around a
+    syndicated article) has Jaccard ≈ |small|/|large| ≈ 0 but
+    containment ≈ 1. MinHash-LSH bands approximate JACCARD, so such
+    pairs never band-collide either; candidates here come instead from
+    shared RARE shingles (2 ≤ document frequency ≤ ``max_df``) — any
+    pair with high containment of a non-boilerplate document shares
+    many rare shingles, and the df cap bounds the pair fan-out at
+    C(max_df, 2) per shingle, the same guardrail shape as
+    ``exact_substring_spans``. Exact verify then counts the full
+    intersection for candidates only (candidate-proportional, never
+    all-pairs).
+
+    Returns (id_a, id_b, n_inter, size_a, size_b, overlap_c6,
+    jaccard_c6) for pairs with overlap ≥ ``min_overlap_pct``% — the
+    threshold compares as pure BIGINT cross-multiplication, and both
+    scaled ratios are floored integer divisions (BIGINT-exact on any
+    engine).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n).distinct()
+    sh = managed_persist(sh)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle", "left_semi")
+    cand = (
+        shr.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(
+            shr.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shingle").alias("__shb"),
+            ),
+            (F.col("shingle") == F.col("__shb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    inter = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shingle").alias("shingle"),
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    mn = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("n_inter") * 100 >= mn * min_overlap_pct)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.expr("CAST(n_inter * 1000000 AS BIGINT) DIV least(size_a, size_b)")
+            .cast("long")
+            .alias("overlap_c6"),
+            F.expr(
+                "CAST(n_inter * 1000000 AS BIGINT) DIV "
+                "(size_a + size_b - n_inter)"
+            )
+            .cast("long")
+            .alias("jaccard_c6"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -6446,3 +6446,87 @@ def split_leakage_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.max("n_dup_groups").cast("long").alias("n_dup_groups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# containment dedup: the asymmetric near-dup Jaccard-keyed dedup misses
+# ---------------------------------------------------------------------------
+
+#: Planted containment pair (ids above 4e12): Q's 20 tokens are a
+#: verbatim slice of P's 60, so overlap(Q,P) = 1.0 while
+#: Jaccard ≈ 18/58 — far below every Jaccard screen's threshold and
+#: invisible to MinHash-LSH banding (which keys on Jaccard).
+_CT_P = " ".join(f"zc{i}" for i in range(60))
+_CT_Q = " ".join(f"zc{i}" for i in range(20, 40))
+_CT_VALUES = (
+    f"(4000000000001, '{_CT_P}'), (4000000000002, '{_CT_Q}')"
+)
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS (
+        ({_MUTATED_CORPUS})
+        UNION ALL
+        SELECT CAST(v.id AS BIGINT) AS id, v.text
+        FROM (VALUES {_CT_VALUES}) AS v(id, text)
+    ),
+    sh AS (
+        SELECT DISTINCT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND 8
+    ),
+    shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM shr a JOIN shr b
+          ON a.shingle = b.shingle AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.set_size AS BIGINT) AS size_a,
+           CAST(sb.set_size AS BIGINT) AS size_b,
+           CAST((i.n_inter * 1000000)
+                // LEAST(sa.set_size, sb.set_size) AS BIGINT) AS overlap_c6,
+           CAST((i.n_inter * 1000000)
+                // (sa.set_size + sb.set_size - i.n_inter) AS BIGINT)
+               AS jaccard_c6
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.n_inter * 100 >= LEAST(sa.set_size, sb.set_size) * 80
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup by the OVERLAP COEFFICIENT
+    (|A∩B| / min(|A|,|B|) ≥ 0.8 over 3-gram shingle sets) — the
+    asymmetric near-dup every Jaccard-keyed screen misses: the planted
+    wrapper pair (a 20-token verbatim slice of a 60-token document)
+    reports overlap 1.0 at Jaccard ≈ 0.31, invisible to MinHash-LSH
+    banding because bands key on Jaccard. Candidates come from shared
+    RARE shingles (2 ≤ df ≤ 8 — pair fan-out bounded C(8,2) per
+    shingle, the ExactSubstr guardrail shape), verified by the exact
+    candidate-proportional intersection; both reported ratios are
+    floored scaled-BIGINT divisions and the 0.8 threshold is an
+    integer cross-multiplication (``operators.dedup.containment_pairs``)."""
+    corpus = _mutated_corpus(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            [(4_000_000_000_001, _CT_P), (4_000_000_000_002, _CT_Q)],
+            "id long, text string",
+        )
+    )
+    return D.containment_pairs(
+        corpus, "id", "text", n=3, max_df=8, min_overlap_pct=80
+    )

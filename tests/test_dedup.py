@@ -538,3 +538,40 @@ class TestExactSubstringExcise:
         ).collect()}
         assert out[1]["excised_tokens"] == 0
         assert out[2]["excised_tokens"] == 0
+
+
+class TestContainmentPairs:
+    def test_wrapper_pair_found_with_low_jaccard(self, spark):
+        big = " ".join(f"w{i}" for i in range(40))
+        small = " ".join(f"w{i}" for i in range(10, 22))  # slice of big
+        other = " ".join(f"x{i}" for i in range(30))
+        corpus = docs(spark, [(1, big), (2, small), (3, other)])
+        out = {(r["id_a"], r["id_b"]): r for r in D.containment_pairs(
+            corpus, "id", n=3, max_df=8, min_overlap_pct=80
+        ).collect()}
+        r = out[(1, 2)]
+        assert r["overlap_c6"] == 1_000_000  # fully contained
+        # Jaccard = 10/38 — far below any Jaccard dedup threshold
+        assert r["jaccard_c6"] < 350_000
+        assert (1, 3) not in out and (2, 3) not in out
+
+    def test_df_cap_drops_boilerplate_candidates(self, spark):
+        # a shingle shared by 12 docs exceeds max_df=8: no candidates
+        # from it, so no pair survives despite full containment
+        shared = "b0 b1 b2 b3 b4"
+        corpus = docs(spark, [(i, shared) for i in range(12)])
+        out = D.containment_pairs(
+            corpus, "id", n=3, max_df=8, min_overlap_pct=80
+        ).collect()
+        assert out == []
+
+    def test_threshold_is_exact_cross_multiplication(self, spark):
+        # 4 of 5 shingles shared = overlap exactly 0.8 -> kept (>=)
+        a = "t0 t1 t2 t3 t4 t5 t6"   # shingles: 5
+        b = "t0 t1 t2 t3 t4 t5 zz"   # shares 4 of its 5
+        corpus = docs(spark, [(1, a), (2, b)])
+        out = D.containment_pairs(
+            corpus, "id", n=3, max_df=8, min_overlap_pct=80
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["overlap_c6"] == 800_000
