@@ -9,12 +9,14 @@ from SURVEY.md §2; the driver cross-checks each against DuckDB.
 
 Ordering contract: the driver's correctness gate checks the FIRST 50
 entries of ``queries()`` in iteration order. Round-9 policy
-(correctness is finished — 194 registered after the round-9
-ExactSubstr family [``dedup_exact_substring``, ``xs_probe_hot_grams``,
-``dedup_exact_substring_excise``], 188 ever driver-green, the
-only never-green rows being the two no-oracle sketches, the
-intentionally-red hugeint canary, and the three new round-9 queries
-awaiting their first driver row): queries that have never earned a
+(correctness is finished — 197 registered after round 9's six
+additions [``dedup_exact_substring``, ``xs_probe_hot_grams``,
+``dedup_exact_substring_excise``, ``split_leakage_safe``,
+``split_leakage_probe``, ``dedup_containment``, every one locally
+hash-green at sf0.001/0.01/0.1], 188 ever driver-green; the only
+never-green rows are the two no-oracle sketches, the intentionally-red
+hugeint canary, and the six new round-9 queries awaiting their first
+driver row): queries that have never earned a
 driver row are emitted first, then every green query ordered
 STALEST-FIRST by the round of its most recent driver-green row in
 ``LAST_GREEN`` (the r2/r3 cohort has not been re-confirmed since those

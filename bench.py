@@ -130,6 +130,8 @@ HEADLINE = [
     # (diagonal seed-chaining) and span excision with digest check
     "dedup_exact_substring",
     "dedup_exact_substring_excise",
+    # round 9b: asymmetric containment dedup (rare-shingle candidates)
+    "dedup_containment",
 ]
 
 #: Stateful streaming queries, measured as their own suite: the
