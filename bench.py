@@ -285,12 +285,22 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(f"# full record: {detail_path}", file=sys.stderr)
 
+    # The compact line must survive the driver's ~2000-char stdout
+    # tail WITH HEADROOM: the full 62-query dict pushed it to ~2.1k
+    # chars, which would truncate the line's HEAD (the round-7 failure
+    # mode, again). Per-query timings live in the committed DETAIL
+    # record; the driver line carries the suite totals plus the 5
+    # slowest queries for at-a-glance reading.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     record = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "reps": reps,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "n_queries": len(timings),
+        "slowest": {k: round(v, 2) for k, v in slowest.items()},
         "streaming_suite_seconds": streaming_total,
         "sf": detail["sf"],
         "regression_count": len(deltas),
@@ -300,7 +310,7 @@ def main() -> None:
         "detail": os.path.basename(detail_path),
     }
     line = json.dumps(record)
-    if len(line) > 1900:  # keep headroom inside the driver's window
+    if len(line) > 1800:  # keep headroom inside the driver's window
         record.pop("chaos_rows_per_second", None)
         line = json.dumps(record)
     print(line)
