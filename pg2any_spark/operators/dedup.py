@@ -418,10 +418,24 @@ def connected_components(
     groups), which downstream dedup would act on. Graph diameter, not
     size, drives rounds: raise ``max_iter`` for pathological chains.
     """
+    from pyspark import StorageLevel
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    edges = edges.distinct().localCheckpoint(eager=True)
+    # The edge table is STATIC across rounds — it needs reuse, not the
+    # lineage truncation the per-round labels need. localCheckpoint
+    # stores DESERIALIZED rows and unrolls whole partitions as Java
+    # objects (MemoryStore.putIteratorAsValues), which OOMs an 8 GB
+    # heap on clique-heavy graphs (measured: the 10× fixture's
+    # replication cliques produce 31M pairs / 63M directed edges —
+    # exactly the shape popular boilerplate creates at corpus scale).
+    # A SERIALIZED spillable cache unrolls incrementally as bytes and
+    # degrades to disk instead of dying.
+    edges = managed_persist(
+        edges.distinct(), StorageLevel.MEMORY_AND_DISK
+    )
+    edges.count()  # materialize once, before the iteration
 
     labels = (
         edges.select(F.col("src").alias("id"))
