@@ -8,20 +8,20 @@ core capability, re-expressed Spark-first).
 from SURVEY.md §2; the driver cross-checks each against DuckDB.
 
 Ordering contract: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` in iteration order. Round-9 policy
-(correctness is finished — 197 registered after round 9's six
-additions [``dedup_exact_substring``, ``xs_probe_hot_grams``,
-``dedup_exact_substring_excise``, ``split_leakage_safe``,
-``split_leakage_probe``, ``dedup_containment``, every one locally
-hash-green at sf0.001/0.01/0.1], 188 ever driver-green; the only
+entries of ``queries()`` in iteration order. Round-10 policy
+(CORRECTNESS_r09 was the first clean 50/50 window; 194 of the
+registered queries have now been driver-green at least once; the only
 never-green rows are the two no-oracle sketches, the intentionally-red
-hugeint canary, and the six new round-9 queries awaiting their first
-driver row): queries that have never earned a
+retired hugeint canary, and any queries added this round awaiting
+their first driver row): queries that have never earned a
 driver row are emitted first, then every green query ordered
 STALEST-FIRST by the round of its most recent driver-green row in
-``LAST_GREEN`` (the r2/r3 cohort has not been re-confirmed since those
-rounds), so each round's 50-slot window re-validates the oldest
-evidence in the repo. The two retired hugeint mechanism canaries
+``LAST_GREEN`` (regenerated each round via
+``scripts/regen_last_green.py`` from the CORRECTNESS artifacts), so
+each round's 50-slot window re-validates the oldest evidence in the
+repo. After round 9 the stalest cohort is 12 r3 + 13 r4 + 17 r5 +
+8 r6 = exactly 50 (plus any round-10 additions at the head); after a
+clean round-10 window no green in the registry is older than round 6. The two retired hugeint mechanism canaries
 (purpose served — the round-8 driver split them exactly as predicted,
 bare RED / cast GREEN, confirming the HUGEINT-hash diagnosis) and the
 two engine-specific approx sketches (no cross-engine oracle by
@@ -44,36 +44,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Regenerated each round from the correctness artifacts; a registered
 #: query absent here has never been driver-green and sorts first.
 LAST_GREEN = {
-    # last driver-green in round 2 (9 queries)
-    "cdc_envelope_roundtrip": 2, "dedup_dup_groups": 2,
-    "doc_quality_bands": 2, "media_frame_samples": 2,
-    "media_image_features": 2, "media_metadata": 2, "media_resize": 2,
-    "split_train_eval": 2, "training_pipeline_docs": 2,
-    # last driver-green in round 3 (47 queries)
-    "argmax_order_per_customer": 3, "asof_click_before_purchase": 3,
-    "date_funcs_orders": 3, "decontaminate_ngram_overlap": 3,
-    "decontaminate_train_split": 3, "doc_repetition_stats": 3,
-    "full_outer_daily_click_purchase": 3, "funnel_view_click_purchase": 3,
-    "grouping_sets_revenue": 3, "interval_join_purchase_errors": 3,
-    "mix_weighted_sources": 3, "percentile_order_value_by_segment": 3,
-    "pii_redaction_docs": 3, "pivot_status_by_priority": 3,
-    "q11_important_parts": 3, "q12_priority_by_linestatus": 3,
-    "q13_order_count_distribution": 3, "q14_promo_revenue_share": 3,
-    "q15_top_supplier": 3, "q16_supplier_part_counts": 3,
-    "q17_small_quantity_revenue": 3, "q18_large_volume_customers": 3,
-    "q19_bracketed_revenue": 3, "q20_excess_suppliers": 3,
-    "q21_waiting_suppliers": 3, "q22_idle_rich_customers": 3,
-    "q2_min_cost_supplier": 3, "q4_order_priority": 3,
-    "q7_cross_nation_trade": 3, "q8_market_share": 3,
-    "q9_product_profit": 3, "range_band_order_revenue": 3,
-    "range_join_error_purchase_global": 3, "retention_cohorts": 3,
-    "rolling_7d_revenue": 3, "scd2_customer_history": 3,
-    "scd2_snapshot_time_travel": 3, "sessionize_events": 3,
-    "setop_surplus_1997_orders": 3, "source_lang_profile": 3,
-    "stats_lineitem_price_qty": 3, "string_funcs_part": 3,
-    "temperature_mix_by_lang": 3, "tfidf_top_terms_per_doc": 3,
-    "timeseries_gapfill_daily_orders": 3, "top_ngrams_corpus": 3,
-    "window_value_distribution": 3,
+    # last driver-green in round 3 (12 queries)
+    "q11_important_parts": 3, "q15_top_supplier": 3,
+    "q16_supplier_part_counts": 3, "q20_excess_suppliers": 3,
+    "q21_waiting_suppliers": 3, "q2_min_cost_supplier": 3,
+    "q4_order_priority": 3, "q8_market_share": 3, "q9_product_profit": 3,
+    "scd2_customer_history": 3, "scd2_snapshot_time_travel": 3,
+    "timeseries_gapfill_daily_orders": 3,
     # last driver-green in round 4 (13 queries)
     "ann_int8_recall": 4, "array_funcs_events": 4, "bpe_merges_corpus": 4,
     "bpe_tokenize_docs": 4, "cross_source_duplication": 4,
@@ -144,6 +121,32 @@ LAST_GREEN = {
     "shard_striped_by_size": 8, "source_format_parity": 8,
     "token_budget_selection": 8, "topk_customers_by_revenue": 8,
     "value_distribution_scalable": 8, "zorder_skipping_audit": 8,
+    # last driver-green in round 9 (50 queries)
+    "argmax_order_per_customer": 9, "asof_click_before_purchase": 9,
+    "cdc_envelope_roundtrip": 9, "date_funcs_orders": 9,
+    "decontaminate_ngram_overlap": 9, "decontaminate_train_split": 9,
+    "dedup_containment": 9, "dedup_dup_groups": 9,
+    "dedup_exact_substring": 9, "dedup_exact_substring_excise": 9,
+    "doc_quality_bands": 9, "doc_repetition_stats": 9,
+    "full_outer_daily_click_purchase": 9, "funnel_view_click_purchase": 9,
+    "grouping_sets_revenue": 9, "interval_join_purchase_errors": 9,
+    "media_frame_samples": 9, "media_image_features": 9,
+    "media_metadata": 9, "media_resize": 9, "mix_weighted_sources": 9,
+    "percentile_order_value_by_segment": 9, "pii_redaction_docs": 9,
+    "pivot_status_by_priority": 9, "q12_priority_by_linestatus": 9,
+    "q13_order_count_distribution": 9, "q14_promo_revenue_share": 9,
+    "q17_small_quantity_revenue": 9, "q18_large_volume_customers": 9,
+    "q19_bracketed_revenue": 9, "q22_idle_rich_customers": 9,
+    "q7_cross_nation_trade": 9, "range_band_order_revenue": 9,
+    "range_join_error_purchase_global": 9, "retention_cohorts": 9,
+    "rolling_7d_revenue": 9, "sessionize_events": 9,
+    "setop_surplus_1997_orders": 9, "source_lang_profile": 9,
+    "split_leakage_probe": 9, "split_leakage_safe": 9,
+    "split_train_eval": 9, "stats_lineitem_price_qty": 9,
+    "string_funcs_part": 9, "temperature_mix_by_lang": 9,
+    "tfidf_top_terms_per_doc": 9, "top_ngrams_corpus": 9,
+    "training_pipeline_docs": 9, "window_value_distribution": 9,
+    "xs_probe_hot_grams": 9,
 }
 
 #: Parked dead last, never spending a window slot:
