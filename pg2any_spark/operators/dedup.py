@@ -1175,6 +1175,12 @@ def containment_pairs(
     threshold compares as pure BIGINT cross-multiplication, and both
     scaled ratios are floored integer divisions (BIGINT-exact on any
     engine).
+
+    The df cap is POLICY, and ``containment_hot_shingles`` is its
+    mandatory companion report (``hot_band_keys`` convention): a
+    boilerplate-wrapped pair whose every shared shingle is hot never
+    surfaces here, and the report makes that coverage loss visible
+    instead of silent.
     """
     sh = exploded_shingles(df, id_col, text_col, n).distinct()
     sh = managed_persist(sh)
@@ -1241,4 +1247,37 @@ def containment_pairs(
             .alias("jaccard_c6"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def containment_hot_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 8,
+) -> DataFrame:
+    """Mandatory companion report for ``containment_pairs``: how many
+    distinct shingles the document-frequency cap (df > ``max_df``)
+    excluded from candidate generation, the occurrence mass they
+    carried, and the eligible-shingle count — the operator's coverage
+    loss made visible instead of silent (same convention as
+    ``hot_band_keys`` / ``exact_substring_hot_grams``; a cap is policy,
+    never silent truncation). One row."""
+    sh = exploded_shingles(df, id_col, text_col, n).distinct()
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return counts.agg(
+        F.sum((F.col("__df") > max_df).cast("long"))
+        .cast("long")
+        .alias("n_hot_shingles"),
+        F.sum(
+            F.when(F.col("__df") > max_df, F.col("__df")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hot_occurrences"),
+        F.sum(
+            ((F.col("__df") >= 2) & (F.col("__df") <= max_df)).cast("long")
+        )
+        .cast("long")
+        .alias("n_eligible_shingles"),
     )

@@ -6520,7 +6520,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, the ExactSubstr guardrail shape), verified by the exact
     candidate-proportional intersection; both reported ratios are
     floored scaled-BIGINT divisions and the 0.8 threshold is an
-    integer cross-multiplication (``operators.dedup.containment_pairs``)."""
+    integer cross-multiplication (``operators.dedup.containment_pairs``).
+    The df cap's coverage loss is reported by the mandatory companion
+    probe ``containment_hot_shingles`` — no silent caps."""
     corpus = _mutated_corpus(spark, sf_dir).unionByName(
         spark.createDataFrame(
             [(4_000_000_000_001, _CT_P), (4_000_000_000_002, _CT_Q)],
@@ -6530,3 +6532,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         corpus, "id", "text", n=3, max_df=8, min_overlap_pct=80
     )
+
+
+@query(
+    "containment_hot_shingles",
+    oracle=f"""
+    WITH corpus AS (
+        ({_MUTATED_CORPUS})
+        UNION ALL
+        SELECT CAST(v.id AS BIGINT) AS id, v.text
+        FROM (VALUES {_CT_VALUES}) AS v(id, text)
+    ),
+    sh AS (
+        SELECT DISTINCT id, unnest({_SHINGLE_SQL}) AS shingle FROM corpus
+    ),
+    c AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle)
+    SELECT CAST(SUM(CASE WHEN c > 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_shingles,
+           CAST(SUM(CASE WHEN c > 8 THEN c ELSE 0 END) AS BIGINT)
+               AS hot_occurrences,
+           CAST(SUM(CASE WHEN c BETWEEN 2 AND 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_eligible_shingles
+    FROM c
+    """,
+)
+def containment_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mandatory cap report for ``dedup_containment``: distinct 3-gram
+    shingles the document-frequency cap (df > 8) excluded from
+    candidate generation, the occurrence mass they carried, and the
+    eligible-shingle count — the query that keeps the cap honest
+    (``hot_band_keys`` / ``xs_probe_hot_grams`` convention: a bounded
+    operator must report what it bounded; a boilerplate-wrapped
+    containment pair whose every shared shingle is hot never surfaces
+    in ``dedup_containment``, and this row quantifies exactly that
+    blind spot). Same corpus as ``dedup_containment``
+    (``operators.dedup.containment_hot_shingles``)."""
+    corpus = _mutated_corpus(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            [(4_000_000_000_001, _CT_P), (4_000_000_000_002, _CT_Q)],
+            "id long, text string",
+        )
+    )
+    return D.containment_hot_shingles(corpus, "id", "text", n=3, max_df=8)

@@ -575,3 +575,33 @@ class TestContainmentPairs:
         ).collect()
         assert len(out) == 1
         assert out[0]["overlap_c6"] == 800_000
+
+    def test_df_cap_reports_hot_shingles(self, spark):
+        # 12 copies of one 5-token text -> 3 distinct 3-gram shingles,
+        # each with df=12 > max_df=8: all hot, none eligible — and the
+        # mandatory report says exactly that (no silent caps).
+        shared = "b0 b1 b2 b3 b4"
+        corpus = docs(spark, [(i, shared) for i in range(12)])
+        rep = D.containment_hot_shingles(
+            corpus, "id", n=3, max_df=8
+        ).collect()[0]
+        assert rep["n_hot_shingles"] == 3
+        assert rep["hot_occurrences"] == 36
+        assert rep["n_eligible_shingles"] == 0
+
+    def test_report_counts_eligible_and_hot(self, spark):
+        # two docs share a rare slice (eligible, df=2) while ten docs
+        # share a hot 5-token block (hot, df=10)
+        hot = "h0 h1 h2 h3 h4"
+        rare = " ".join(f"r{i}" for i in range(6))
+        corpus = docs(
+            spark,
+            [(i, hot) for i in range(10)]
+            + [(100, rare), (101, rare)],
+        )
+        rep = D.containment_hot_shingles(
+            corpus, "id", n=3, max_df=8
+        ).collect()[0]
+        assert rep["n_hot_shingles"] == 3      # the 3 hot 3-grams
+        assert rep["hot_occurrences"] == 30
+        assert rep["n_eligible_shingles"] == 4  # rare's 4 3-grams, df=2
