@@ -23,10 +23,19 @@ fires at call depth 0 — see ``query_scope``.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
+#: Registry lock: registered queries are built sequentially on the
+#: driver thread today, but a query built from another thread (e.g. a
+#: streaming foreachBatch callback) must not release a concurrent
+#: query's caches mid-build or tear the depth counter — so every
+#: mutation of the registry and depth happens under this lock
+#: (round-9 advisor finding). The lock serializes bookkeeping only;
+#: Spark job execution stays fully parallel.
+_LOCK = threading.RLock()
 _PERSISTED: list[DataFrame] = []
 _DEPTH = 0
 
@@ -35,7 +44,8 @@ def managed_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` whose lifetime ends at the next top-level
     registered-query invocation instead of the session's."""
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _PERSISTED.append(out)
+    with _LOCK:
+        _PERSISTED.append(out)
     return out
 
 
@@ -44,8 +54,9 @@ def release_persisted() -> int:
     number released. Safe to call at any time — a second unpersist of
     the same plan is a no-op."""
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+    with _LOCK:
+        drained, _PERSISTED[:] = _PERSISTED[:], []
+    for df in drained:
         try:
             df.unpersist(blocking=False)
             n += 1
@@ -61,10 +72,12 @@ def query_scope():
     """Top-level entry releases the previous query's caches; nested
     registered-query calls leave their caller's caches alone."""
     global _DEPTH
-    if _DEPTH == 0:
-        release_persisted()
-    _DEPTH += 1
+    with _LOCK:
+        if _DEPTH == 0:
+            release_persisted()
+        _DEPTH += 1
     try:
         yield
     finally:
-        _DEPTH -= 1
+        with _LOCK:
+            _DEPTH -= 1

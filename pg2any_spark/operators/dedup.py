@@ -1011,7 +1011,9 @@ def exact_substring_excise(
     Returns one row per document: ``n_tokens`` (original),
     ``kept_tokens``, ``excised_tokens``, ``n_excised_spans`` (merged
     covered intervals) and ``kept_digest`` (md5 of the kept token
-    stream in position order, '' when nothing survives) — the digest
+    stream in position order; md5('') =
+    d41d8cd98f00b204e9800998ecf8427e for a fully-excised document,
+    matching the oracle) — the digest
     makes the excised text itself, not just its size, cross-engine
     checkable.
 

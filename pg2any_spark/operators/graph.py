@@ -134,6 +134,14 @@ def triangle_census(
     three vertices all have degree ≤ cap — a deterministic lower
     bound, identical on any engine.
 
+    With a cap set, ``clustering_coeff`` is NULL: mixing the capped
+    triangle count (numerator) with full-graph wedges (denominator)
+    would silently understate the true global coefficient, and a
+    caller reading only the column name could misread it (round-9
+    advisor finding) — callers wanting the exact coefficient run
+    uncapped; the capped row still carries every exact count needed to
+    compute bounds.
+
     Every cell is an exact BIGINT; the coefficient is one division of
     two exact integers (d·(d−1) is always even).
     """
@@ -186,10 +194,14 @@ def triangle_census(
             "n_edges",
             F.col("n_tri").alias("n_triangles"),
             "n_wedges",
-            F.round(
-                (3 * F.col("n_tri")).cast("double")
-                / F.col("n_wedges").cast("double"),
-                6,
+            (
+                F.lit(None).cast("double")
+                if degree_cap is not None
+                else F.round(
+                    (3 * F.col("n_tri")).cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                )
             ).alias("clustering_coeff"),
             "n_capped_nodes",
         )

@@ -928,8 +928,13 @@ def join_view_apply_batch(
     # the set is staged to parquet instead — same pre-apply snapshot
     # semantics, zero driver materialization (round-8 verdict item 3).
     touched_d = touched.distinct()
-    if touched_d.limit(TOUCHED_KEYS_COLLECT_MAX + 1).count() <= TOUCHED_KEYS_COLLECT_MAX:
-        touched = spark.createDataFrame(touched_d.collect(), touched.schema)
+    # One collect doubles as overflow probe and payload: collecting
+    # MAX+1 rows bounds driver transfer exactly like the old
+    # limit().count() probe did, but the common path no longer runs
+    # the distinct shuffle twice (round-9 advisor finding).
+    probe_rows = touched_d.limit(TOUCHED_KEYS_COLLECT_MAX + 1).collect()
+    if len(probe_rows) <= TOUCHED_KEYS_COLLECT_MAX:
+        touched = spark.createDataFrame(probe_rows, touched.schema)
         touched_stage = None
     else:
         touched_stage = view_path.rstrip("/") + ".__touched_stage"

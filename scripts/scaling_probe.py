@@ -33,6 +33,10 @@ SFS = ["0.001", "0.01", "0.1"]
 import os as _os  # noqa: E402
 
 EXTRA_DIR = _os.environ.get("SPARK_GRAFT_EXTRA_SF_DIR")
+#: Scale multiple of EXTRA_DIR relative to sf0.1 (make_sf_scale.py's
+#: default build is 10 copies). Must match the actual fixture or the
+#: 0.1→extra slope denominator is wrong (round-9 advisor finding).
+EXTRA_MULT = float(_os.environ.get("SPARK_GRAFT_EXTRA_SF_MULT", "10"))
 DEFAULT = [
     "q1_pricing_summary",          # scan-agg
     "q3_shipping_priority",        # multi-join + top-k
@@ -75,7 +79,8 @@ def main() -> None:
         out[name] = {**times, "slope_01_to_1": round(slope, 2)}
         if EXTRA_DIR:
             out[name]["slope_1_to_extra"] = round(
-                math.log(times["extra"] / times["0.1"]) / math.log(10), 2
+                math.log(times["extra"] / times["0.1"])
+                / math.log(EXTRA_MULT), 2
             )
         print(f"# {name}: {out[name]}", file=sys.stderr)
     print(json.dumps(out))

@@ -680,6 +680,10 @@ class TestTriangleCensusCap:
         capped = triangle_census(edges, degree_cap=5).collect()[0]
         assert capped["n_triangles"] == 0  # deterministic lower bound
         assert capped["n_capped_nodes"] == 1
+        # capped numerator over full-graph wedges would understate the
+        # true coefficient — the capped row reports NULL instead
+        assert capped["clustering_coeff"] is None
+        assert un["clustering_coeff"] is not None
 
 
 class TestExactAuc:
