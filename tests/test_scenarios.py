@@ -367,7 +367,7 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
         log1.close()
 
     p2 = subprocess.run(
-        cmd, cwd="/root/repo", timeout=900,
+        cmd, cwd="/root/repo", timeout=max(900, n // 15_000),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
@@ -523,7 +523,7 @@ def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
         log1.close()
 
     p2 = subprocess.run(
-        cmd, cwd="/root/repo", timeout=900,
+        cmd, cwd="/root/repo", timeout=max(900, n // 15_000),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     assert p2.returncode == 0, p2.stdout.decode(errors="replace")[-2000:]
@@ -552,7 +552,8 @@ def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
             )
 
 
-def _run_kill_loop(cmd, ckpt, tmp_path, kills_max=4, seed=42):
+def _run_kill_loop(cmd, ckpt, tmp_path, kills_max=4, seed=42,
+                   n_rows=300_000):
     """Shared repeated-kill chaos harness: launch ``cmd`` (its own
     process group), SIGKILL it after every observed checkpoint-commit
     advance (random strike offset inside the window), restart on the
@@ -622,7 +623,7 @@ def _run_kill_loop(cmd, ckpt, tmp_path, kills_max=4, seed=42):
             log.close()
 
     pf = subprocess.run(
-        cmd, cwd="/root/repo", timeout=900,
+        cmd, cwd="/root/repo", timeout=max(900, n_rows // 15_000),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     assert pf.returncode == 0, pf.stdout.decode(errors="replace")[-2000:]
@@ -666,7 +667,7 @@ def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
         sys.executable, "scripts/run_cdc_stream.py", src,
         f"bucketed:{target}", ckpt, "1",
     ]
-    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path)
+    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, n_rows=n)
 
     final = read_bucketed_replica(spark, target)
     got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
@@ -792,7 +793,7 @@ def test_s5_interleaved_tx_wire_kill(spark, tmp_path):
         sys.executable, "scripts/run_cdc_stream.py", src,
         f"wirev2seg:{target}", ckpt, "1",
     ]
-    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, seed=47)
+    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, seed=47, n_rows=n)
 
     final = spark.read.parquet(target)
     got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
@@ -849,7 +850,7 @@ def test_s5_multi_kill_wire(spark, tmp_path):
         sys.executable, "scripts/run_cdc_stream.py", src,
         f"wireseg:{target}", ckpt, "1",
     ]
-    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, seed=43)
+    kills, wall_s = _run_kill_loop(cmd, ckpt, tmp_path, seed=43, n_rows=n)
 
     final = spark.read.parquet(target)
     got = final.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")).collect()[0]
