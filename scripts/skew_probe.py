@@ -47,6 +47,7 @@ TARGETS = {
     "dedup_minhash_lsh": "1% identical docs -> one hot band bucket",
     "dedup_lsh_hot_cap": "hot band bucket vs the cap",
     "dedup_simhash_near_pairs": "identical-doc clique in hamming blocks",
+    "dedup_simhash_wide_near_pairs": "same clique, 60-bit scale path",
     "dedup_exact_substring": "hot 25-grams vs occurrence cap",
     "xs_probe_hot_grams": "cap report under hot grams",
     "dedup_containment": "hot shingles vs df cap",

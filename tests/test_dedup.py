@@ -64,6 +64,29 @@ def test_simhash_deterministic_and_close(spark):
     assert 0 <= fps[1] < (1 << 32)
 
 
+def test_simhash_wide_60bit(spark):
+    # 60-bit fingerprints: identical docs collide exactly, the value
+    # stays in [0, 2^60), and the pigeonhole join still finds the pair
+    df = docs(
+        spark,
+        [
+            (1, "spark engine batch window join hash"),
+            (2, "spark engine batch window join hash"),
+            (3, "zzz yyy xxx www vvv uuu"),
+        ],
+    )
+    fps = D.simhash(df, "id", bits=60)
+    vals = {r["id"]: r["simhash"] for r in fps.collect()}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < (1 << 60)
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_hamming_pairs(fps, "id", max_distance=3).collect()
+    }
+    assert (1, 2, 0) in pairs
+    assert all(a != 3 and b != 3 for a, b, _ in pairs)
+
+
 def test_simhash_hamming_pairs(spark):
     df = docs(
         spark,
