@@ -19,9 +19,12 @@ STALEST-FIRST by the round of its most recent driver-green row in
 ``LAST_GREEN`` (regenerated each round via
 ``scripts/regen_last_green.py`` from the CORRECTNESS artifacts), so
 each round's 50-slot window re-validates the oldest evidence in the
-repo. After round 9 the stalest cohort is 12 r3 + 13 r4 + 17 r5 +
-8 r6 = exactly 50 (plus any round-10 additions at the head); after a
-clean round-10 window no green in the registry is older than round 6. The two retired hugeint mechanism canaries
+repo. The round-10 window is: the 2 round-10 additions
+(``containment_hot_shingles``, ``dedup_simhash_wide_near_pairs`` —
+both locally hash-green at sf0.001/0.01/0.1, the probe also at the
+skewed 10× fixture) first, then 12 r3 + 13 r4 + 17 r5 + 6 r6 stale
+greens = exactly 50; after a clean round-10 window no green in the
+registry is older than round 6. The two retired hugeint mechanism canaries
 (purpose served — the round-8 driver split them exactly as predicted,
 bare RED / cast GREEN, confirming the HUGEINT-hash diagnosis) and the
 two engine-specific approx sketches (no cross-engine oracle by
