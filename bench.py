@@ -132,6 +132,10 @@ HEADLINE = [
     "dedup_exact_substring_excise",
     # round 9b: asymmetric containment dedup (rare-shingle candidates)
     "dedup_containment",
+    # round 10: df-cap report probe (no silent caps) and the 60-bit
+    # SimHash scale path (block-key saturation fix)
+    "containment_hot_shingles",
+    "dedup_simhash_wide_near_pairs",
 ]
 
 #: Stateful streaming queries, measured as their own suite: the

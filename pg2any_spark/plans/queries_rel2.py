@@ -765,11 +765,12 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` keyed by user, one open session of
     constant bytes per active user in state), driver-checked against
     the batch gaps-and-islands oracle over the SAME events. The feed
-    is split into three time-contiguous micro-batches (percentile
-    cutoffs on ts keep the 0-second watermark monotone across batches,
-    so no event is ever late) — sessions therefore open in one batch
-    and close in a LATER one, exercising the cross-batch state path,
-    plus event-time timeouts for users who go quiet. A final sentinel
+    is split into time-contiguous shards (percentile cutoffs on ts
+    keep the 0-second watermark monotone across batches, so no event
+    is ever late), drained two shards per trigger — sessions therefore
+    open in one micro-batch and close in a LATER one, exercising the
+    cross-batch state path, plus event-time timeouts for users who go
+    quiet. A final sentinel
     batch (one far-future event per user — ONE row per distinct user,
     the streaming-world flush analogue) closes every tail session;
     the sentinels' own singleton sessions stay open in state and are
@@ -787,10 +788,13 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     tslong = F.col("ts").cast("long")
-    cut1, cut2 = ev.select(
-        F.percentile_approx(tslong, F.lit([1.0 / 3, 2.0 / 3]), 10_000)
-    ).first()[0]
-    max_ts = ev.agg(F.max(tslong)).first()[0]
+    cuts_row = ev.select(
+        F.percentile_approx(tslong, F.lit([1.0 / 3, 2.0 / 3]), 10_000).alias(
+            "cuts"
+        ),
+        F.max(tslong).alias("mx"),
+    ).first()  # one job for both cut points and the max
+    (cut1, cut2), max_ts = cuts_row["cuts"], cuts_row["mx"]
     work = _fresh_workdir("pg2any_sess_")
     src = f"{work}/events"
     sentinel_ts = max_ts + 10 * 24 * 3600  # ≫ gap past every real event
@@ -822,7 +826,14 @@ def sessionize_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stamped.add(p)
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
-        .option("maxFilesPerTrigger", 1)
+        # two shards per trigger -> 2 micro-batches (shards 1+2, then
+        # shard 3 + sentinel): the cut2 boundary still opens sessions
+        # in batch 0 that close in batch 1 (the cross-batch state path
+        # stays exercised, oracle-identical output), while the per-key
+        # applyInPandasWithState invocations — the measured dominant
+        # cost, ~0.3 ms of Arrow+state roundtrip per key per batch —
+        # halve from 4x|users| to 2x|users|
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     sink = f"sessions_{work.rsplit('_', 1)[-1]}"
