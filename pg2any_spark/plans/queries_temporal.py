@@ -223,17 +223,31 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_snapshot_time_travel",
     oracle="""
     SELECT c_custkey,
-           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+           CASE WHEN c_custkey % 3 = 0 AND c_custkey + 10000000 <= 15000000
+                THEN c_acctbal + 1000
                 ELSE c_acctbal END AS c_acctbal
     FROM customer
+    WHERE c_custkey <= 15000000
+      AND NOT (c_custkey % 7 = 0 AND c_custkey + 20000000 <= 15000000)
     ORDER BY c_custkey
     """,
 )
 def scd2_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-travel over the SCD2 history: state as of LSN 15,000,000 —
-    after every insert and update, before any delete. A pure validity-
-    interval filter over the history (no recomputation); distinct from
-    the destructive apply's final state, which has the deletes."""
+    """Time-travel over the SCD2 history: state as of LSN 15,000,000.
+    A pure validity-interval filter over the history (no
+    recomputation); distinct from the destructive apply's final state,
+    which has the deletes.
+
+    The oracle mirrors the synthesis predicates AT THE SNAPSHOT LSN
+    (insert visible iff its LSN ``c_custkey`` ≤ 15M, the update
+    applied iff ``c_custkey + 10M`` ≤ 15M, the delete iff
+    ``c_custkey + 20M`` ≤ 15M) rather than the fixture-closed form
+    "everyone inserted+updated, nobody deleted" — the two coincide at
+    every driver SF, but the round-10 full-registry 10× battery caught
+    the closed form claiming rows the event stream genuinely does not
+    support at that LSN (key-shifted copies whose insert LSNs exceed
+    15M are NOT yet visible; the engine's 30,000-row answer was the
+    correct time travel, the old oracle was wrong at that scale)."""
     from pg2any_spark.operators.scd2 import scd2_from_events, scd2_snapshot_at
     from pg2any_spark.sources.cdc_gen import synth_customer_events
 
