@@ -82,6 +82,48 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    # Guardrails for synthetic large-SF batteries: a handful of oracles
+    # are deliberately brute-force recall baselines (all-pairs cosine,
+    # candidate x shingle intersections, transitive closures) that are
+    # fine at driver SFs but explode at 10x+. A memory cap makes DuckDB
+    # spill instead of OOMing the box, and an optional per-oracle
+    # timeout (SPARK_GRAFT_ORACLE_TIMEOUT seconds) interrupts the query
+    # and records a failure instead of wedging the whole battery.
+    import os as _os
+
+    con.execute(
+        f"SET memory_limit='{_os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
+    )
+    oracle_timeout = float(_os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0"))
+
+    def run_oracle(sql):
+        if not oracle_timeout:
+            res = con.execute(sql)
+            return [d[0] for d in res.description], res.fetchall()
+        import threading
+
+        out, err = [], []
+
+        def work():
+            try:
+                res = con.execute(sql)
+                out.append(([d[0] for d in res.description], res.fetchall()))
+            except Exception as exc:  # noqa: BLE001
+                err.append(exc)
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(oracle_timeout)
+        if th.is_alive():
+            con.interrupt()
+            th.join(30)
+            raise TimeoutError(
+                f"oracle exceeded {oracle_timeout:.0f}s (interrupted)"
+            )
+        if err:
+            raise err[0]
+        return out[0]
+
     for t in FIXTURE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -112,9 +154,7 @@ def main():
                 failures.append((name, "0 rows"))
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = run_oracle(oracles[name])
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).splitlines()[0][:200]
             failures.append((name, f"oracle error: {msg}"))
