@@ -520,12 +520,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_apply_truncate",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM customer WHERE c_custkey % 5 = 0
+    FROM customer
+    WHERE c_custkey % 5 = 0 OR c_custkey > 10000000
     """,
 )
 def cdc_apply_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUNCATE as a barrier: insert-all, truncate, re-insert every 5th
-    (reference P4, ``sql_renderer.rs:300-320``)."""
+    (reference P4, ``sql_renderer.rs:300-320``).
+
+    The oracle mirrors the synthesis predicates AT THE LSNs: the
+    truncate sits at LSN 10M, so a row survives iff it was re-inserted
+    (``%5``, LSN k+20M — always after the barrier) OR its original
+    insert LSN k already exceeds the barrier (``k > 10M``). The second
+    disjunct is vacuous at every driver SF but real on key-shifted
+    large fixtures — the round-10 10× battery caught the old
+    closed-form oracle (pure ``%5``) calling the engine's correct
+    LSN-ordered apply wrong there."""
     from pg2any_spark.sources.cdc_gen import synth_truncate_events
 
     events = synth_truncate_events(spark, sf_dir)

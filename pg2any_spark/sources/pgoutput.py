@@ -1206,7 +1206,21 @@ def synth_customer_wal_frames(
                 xid = int(r.txid)
                 ts = r.commit_ts.to_pydatetime()
                 s = lsn % n_segments
-                emit(s, lsn * 4 + 1, lsn, encode_begin(lsn, ts, xid))
+                # seq must give every event's Begin/data/Commit a
+                # contiguous, collision-free slot even when two
+                # DIFFERENT keys' events share an LSN (the synthesis
+                # LSN spaces insert=k / update=k+10M / delete=k+20M
+                # collide once keys exceed 10M — e.g. the key-shifted
+                # 10x fixture, where seq = lsn*4 interleaved two
+                # transactions' frames into "Commit without Begin").
+                # Ranking by op at equal LSN keeps the order total and
+                # deterministic; same-LSN events always land in the
+                # same segment (s = lsn % n_segments), so the
+                # within-segment seq sort is the only order that
+                # matters.
+                rank = {"c": 0, "u": 1, "d": 2}[r.op]
+                base_seq = lsn * 16 + rank * 4
+                emit(s, base_seq + 1, lsn, encode_begin(lsn, ts, xid))
                 if r.op == "c":
                     data = encode_insert(
                         _CUSTOMER_REL_ID, [r.after.get(c) for c in cols]
@@ -1226,8 +1240,8 @@ def synth_customer_wal_frames(
                         r.before.get(c) if c == key else None for c in cols
                     ]
                     data = encode_delete(_CUSTOMER_REL_ID, old, old_kind="K")
-                emit(s, lsn * 4 + 2, lsn, data)
-                emit(s, lsn * 4 + 3, lsn, encode_commit(lsn, lsn, ts))
+                emit(s, base_seq + 2, lsn, data)
+                emit(s, base_seq + 3, lsn, encode_commit(lsn, lsn, ts))
             yield pd.DataFrame(
                 {
                     "segment_id": seg,
