@@ -5934,21 +5934,34 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(p_name, ' ')[1] AS head
         FROM part
     ),
+    cand AS (
+        SELECT head,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_candidates
+        FROM named GROUP BY head
+    ),
     pairs AS (
         SELECT a.head,
                levenshtein(a.p_name, b.p_name) AS d
         FROM named a JOIN named b
           ON a.head = b.head AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    ),
+    hist AS (
+        SELECT head,
+               CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d0,
+               CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+               CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+               CAST(SUM(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matches
+        FROM pairs GROUP BY head
     )
-    SELECT head,
-           CAST(COUNT(*) AS BIGINT) AS n_candidates,
-           CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d0,
-           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
-           CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
-           CAST(SUM(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_matches
-    FROM pairs
-    GROUP BY head ORDER BY head
+    SELECT c.head, c.n_candidates,
+           COALESCE(h.n_d0, 0) AS n_d0,
+           COALESCE(h.n_d1, 0) AS n_d1,
+           COALESCE(h.n_d2, 0) AS n_d2,
+           COALESCE(h.n_matches, 0) AS n_matches
+    FROM cand c LEFT JOIN hist h ON h.head = c.head
+    ORDER BY c.head
     """,
 )
 def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5963,34 +5976,90 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     production ER pipeline tunes against (too-coarse key → candidate
     blow-up is visible, not silent). Edit distance is an integer in
     both engines (JVM built-in `levenshtein`, no UDF), so the whole
-    report is exact. Plan: one self hash-join on the block key with
-    the a<b triangle predicate, then a map-side-combinable agg."""
+    report is exact.
+
+    Scale shape (rebuilt after the round-10 10× battery caught the
+    naive form concentrating ~30 minutes of levenshtein on ONE task —
+    a head-token block's pair space all hashes to one partition):
+    ``n_candidates`` = C(n,2) per block computed ANALYTICALLY from the
+    block counts (no pair enumeration at all); the d-histogram join is
+    SALTED by unordered bucket pairs (each side replicated S ways on
+    ``(head, min(b,j), max(b,j))``, so every pair meets exactly once
+    and a block's pair space spreads over S·(S+1)/2 tasks instead of
+    one); pairs with ``|len(a)−len(b)| > 2`` are length-pruned BEFORE
+    the edit distance (d ≥ |Δlen| ≥ 3 contributes zero to every output
+    column — output-identical), and the remaining distances use the
+    bounded ``levenshtein(a, b, 2)`` (O(k·n) banded form, −1 beyond
+    the threshold) instead of the full O(n²) distance."""
+    S = 8  # salt buckets: block pair-space spreads over S*(S+1)/2 tasks
     parts = load_table(spark, "part", sf_dir).select(
         "p_partkey",
         "p_name",
         F.split(F.col("p_name"), " ").getItem(0).alias("head"),
     )
+    cand = parts.groupBy("head").agg(
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("n_candidates")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("j")
     a = parts.select(
         F.col("head"),
         F.col("p_partkey").alias("ka"),
         F.col("p_name").alias("na"),
+        j,
+    ).select(
+        "head", "ka", "na",
+        F.least(F.col("ka") % S, F.col("j")).alias("b1"),
+        F.greatest(F.col("ka") % S, F.col("j")).alias("b2"),
     )
     b = parts.select(
         F.col("head").alias("hb"),
         F.col("p_partkey").alias("kb"),
         F.col("p_name").alias("nb"),
+        j,
+    ).select(
+        "hb", "kb", "nb",
+        F.least(F.col("kb") % S, F.col("j")).alias("c1"),
+        F.greatest(F.col("kb") % S, F.col("j")).alias("c2"),
     )
-    d = F.levenshtein(F.col("na"), F.col("nb"))
-    return (
-        a.join(b, (F.col("head") == F.col("hb")) & (F.col("ka") < F.col("kb")))
+    d = F.levenshtein(F.col("na"), F.col("nb"), 2)
+    hist = (
+        a.join(
+            b,
+            (F.col("head") == F.col("hb"))
+            & (F.col("b1") == F.col("c1"))
+            & (F.col("b2") == F.col("c2"))
+            # cross-bucket pairs share exactly ONE (min,max) cell;
+            # same-bucket pairs co-occur in all S of their cells, so
+            # pin them to the diagonal cell or they count S times
+            & (
+                ((F.col("ka") % S) != (F.col("kb") % S))
+                | (F.col("b1") == F.col("b2"))
+            )
+            & (F.col("ka") < F.col("kb"))
+            & (F.abs(F.length("na") - F.length("nb")) <= 2),
+        )
         .select("head", d.alias("d"))
         .groupBy("head")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
             F.sum((F.col("d") == 0).cast("long")).cast("long").alias("n_d0"),
             F.sum((F.col("d") == 1).cast("long")).cast("long").alias("n_d1"),
             F.sum((F.col("d") == 2).cast("long")).cast("long").alias("n_d2"),
-            F.sum((F.col("d") <= 2).cast("long")).cast("long").alias("n_matches"),
+            F.sum(F.col("d").between(0, 2).cast("long"))
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )
+    return (
+        cand.join(hist, "head", "left")
+        .select(
+            "head",
+            "n_candidates",
+            F.coalesce("n_d0", F.lit(0)).cast("long").alias("n_d0"),
+            F.coalesce("n_d1", F.lit(0)).cast("long").alias("n_d1"),
+            F.coalesce("n_d2", F.lit(0)).cast("long").alias("n_d2"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
         )
         .orderBy("head")
     )
