@@ -8,23 +8,19 @@ core capability, re-expressed Spark-first).
 from SURVEY.md §2; the driver cross-checks each against DuckDB.
 
 Ordering contract: the driver's correctness gate checks the FIRST 50
-entries of ``queries()`` in iteration order. Round-10 policy
-(CORRECTNESS_r09 was the first clean 50/50 window; 194 of the
-registered queries have now been driver-green at least once; the only
-never-green rows are the two no-oracle sketches, the intentionally-red
-retired hugeint canary, and any queries added this round awaiting
-their first driver row): queries that have never earned a
-driver row are emitted first, then every green query ordered
-STALEST-FIRST by the round of its most recent driver-green row in
-``LAST_GREEN`` (regenerated each round via
+entries of ``queries()`` in iteration order. Standing policy since
+round 10 (196 of the registered queries have been driver-green at
+least once; the only never-green rows are the two no-oracle sketches
+and the intentionally-red retired hugeint canary): queries that have
+never earned a driver row are emitted first, then every green query
+ordered STALEST-FIRST by the round of its most recent driver-green
+row in ``LAST_GREEN`` (regenerated each round via
 ``scripts/regen_last_green.py`` from the CORRECTNESS artifacts), so
 each round's 50-slot window re-validates the oldest evidence in the
-repo. The round-10 window is: the 2 round-10 additions
-(``containment_hot_shingles``, ``dedup_simhash_wide_near_pairs`` —
-both locally hash-green at sf0.001/0.01/0.1, the probe also at the
-skewed 10× fixture) first, then 12 r3 + 13 r4 + 17 r5 + 6 r6 stale
-greens = exactly 50; after a clean round-10 window no green in the
-registry is older than round 6. The two retired hugeint mechanism canaries
+repo. The round-11 window is: any round-11 additions first, then the
+10 r6 + 37 r7 stale greens and the head of the r8 cohort, filling to
+exactly 50; after a clean round-11 window no green in the registry is
+older than round 8 except the r8 tail. The two retired hugeint mechanism canaries
 (purpose served — the round-8 driver split them exactly as predicted,
 bare RED / cast GREEN, confirming the HUGEINT-hash diagnosis) and the
 two engine-specific approx sketches (no cross-engine oracle by
@@ -47,38 +43,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Regenerated each round from the correctness artifacts; a registered
 #: query absent here has never been driver-green and sorts first.
 LAST_GREEN = {
-    # last driver-green in round 3 (12 queries)
-    "q11_important_parts": 3, "q15_top_supplier": 3,
-    "q16_supplier_part_counts": 3, "q20_excess_suppliers": 3,
-    "q21_waiting_suppliers": 3, "q2_min_cost_supplier": 3,
-    "q4_order_priority": 3, "q8_market_share": 3, "q9_product_profit": 3,
-    "scd2_customer_history": 3, "scd2_snapshot_time_travel": 3,
-    "timeseries_gapfill_daily_orders": 3,
-    # last driver-green in round 4 (13 queries)
-    "ann_int8_recall": 4, "array_funcs_events": 4, "bpe_merges_corpus": 4,
-    "bpe_tokenize_docs": 4, "cross_source_duplication": 4,
-    "dedup_incremental_index": 4, "dedup_keep_best": 4,
-    "dedup_lexical_semantic_agreement": 4, "dedup_lsh_recall_report": 4,
-    "embedding_outliers": 4, "knn_label_embeddings": 4,
-    "pack_sequences_budget": 4, "vocab_growth_curve": 4,
-    # last driver-green in round 5 (17 queries)
-    "ann_cosine_topk_bruteforce": 5, "ann_ivf_topk": 5, "ann_lsh_topk": 5,
-    "cdc_debezium_envelope": 5, "dedup_exact_recrawl": 5,
-    "dedup_lsh_hot_cap": 5, "dedup_minhash_lsh": 5,
-    "dedup_ngram_jaccard": 5, "dedup_repeated_spans": 5,
-    "dedup_simhash": 5, "dedup_simhash_near_pairs": 5,
-    "doc_fingerprint_rolling": 5, "embedding_centroids_by_label": 5,
-    "embedding_near_dup": 5, "ivf_kmeans_refined_centroids": 5,
-    "media_audio_features": 5, "token_hist_by_lang": 5,
-    # last driver-green in round 6 (16 queries)
-    "ann_ivfpq_recall": 6, "chunk_context_windows": 6,
-    "clean_unicode_docs": 6, "cms_streaming_tokens": 6,
-    "cms_token_frequency": 6, "decontaminate_semantic": 6,
-    "gopher_quality_rules": 6, "hist_quantile_order_value": 6,
+    # last driver-green in round 6 (10 queries)
+    "ann_ivfpq_recall": 6, "clean_unicode_docs": 6,
+    "cms_streaming_tokens": 6, "hist_quantile_order_value": 6,
     "kmv_distinct_ngrams": 6, "nb_lang_confusion": 6, "pq_code_balance": 6,
     "retrieval_bm25_topk": 6, "sample_fixed_n_per_lang": 6,
-    "semdedup_cells": 6, "source_quota_cap": 6,
-    "upsample_epochs_by_source": 6,
+    "source_quota_cap": 6,
     # last driver-green in round 7 (37 queries)
     "canary_duck_pin": 7, "canary_engine_agree": 7, "canary_spark_pin": 7,
     "cdc_apply_customer": 7, "cdc_apply_multi_table": 7,
@@ -150,6 +120,32 @@ LAST_GREEN = {
     "tfidf_top_terms_per_doc": 9, "top_ngrams_corpus": 9,
     "training_pipeline_docs": 9, "window_value_distribution": 9,
     "xs_probe_hot_grams": 9,
+    # last driver-green in round 10 (50 queries)
+    "ann_cosine_topk_bruteforce": 10, "ann_int8_recall": 10,
+    "ann_ivf_topk": 10, "ann_lsh_topk": 10, "array_funcs_events": 10,
+    "bpe_merges_corpus": 10, "bpe_tokenize_docs": 10,
+    "cdc_debezium_envelope": 10, "chunk_context_windows": 10,
+    "cms_token_frequency": 10, "containment_hot_shingles": 10,
+    "cross_source_duplication": 10, "decontaminate_semantic": 10,
+    "dedup_exact_recrawl": 10, "dedup_incremental_index": 10,
+    "dedup_keep_best": 10, "dedup_lexical_semantic_agreement": 10,
+    "dedup_lsh_hot_cap": 10, "dedup_lsh_recall_report": 10,
+    "dedup_minhash_lsh": 10, "dedup_ngram_jaccard": 10,
+    "dedup_repeated_spans": 10, "dedup_simhash": 10,
+    "dedup_simhash_near_pairs": 10, "dedup_simhash_wide_near_pairs": 10,
+    "doc_fingerprint_rolling": 10, "embedding_centroids_by_label": 10,
+    "embedding_near_dup": 10, "embedding_outliers": 10,
+    "gopher_quality_rules": 10, "ivf_kmeans_refined_centroids": 10,
+    "knn_label_embeddings": 10, "media_audio_features": 10,
+    "pack_sequences_budget": 10, "q11_important_parts": 10,
+    "q15_top_supplier": 10, "q16_supplier_part_counts": 10,
+    "q20_excess_suppliers": 10, "q21_waiting_suppliers": 10,
+    "q2_min_cost_supplier": 10, "q4_order_priority": 10,
+    "q8_market_share": 10, "q9_product_profit": 10,
+    "scd2_customer_history": 10, "scd2_snapshot_time_travel": 10,
+    "semdedup_cells": 10, "timeseries_gapfill_daily_orders": 10,
+    "token_hist_by_lang": 10, "upsample_epochs_by_source": 10,
+    "vocab_growth_curve": 10,
 }
 
 #: Parked dead last, never spending a window slot:

@@ -381,18 +381,30 @@ def simhash(
 
 
 def simhash_hamming_pairs(
-    fps: DataFrame, id_col: str, max_distance: int = 3, materialize: bool = True
+    fps: DataFrame,
+    id_col: str,
+    max_distance: int = 3,
+    materialize: bool = True,
+    bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Scale path: pigeonhole blocking + in-block verify — delegates to
-    the generalized ``hamming_pairs`` over the 32-bit ``simhash``
-    column (for the default distance 3 that is exactly 4 disjoint
-    8-bit blocks). Delegation also fixes the former hardcoded-4-block
-    form, which silently missed pairs for ``max_distance > 3``
-    (pigeonhole needs ``max_distance + 1`` blocks)."""
+    the generalized ``hamming_pairs`` over the ``simhash`` column
+    (for the defaults, distance 3 over 32 bits, that is exactly 4
+    disjoint 8-bit blocks). ``bits`` must match the width the
+    fingerprints were built with (``simhash(..., bits=N)``): it sets
+    the slice widths, hence the block-key cardinality that is the
+    scale ceiling of the blocked join — a 60-bit fingerprint blocked
+    as if 32-bit still returns the exact pair set (any 4 disjoint
+    slices of ≤3 differing bits leave one slice clean), but keeps the
+    narrow form's 256-key slice saturation instead of the 32,768-key
+    resolution the width was chosen for. Delegation also fixes the
+    former hardcoded-4-block form, which silently missed pairs for
+    ``max_distance > 3`` (pigeonhole needs ``max_distance + 1``
+    blocks)."""
     return hamming_pairs(
-        fps, id_col, "simhash", bits=32, max_distance=max_distance,
+        fps, id_col, "simhash", bits=bits, max_distance=max_distance,
         materialize=materialize,
     )
 

@@ -1200,7 +1200,7 @@ def dedup_simhash_wide_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     high-precision subset of the 32-bit variant's."""
     corpus = _mutated_corpus(spark, sf_dir)
     fps = D.simhash(corpus, "id", "text", bits=60)
-    return D.simhash_hamming_pairs(fps, "id", max_distance=3)
+    return D.simhash_hamming_pairs(fps, "id", max_distance=3, bits=60)
 
 
 # ---------------------------------------------------------------------------

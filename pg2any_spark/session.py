@@ -58,8 +58,10 @@ def get_spark(
 
 @_contextmanager
 def temp_conf(spark: SparkSession, **settings: str):
-    """Scoped ``spark.conf`` override: set, yield, restore (restore is
-    best-effort exact — unset keys are restored by ``unset``).
+    """Scoped ``spark.conf`` override: set, yield, restore exactly —
+    keys that were unset OR only carrying their built-in default are
+    restored by ``unset`` (back to defaulted state), explicitly-set
+    keys by re-``set``.
 
     Motivating use: stateful streaming queries size
     ``spark.sql.shuffle.partitions`` to their STATE layout, not the
@@ -76,10 +78,13 @@ def temp_conf(spark: SparkSession, **settings: str):
     """
     saved: dict[str, str | None] = {}
     for k, v in settings.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        # Two-arg conf.get bypasses ConfigEntry defaults (SQLConf
+        # .getConfString(key, default) only consults explicitly-set
+        # session values), so a key that is merely *defaulted* — e.g.
+        # spark.sql.shuffle.partitions never set on this session —
+        # reads None here and is restored by unset, not pinned to its
+        # current effective value as an explicitly-set conf.
+        saved[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         yield spark

@@ -81,7 +81,6 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check")
-    con = duckdb.connect()
     # Guardrails for synthetic large-SF batteries: a handful of oracles
     # are deliberately brute-force recall baselines (all-pairs cosine,
     # candidate x shingle intersections, transitive closures) that are
@@ -91,22 +90,35 @@ def main():
     # and records a failure instead of wedging the whole battery.
     import os as _os
 
-    con.execute(
-        f"SET memory_limit='{_os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
-    )
     oracle_timeout = float(_os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0"))
 
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(
+            f"SET memory_limit='{_os.environ.get('SPARK_GRAFT_DUCK_MEM', '48GB')}'"
+        )
+        for t in FIXTURE_TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
+
     def run_oracle(sql):
+        nonlocal con
         if not oracle_timeout:
             res = con.execute(sql)
             return [d[0] for d in res.description], res.fetchall()
         import threading
 
         out, err = [], []
+        this_con = con
 
         def work():
             try:
-                res = con.execute(sql)
+                res = this_con.execute(sql)
                 out.append(([d[0] for d in res.description], res.fetchall()))
             except Exception as exc:  # noqa: BLE001
                 err.append(exc)
@@ -115,19 +127,21 @@ def main():
         th.start()
         th.join(oracle_timeout)
         if th.is_alive():
-            con.interrupt()
+            this_con.interrupt()
             th.join(30)
+            if th.is_alive():
+                # The worker ignored the interrupt: the old connection
+                # may still be in use by the stuck thread, so abandon
+                # it and rebuild — running the next oracle on a
+                # connection shared with a live worker is a race that
+                # can crash the whole battery.
+                con = fresh_con()
             raise TimeoutError(
                 f"oracle exceeded {oracle_timeout:.0f}s (interrupted)"
             )
         if err:
             raise err[0]
         return out[0]
-
-    for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

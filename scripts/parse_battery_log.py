@@ -18,20 +18,36 @@ def main() -> None:
     fixture = sys.argv[3] if len(sys.argv) > 3 else None
     text = open(log_path, errors="replace").read()
     results: dict[str, dict] = {}
+    # Detail may itself contain '[' (oracle error text); the timing
+    # suffix is anchored at end-of-line instead of forbidding '[' in
+    # the capture, so failure messages are not silently truncated.
     for m in re.finditer(
-        r"(✓|✗|~) ([a-z0-9_]+): ([^\[]*)\[([0-9.]+)s\]", text
+        r"(✓|✗|~) ([a-z0-9_]+): (.*?)\s*\[([0-9.]+)s\]\s*$",
+        text,
+        re.MULTILINE,
     ):
         mark, name, detail, secs = m.groups()
         detail = detail.strip()
+        if mark in ("✓", "~"):
+            rows_m = re.search(r"rows=(\d+)", detail)
+            if rows_m is None:
+                # A ✓/~ line without a rows= token is a log-format
+                # drift; record it as a parse failure rather than
+                # crashing the battery post-processing.
+                results[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "seconds": float(secs),
+                    "err": f"battery-log parse: no rows= in {detail[:160]!r}",
+                }
+                continue
+            rows = int(rows_m.group(1))
         if mark == "✓":
-            rows = int(re.search(r"rows=(\d+)", detail).group(1))
             results[name] = {
                 "rows_match": True, "schema_match": True,
                 "hash_match": True, "spark_rows": rows,
                 "oracle_rows": rows, "seconds": float(secs), "err": None,
             }
         elif mark == "~":
-            rows = int(re.search(r"rows=(\d+)", detail).group(1))
             results[name] = {
                 "rows_match": rows > 0, "schema_match": None,
                 "hash_match": None, "spark_rows": rows,
