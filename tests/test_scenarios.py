@@ -13,6 +13,7 @@ row lists — so the same generators run at any scale.
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
@@ -20,6 +21,21 @@ from pg2any_spark.operators.apply import apply_changes
 from pg2any_spark.schemas import CHANGE_EVENT_SCHEMA, T1_SCHEMA
 
 TS = datetime.datetime(2026, 1, 1)
+
+
+def _chaos_artifact_path(filename: str) -> str:
+    """Committed CHAOS_*.json records are longitudinal quiet-host
+    measurements; a casual pytest run on a contended host must not
+    overwrite them (round-10: a background suite halved the committed
+    CHAOS_1M number in the working tree). Default: write to a scratch
+    dir. Promote to the committed repo-root name ONLY under
+    ``PG2ANY_CHAOS_PROMOTE=1`` — the same explicit-quiet-host stance
+    as bench.py's gate."""
+    if os.environ.get("PG2ANY_CHAOS_PROMOTE") == "1":
+        return f"/root/repo/{filename}"
+    scratch = "/tmp/pg2any_chaos"
+    os.makedirs(scratch, exist_ok=True)
+    return f"{scratch}/{filename}"
 
 
 def _insert_events(spark, n, id_start=1, lsn_start=1, txid=1, val=None):
@@ -387,7 +403,7 @@ def test_s5_megarow_single_tx_hard_kill_bucketed(spark, tmp_path):
     # exact-row label for non-1M-multiples so odd runs never overwrite
     # the canonical 1M/3M artifacts
     label = f"{n // 1_000_000}M" if n % 1_000_000 == 0 and n > 0 else str(n)
-    with open(f"/root/repo/CHAOS_{label}.json", "w") as f:
+    with open(_chaos_artifact_path(f"CHAOS_{label}.json"), "w") as f:
         json.dump(
             {"rows": n, "wall_seconds": wall_s,
              "rows_per_second": round(n / wall_s, 1),
@@ -543,7 +559,7 @@ def test_s5_megarow_single_tx_wire_kill(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
     if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
         label = f"{n // 1_000_000}M"
-        with open(f"/root/repo/CHAOS_{label}_WIRE.json", "w") as f:
+        with open(_chaos_artifact_path(f"CHAOS_{label}_WIRE.json"), "w") as f:
             json.dump(
                 {"rows": n, "wall_seconds": wall_s,
                  "rows_per_second": round(n / wall_s, 1),
@@ -680,7 +696,7 @@ def test_s5_multi_kill_restart_bucketed(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
     if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
         label = f"{n // 1_000_000}M"
-        with open(f"/root/repo/CHAOS_MULTIKILL_{label}.json", "w") as f:
+        with open(_chaos_artifact_path(f"CHAOS_MULTIKILL_{label}.json"), "w") as f:
             json.dump(
                 {"rows": n, "wall_seconds": wall_s, "kills": kills,
                  "rows_per_second": round(n / wall_s, 1),
@@ -806,7 +822,7 @@ def test_s5_interleaved_tx_wire_kill(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
     if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
         label = f"{n // 1_000_000}M"
-        with open(f"/root/repo/CHAOS_INTERLEAVED_{label}_WIRE.json", "w") as f:
+        with open(_chaos_artifact_path(f"CHAOS_INTERLEAVED_{label}_WIRE.json"), "w") as f:
             json.dump(
                 {"rows": n, "wall_seconds": wall_s, "kills": kills,
                  "concurrent_xids": 128, "protocol_version": 2,
@@ -863,7 +879,7 @@ def test_s5_multi_kill_wire(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
     if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
         label = f"{n // 1_000_000}M"
-        with open(f"/root/repo/CHAOS_MULTIKILL_{label}_WIRE.json", "w") as f:
+        with open(_chaos_artifact_path(f"CHAOS_MULTIKILL_{label}_WIRE.json"), "w") as f:
             json.dump(
                 {"rows": n, "wall_seconds": wall_s, "kills": kills,
                  "txns": n_txns,
