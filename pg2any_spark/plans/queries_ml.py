@@ -5930,46 +5930,53 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "er_blocked_fuzzy_parts",
     oracle="""
     WITH named AS (
-        SELECT p_partkey, p_name,
+        SELECT p_partkey, p_name || ' ' || p_brand AS rec,
                string_split(p_name, ' ')[1] AS head
         FROM part
     ),
-    cand AS (
-        SELECT head,
-               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_candidates
-        FROM named GROUP BY head
+    grp AS (
+        SELECT head, rec, CAST(COUNT(*) AS BIGINT) AS c
+        FROM named GROUP BY head, rec
     ),
-    pairs AS (
+    per_head AS (
+        SELECT head,
+               CAST(SUM(c) * (SUM(c) - 1) // 2 AS BIGINT) AS n_candidates,
+               CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n_d0
+        FROM grp GROUP BY head
+    ),
+    cross_pairs AS (
         SELECT a.head,
-               levenshtein(a.p_name, b.p_name) AS d
-        FROM named a JOIN named b
-          ON a.head = b.head AND a.p_partkey < b.p_partkey
-         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+               levenshtein(a.rec, b.rec) AS d,
+               a.c * b.c AS w
+        FROM grp a JOIN grp b
+          ON a.head = b.head AND a.rec < b.rec
+         AND abs(length(a.rec) - length(b.rec)) <= 2
     ),
     hist AS (
         SELECT head,
-               CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d0,
-               CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
-               CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
-               CAST(SUM(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_matches
-        FROM pairs GROUP BY head
+               CAST(SUM(CASE WHEN d = 1 THEN w ELSE 0 END) AS BIGINT) AS n_d1,
+               CAST(SUM(CASE WHEN d = 2 THEN w ELSE 0 END) AS BIGINT) AS n_d2
+        FROM cross_pairs GROUP BY head
     )
-    SELECT c.head, c.n_candidates,
-           COALESCE(h.n_d0, 0) AS n_d0,
+    SELECT p.head, p.n_candidates, p.n_d0,
            COALESCE(h.n_d1, 0) AS n_d1,
            COALESCE(h.n_d2, 0) AS n_d2,
-           COALESCE(h.n_matches, 0) AS n_matches
-    FROM cand c LEFT JOIN hist h ON h.head = c.head
-    ORDER BY c.head
+           p.n_d0 + COALESCE(h.n_d1, 0) + COALESCE(h.n_d2, 0) AS n_matches
+    FROM per_head p LEFT JOIN hist h ON h.head = p.head
+    ORDER BY p.head
     """,
 )
 def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over structured records — BLOCKED fuzzy
-    matching: candidate pairs share a blocking key (the name's head
-    token), compared by exact Levenshtein distance, reported as a
-    per-block candidate/match histogram (d=0 exact dup names, d≤2
-    near-dups). The structured-record twin of the text dedup family:
+    matching: the record string is ``p_name || ' ' || p_brand``
+    (round 11: name alone made every cross-record distance ≥ 3 at
+    every fixture — the d1/d2 columns were structurally zero and the
+    bounded-levenshtein path untested; brand codes such as
+    ``Brand#13``/``Brand#15`` differ by 1-2 edits, giving the fuzzy
+    tier real mass), candidate pairs share a blocking key (the name's
+    head token), compared by exact Levenshtein distance, reported as a
+    per-block candidate/match histogram (d=0 identical records, d≤2
+    near-dups such as brand typos). The structured-record twin of the text dedup family:
     blocking turns the quadratic all-pairs comparison into
     per-block-key joins — the same pigeonhole argument as LSH bands —
     and the report's n_candidates column IS the blocking-cost audit a
@@ -5978,52 +5985,73 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (JVM built-in `levenshtein`, no UDF), so the whole
     report is exact.
 
-    Scale shape (rebuilt after the round-10 10× battery caught the
-    naive form concentrating ~30 minutes of levenshtein on ONE task —
-    a head-token block's pair space all hashes to one partition):
-    ``n_candidates`` = C(n,2) per block computed ANALYTICALLY from the
-    block counts (no pair enumeration at all); the d-histogram join is
-    SALTED by unordered bucket pairs (each side replicated S ways on
-    ``(head, min(b,j), max(b,j))``, so every pair meets exactly once
-    and a block's pair space spreads over S·(S+1)/2 tasks instead of
-    one); pairs with ``|len(a)−len(b)| > 2`` are length-pruned BEFORE
-    the edit distance (d ≥ |Δlen| ≥ 3 contributes zero to every output
-    column — output-identical), and the remaining distances use the
-    bounded ``levenshtein(a, b, 2)`` (O(k·n) banded form, −1 beyond
-    the threshold) instead of the full O(n²) distance."""
+    Scale shape (round 10 rebuilt the naive form after the 10× battery
+    caught it concentrating ~30 minutes of levenshtein on ONE task;
+    round 11 additionally FACTORIZES the compare space through
+    distinct values — the measured 10× fixture has 200k parts but only
+    64 distinct names, i.e. 2.5 BILLION raw candidate pairs that
+    collapse to ≤ C(64,2) distinct comparisons):
+
+    - dedupe-before-compare: rows group to ``(head, p_name, count)``
+      first (one map-side-combinable aggregate), and every expensive
+      comparison runs once per DISTINCT name pair, weighted by
+      ``c_a · c_b`` on the way back out. Identical output for any
+      input; cost collapses from C(rows,2) to C(distinct,2) per block
+      — the standard ER move for value-skewed record sets.
+    - ``n_candidates`` = C(n,2) and ``n_d0`` = Σ C(c,2) per block are
+      ANALYTIC (within-group pairs are exactly the d=0 pairs; no
+      enumeration at all). Cross-group pairs always have d ≥ 1.
+    - the distinct-pair join stays SALTED by unordered bucket pairs on
+      ``hash(p_name) % S`` (each side replicated S ways on
+      ``(head, min(b,j), max(b,j))`` so every pair meets exactly once,
+      spreading a block's pair space over S·(S+1)/2 tasks) — the
+      defense that matters in the opposite regime, when distinct-name
+      blocks are themselves huge.
+    - pairs with ``|len(a)−len(b)| > 2`` are length-pruned BEFORE the
+      edit distance (d ≥ |Δlen| ≥ 3 contributes zero to every output
+      column), and surviving distances use the bounded
+      ``levenshtein(a, b, 2)`` (banded O(k·n) form, −1 beyond the
+      threshold) instead of the full O(n²) distance."""
     S = 8  # salt buckets: block pair-space spreads over S*(S+1)/2 tasks
     parts = load_table(spark, "part", sf_dir).select(
-        "p_partkey",
-        "p_name",
+        F.concat_ws(" ", "p_name", "p_brand").alias("rec"),
         F.split(F.col("p_name"), " ").getItem(0).alias("head"),
     )
-    cand = parts.groupBy("head").agg(
-        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+    grp = parts.groupBy("head", "rec").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_head = grp.groupBy("head").agg(
+        (F.sum("c") * (F.sum("c") - F.lit(1)) / 2)
         .cast("long")
-        .alias("n_candidates")
+        .alias("n_candidates"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_d0"),
     )
     j = F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("j")
-    a = parts.select(
+    bucket = F.pmod(F.hash(F.col("rec")), F.lit(S))
+    a = grp.select(
         F.col("head"),
-        F.col("p_partkey").alias("ka"),
-        F.col("p_name").alias("na"),
+        F.col("rec").alias("na"),
+        F.col("c").alias("ca"),
+        bucket.alias("ha"),
         j,
     ).select(
-        "head", "ka", "na",
-        F.least(F.col("ka") % S, F.col("j")).alias("b1"),
-        F.greatest(F.col("ka") % S, F.col("j")).alias("b2"),
+        "head", "na", "ca", "ha",
+        F.least(F.col("ha"), F.col("j")).alias("b1"),
+        F.greatest(F.col("ha"), F.col("j")).alias("b2"),
     )
-    b = parts.select(
+    b = grp.select(
         F.col("head").alias("hb"),
-        F.col("p_partkey").alias("kb"),
-        F.col("p_name").alias("nb"),
+        F.col("rec").alias("nb"),
+        F.col("c").alias("cb"),
+        bucket.alias("hbk"),
         j,
     ).select(
-        "hb", "kb", "nb",
-        F.least(F.col("kb") % S, F.col("j")).alias("c1"),
-        F.greatest(F.col("kb") % S, F.col("j")).alias("c2"),
+        "hb", "nb", "cb", "hbk",
+        F.least(F.col("hbk"), F.col("j")).alias("c1"),
+        F.greatest(F.col("hbk"), F.col("j")).alias("c2"),
     )
     d = F.levenshtein(F.col("na"), F.col("nb"), 2)
+    w = F.col("ca") * F.col("cb")
     hist = (
         a.join(
             b,
@@ -6033,33 +6061,36 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cross-bucket pairs share exactly ONE (min,max) cell;
             # same-bucket pairs co-occur in all S of their cells, so
             # pin them to the diagonal cell or they count S times
-            & (
-                ((F.col("ka") % S) != (F.col("kb") % S))
-                | (F.col("b1") == F.col("b2"))
-            )
-            & (F.col("ka") < F.col("kb"))
+            & ((F.col("ha") != F.col("hbk")) | (F.col("b1") == F.col("b2")))
+            & (F.col("na") < F.col("nb"))
             & (F.abs(F.length("na") - F.length("nb")) <= 2),
         )
-        .select("head", d.alias("d"))
+        .select("head", d.alias("d"), w.alias("w"))
         .groupBy("head")
         .agg(
-            F.sum((F.col("d") == 0).cast("long")).cast("long").alias("n_d0"),
-            F.sum((F.col("d") == 1).cast("long")).cast("long").alias("n_d1"),
-            F.sum((F.col("d") == 2).cast("long")).cast("long").alias("n_d2"),
-            F.sum(F.col("d").between(0, 2).cast("long"))
+            F.sum(F.when(F.col("d") == 1, F.col("w")).otherwise(F.lit(0)))
             .cast("long")
-            .alias("n_matches"),
+            .alias("n_d1"),
+            F.sum(F.when(F.col("d") == 2, F.col("w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_d2"),
         )
     )
     return (
-        cand.join(hist, "head", "left")
+        per_head.join(hist, "head", "left")
         .select(
             "head",
             "n_candidates",
-            F.coalesce("n_d0", F.lit(0)).cast("long").alias("n_d0"),
+            "n_d0",
             F.coalesce("n_d1", F.lit(0)).cast("long").alias("n_d1"),
             F.coalesce("n_d2", F.lit(0)).cast("long").alias("n_d2"),
-            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            (
+                F.col("n_d0")
+                + F.coalesce("n_d1", F.lit(0))
+                + F.coalesce("n_d2", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_matches"),
         )
         .orderBy("head")
     )
