@@ -1739,15 +1739,23 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS rn
             FROM nrm n CROSS JOIN cent c
         ) WHERE rn = 1
+    ),
+    joined AS (
+        -- explicit equi-join BEFORE the lateral unnest: the former
+        -- comma-join form (FROM assign a, nrm n, UNNEST(...) WHERE
+        -- n.vec_id = a.vec_id) defeated DuckDB's join recognition and
+        -- evaluated as a filtered CROSS PRODUCT — >550 s at the 10x
+        -- fixture (20k vectors) vs 3.7 s for this form, the whole
+        -- cause of the round-10 battery's 240 s oracle timeout
+        SELECT a.cell, n.v FROM assign a JOIN nrm n ON n.vec_id = a.vec_id
     )
-    SELECT a.cell, CAST(r.i AS INTEGER) AS pos,
-           ROUND(CAST(SUM(CAST(n.v[r.i + 1] AS DECIMAL(28,12)))
+    SELECT j.cell, CAST(r.i AS INTEGER) AS pos,
+           ROUND(CAST(SUM(CAST(j.v[r.i + 1] AS DECIMAL(28,12)))
                       AS DOUBLE) / COUNT(*), 6) AS coord,
            COUNT(*) AS n_members
-    FROM assign a, nrm n, UNNEST(range(len(n.v))) AS r(i)
-    WHERE n.vec_id = a.vec_id
-    GROUP BY a.cell, pos
-    ORDER BY a.cell, pos
+    FROM joined j, UNNEST(range(len(j.v))) AS r(i)
+    GROUP BY j.cell, pos
+    ORDER BY j.cell, pos
     """,
 )
 def ivf_kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6107,19 +6115,24 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    edges AS (
+    -- AS MATERIALIZED: edges is referenced 6x (deg twice, the triple
+    -- join three times, the census once); inlined per-reference the
+    -- co-purchase self-join re-runs each time and the triple join
+    -- loses cardinality stats — the round-10 uniform-10x battery
+    -- timeout (>240 s; 1.2 s materialized)
+    edges AS MATERIALIZED (
         SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY u, v HAVING COUNT(*) >= 2
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
             SELECT u AS node FROM edges
             UNION ALL SELECT v AS node FROM edges
         ) GROUP BY node
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
         FROM edges e1
         JOIN edges e2 ON e2.u = e1.v
