@@ -81,10 +81,25 @@ def test_simhash_wide_60bit(spark):
     assert 0 <= vals[1] < (1 << 60)
     pairs = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in D.simhash_hamming_pairs(fps, "id", max_distance=3).collect()
+        for r in D.simhash_hamming_pairs(
+            fps, "id", max_distance=3, bits=60
+        ).collect()
     }
     assert (1, 2, 0) in pairs
     assert all(a != 3 and b != 3 for a, b, _ in pairs)
+    # blocking width changes bucket resolution, never the pair set:
+    # any 4 disjoint slices of <=3 differing bits leave one slice
+    # clean, so 32-bit-slice blocking of the same 60-bit fingerprints
+    # must return identical output (the round-11 bits-param fix made
+    # the 15-bit slices real engine-side; this pins the recall
+    # equivalence its docstring claims)
+    narrow = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_hamming_pairs(
+            fps, "id", max_distance=3, bits=32
+        ).collect()
+    }
+    assert narrow == pairs
 
 
 def test_simhash_hamming_pairs(spark):

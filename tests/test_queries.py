@@ -169,3 +169,57 @@ class TestLateRound8Properties:
         assert [r["dim"] for r in rows] == list(range(64))
         n = rows[0]["n"]
         assert all(r["n"] == n for r in rows)  # rectangular embeddings
+
+
+class TestErFactorization:
+    def test_matches_bruteforce_raw_pairs(self, spark, sf_dir):
+        """The value-factorized blocked ER (round 11: group to
+        (head, rec, count), analytic n_d0, weighted distinct-pair
+        join) must equal the definitionally-direct computation: every
+        raw record pair in a head block, full unbounded levenshtein,
+        unit-weighted histogram. Pins the factorization algebra — the
+        C(c,2) within-group d=0 term, the ca*cb cross weight, the
+        salted unordered-bucket-pair join meeting each distinct pair
+        exactly once — against the O(n^2) ground truth at sf0.001."""
+        from pyspark.sql import functions as F
+
+        from pg2any_spark.sources.fixtures import load_table
+
+        got = {
+            tuple(r)
+            for r in QUERIES["er_blocked_fuzzy_parts"](spark, sf_dir).collect()
+        }
+
+        parts = load_table(spark, "part", sf_dir).select(
+            F.col("p_partkey").alias("k"),
+            F.concat_ws(" ", "p_name", "p_brand").alias("rec"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("head"),
+        )
+        a = parts.select("head", F.col("k").alias("ka"), F.col("rec").alias("ra"))
+        b = parts.select(
+            F.col("head").alias("hb"), F.col("k").alias("kb"),
+            F.col("rec").alias("rb"),
+        )
+        d = F.levenshtein("ra", "rb")
+        hist = (
+            a.join(
+                b,
+                (F.col("head") == F.col("hb")) & (F.col("ka") < F.col("kb")),
+            )
+            .select("head", d.alias("d"))
+            .groupBy("head")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum((F.col("d") == 0).cast("long")).cast("long").alias("n_d0"),
+                F.sum((F.col("d") == 1).cast("long")).cast("long").alias("n_d1"),
+                F.sum((F.col("d") == 2).cast("long")).cast("long").alias("n_d2"),
+                F.sum((F.col("d") <= 2).cast("long")).cast("long")
+                .alias("n_matches"),
+            )
+        )
+        want = {tuple(r) for r in hist.select(
+            "head", "n_candidates", "n_d0", "n_d1", "n_d2", "n_matches"
+        ).collect()}
+        assert got == want
+        # the fuzzy tier must be exercised, not vacuously zero
+        assert any(r[3] > 0 or r[4] > 0 for r in got)

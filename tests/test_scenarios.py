@@ -792,16 +792,23 @@ def test_s5_interleaved_tx_wire_kill(spark, tmp_path):
     single-tx and sequential-multi-tx wire chaos left uncovered.
 
     ``PG2ANY_CHAOS_ROWS=3000000`` runs the reference-scale 3M case
-    (recorded as CHAOS_INTERLEAVED_3M_WIRE.json); suite default 300k."""
+    (recorded as CHAOS_INTERLEAVED_3M_WIRE.json); suite default 300k.
+    ``PG2ANY_CHAOS_TX_PER_SEG`` (default 16) sets the interleave
+    breadth WITHIN each segment stream — pgbench's 100 clients all
+    interleave in ONE sequential WAL stream, so matching that shape
+    means 100 open xids in a single segment's reassembly state, not
+    100 spread across parallel segments; 100 records as
+    CHAOS_INTERLEAVED100_{label}_WIRE.json."""
     import json
     import os
     import sys
 
     n = int(os.environ.get("PG2ANY_CHAOS_ROWS", 300_000))
+    tps = int(os.environ.get("PG2ANY_CHAOS_TX_PER_SEG", 16))
     src = str(tmp_path / "frames")
     target = str(tmp_path / "replica")
     ckpt = str(tmp_path / "ckpt")
-    _wire_frames_v2_interleaved(spark, n).repartition(
+    _wire_frames_v2_interleaved(spark, n, tx_per_seg=tps).repartition(
         8, "segment_id"
     ).write.parquet(src)
 
@@ -822,10 +829,16 @@ def test_s5_interleaved_tx_wire_kill(spark, tmp_path):
     assert expected.exceptAll(final).isEmpty()
     if n % 1_000_000 == 0 and n > 0:  # record only canonical scales
         label = f"{n // 1_000_000}M"
-        with open(_chaos_artifact_path(f"CHAOS_INTERLEAVED_{label}_WIRE.json"), "w") as f:
+        stem = (
+            f"CHAOS_INTERLEAVED_{label}_WIRE.json"
+            if tps == 16
+            else f"CHAOS_INTERLEAVED{tps}_{label}_WIRE.json"
+        )
+        with open(_chaos_artifact_path(stem), "w") as f:
             json.dump(
                 {"rows": n, "wall_seconds": wall_s, "kills": kills,
-                 "concurrent_xids": 128, "protocol_version": 2,
+                 "concurrent_xids": 8 * tps, "xids_per_stream": tps,
+                 "protocol_version": 2,
                  "rows_per_second": round(n / wall_s, 1),
                  "scenario": "interleaved_streamed_tx_multi_sigkill_wire_v2"},
                 f,
