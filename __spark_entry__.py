@@ -17,10 +17,14 @@ ordered STALEST-FIRST by the round of its most recent driver-green
 row in ``LAST_GREEN`` (regenerated each round via
 ``scripts/regen_last_green.py`` from the CORRECTNESS artifacts), so
 each round's 50-slot window re-validates the oldest evidence in the
-repo. The round-11 window is: any round-11 additions first, then the
-10 r6 + 37 r7 stale greens and the head of the r8 cohort, filling to
-exactly 50; after a clean round-11 window no green in the registry is
-older than round 8 except the r8 tail. The two retired hugeint mechanism canaries
+repo. One override: ``RECHECK_FIRST`` — queries whose engine or
+oracle CHANGED this round pre-empt the staleness order (a changed
+query is a bigger correctness risk than a stale green). The round-11
+window is: the 6 round-11 rebuilds/fixes (ER factorization, the two
+repaired timeout oracles, the simhash bits=60 family), then the 10 r6
++ 37 r7 stale greens, filling to exactly 50 with the r8 head; after a
+clean round-11 window no green in the registry is older than round 8
+except the r8 tail. The two retired hugeint mechanism canaries
 (purpose served — the round-8 driver split them exactly as predicted,
 bare RED / cast GREEN, confirming the HUGEINT-hash diagnosis) and the
 two engine-specific approx sketches (no cross-engine oracle by
@@ -161,6 +165,23 @@ PARKED = {
     "canary_hugeint_bare", "canary_hugeint_cast",
 }
 
+#: Queries whose ENGINE or ORACLE changed this round — the riskiest
+#: rows in the registry, so they pre-empt the staleness order and take
+#: the head of the window for an independent driver re-confirmation
+#: (all are locally hash-green at sf0.001/0.01/0.1 and at the 10x
+#: fixture after the change). Round 11: the value-factorized
+#: brand-enriched ER rebuild, the two repaired timeout oracles, and
+#: the simhash family behind the bits=60 blocking fix. Reset this set
+#: each round.
+RECHECK_FIRST = {
+    "er_blocked_fuzzy_parts",
+    "ivf_kmeans_refined_centroids",
+    "graph_triangle_census",
+    "dedup_simhash_wide_near_pairs",
+    "dedup_simhash_near_pairs",
+    "dedup_simhash",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -171,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bucket(n: str) -> int:
         if n in PARKED:
             return 99
+        if n in RECHECK_FIRST:
+            return -1
         # never driver-checked sorts before everything (round 0);
         # otherwise stalest evidence first
         return LAST_GREEN.get(n, 0)
