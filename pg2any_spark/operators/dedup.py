@@ -827,22 +827,36 @@ def hamming_pairs(
             f"hamming_pairs: need bits >= max_distance + 1 "
             f"({bits} < {n_blocks}) for non-empty pigeonhole blocks"
         )
-    blocks = []
+    # Blocking is ONE pass over ``fps`` — an explode of the ≤(d+1)-entry
+    # (block_idx, block_key) struct array — never a union of per-block
+    # branches: a union re-evaluates the ENTIRE upstream lineage once
+    # per block (the fingerprints here are the expensive part — a
+    # 60-agg SimHash reduce or an Arrow-batched image decode), which
+    # the round-11 plan audit measured as 7 duplicated ArrowEvalPython
+    # pipelines in ``media_phash_near_dup`` and 4 duplicated 60-column
+    # aggregates in ``dedup_simhash_wide_near_pairs``. Same rows out,
+    # exactly one evaluation of the fingerprint plan per input row.
+    entries = []
     for blk in range(n_blocks):
         lo = blk * bits // n_blocks
         hi = (blk + 1) * bits // n_blocks
         key = F.shiftright(F.col(fp_col), lo).bitwiseAND((1 << (hi - lo)) - 1)
-        blocks.append(
-            fps.select(
-                F.col(id_col),
-                F.col(fp_col),
+        entries.append(
+            F.struct(
                 F.lit(blk).alias("block_idx"),
-                key.alias("block_key"),
+                key.cast("long").alias("block_key"),
             )
         )
-    blocked = blocks[0]
-    for bdf in blocks[1:]:
-        blocked = blocked.unionByName(bdf)
+    blocked = fps.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.explode(F.array(*entries)).alias("__blk"),
+    ).select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.col("__blk.block_idx").alias("block_idx"),
+        F.col("__blk.block_key").alias("block_key"),
+    )
     if materialize:
         blocked = managed_persist(blocked)
     a, b = blocked.alias("a"), blocked.alias("b")
