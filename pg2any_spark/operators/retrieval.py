@@ -111,7 +111,6 @@ def bm25_topk(
         terms, "query_id string, pos int, term string"
     )
 
-    post = doc_postings(docs, id_col, text_col)
     # corpus stats straight off the base table: two exact integer
     # aggregates, map-side combinable, NO shuffle of the postings.
     stats = (
@@ -122,8 +121,33 @@ def bm25_topk(
         )
     )
 
-    # inverted-index probe: candidate postings = query terms only.
-    cand = post.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+    # Inverted-index probe, pushed BELOW the postings aggregate: the
+    # query vocabulary is a driver-side literal list, so the term
+    # filter applies to the exploded token stream itself and the
+    # (doc, term) aggregate — the one corpus-sized shuffle the old
+    # post-then-semi-join form paid — now shuffles ONLY query-term
+    # occurrences (guide §2.3). tf, dl (computed per doc BEFORE the
+    # explode, unaffected by the filter), df, n_docs and sum_dl are
+    # all unchanged, so scores are identical. The candidate table is
+    # tiny (docs containing a query term) and feeds two consumers
+    # (dft + scoring), so it is persisted rather than re-derived.
+    from pg2any_spark.caching import managed_persist
+
+    qvocab = sorted({t for _, _, t in terms})
+    toked = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    cand = managed_persist(
+        toked.select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .filter(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dft = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
@@ -208,10 +232,15 @@ def lexical_jaccard_topk(
     shingle set), never an all-pairs scan. Jaccard is the single
     exact-integer division ``|∩| / (|A|+|B|−|∩|)`` rounded to 6dp;
     ranking tie-breaks on the rounded score then neighbor id."""
+    from pg2any_spark.caching import managed_persist
     from pg2any_spark.operators.dedup import exploded_shingles
 
     base = docs.where(F.trim(F.col(text_col)) != "")
-    sh = exploded_shingles(base, id_col, text_col, n).distinct()
+    # three consumers traverse the distinct-shingle table (probe side,
+    # candidate join, set sizes); without the persist the whole
+    # explode→distinct pipeline runs three times — the same
+    # multi-traversal rationale as ngram_jaccard's materialize flag
+    sh = managed_persist(exploded_shingles(base, id_col, text_col, n).distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     probe = (
         sh.filter(F.col(id_col) % query_mod == 0)

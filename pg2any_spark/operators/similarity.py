@@ -238,10 +238,16 @@ def _ranged_by_literal_boundaries(
         | (F.col("__gr_key") <= F.col("__hi"))
         | F.col("__gr_key").isNull()
     )
-    return (
-        keyed.join(F.broadcast(bnd), cond, "inner")
-        .drop("__gr_key", "__lo", "__hi")
-        .repartition(parts, "__pid")
+    # No explicit repartition here (round-11 optimization, guide §2.3/
+    # §2.4): the window branch's ``partitionBy("__pid")`` plans its own
+    # hash exchange on __pid, so an explicit repartition was a SECOND
+    # full-data shuffle of the same key — and the offsets branch, which
+    # only needs per-pid counts/sums, was re-running that full shuffle
+    # when a map-side partial aggregate shuffles ≤P rows per input
+    # partition instead. Buckets (hence results) are identical either
+    # way: __pid comes from the broadcast literal-boundary join alone.
+    return keyed.join(F.broadcast(bnd), cond, "inner").drop(
+        "__gr_key", "__lo", "__hi"
     )
 
 

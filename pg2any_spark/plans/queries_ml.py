@@ -6168,19 +6168,33 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge fan-out on power-law graphs; the part co-purchase graph's
     degrees are order-size-bounded by construction, so this query runs
     uncapped and the report column pins 0."""
-    items = (
+    # Co-purchase pairs via ONE per-order set aggregate + an in-row
+    # pair expansion (round-11 optimization, guide §2.4): the former
+    # items-self-join-on-orderkey shuffled the item table twice (both
+    # join sides) and paid a join to produce pairs that are a pure
+    # per-order combinatorial expansion. collect_set co-locates each
+    # order once; sort_array + a nested transform emits exactly the
+    # u < v pairs the self-join produced (same multiset per order,
+    # baskets are order-size-bounded so the array expansion is tiny);
+    # the ≥2-orders filter is the same count aggregate. One shuffle
+    # replaces two plus a join.
+    baskets = (
         load_table(spark, "lineitem", sf_dir)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__parts"))
     )
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("v")
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("__parts"),
+            lambda u, i: F.transform(
+                F.slice(F.col("__parts"), i + 2, F.size(F.col("__parts"))),
+                lambda v: F.struct(u.alias("u"), v.alias("v")),
+            ),
+        )
     )
     edges = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        baskets.select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.u").alias("u"), F.col("__p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 2)

@@ -34,6 +34,20 @@ def get_spark(
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-based coalescing (guide §2.2): target
+        # advisoryPartitionSizeInBytes (64 MB default) instead of
+        # "maximize parallelism" — parallelismFirst=true re-expands
+        # every post-shuffle stage to defaultParallelism tasks, which
+        # at local fixture scale schedules 32 near-empty tasks per
+        # stage (measured round 11: a 10-query A/B dropped 56.2s ->
+        # 34.7s, token_budget_selection 23.2s -> 6.4s) and on a real
+        # cluster is exactly the many-tiny-blocks shuffle pathology
+        # §2.2 warns about. Scale-adaptive by construction: partition
+        # count derives from shuffle BYTES, so big inputs still fan
+        # out. CPU-dense small-byte stages (the salted ER join) were
+        # in the A/B and improved too — their parallelism comes from
+        # the pre-shuffle map side, not the coalesced reduce side.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
