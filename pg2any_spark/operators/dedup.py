@@ -1247,31 +1247,50 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # Exact verify by in-row set intersection (round-11 optimization,
+    # guide §2.3/§2.4): each doc's distinct-shingle set is collected
+    # ONCE (the same groupBy(id) pass that previously produced only
+    # set_size now also carries the array), candidate pairs attach both
+    # arrays by two id-keyed joins, and |A∩B| is a single
+    # array_intersect per pair. The former row-level form expanded each
+    # pair by all of doc a's shingles, shuffled that widest
+    # intermediate by (id_b, shingle) for the matching join, then paid
+    # a third exchange to re-aggregate per pair — three corpus-scale
+    # exchanges and a giant hash aggregate replaced by joins that move
+    # each candidate doc's set once per pair it appears in. Arrays are
+    # per-document and documents are bounded (the same bound the
+    # row-expansion relied on), and sh is distinct per (id, shingle) so
+    # size(array_intersect) counts exactly the rows the aggregate did.
+    sets = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__set"),
+        F.count(F.lit(1)).alias("set_size"),
+    )
     inter = (
         cand.join(
-            sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__set").alias("__sa"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "id_a",
         )
         .join(
-            sh.select(
+            sets.select(
                 F.col(id_col).alias("id_b"),
-                F.col("shingle").alias("shingle"),
+                F.col("__set").alias("__sb"),
+                F.col("set_size").alias("size_b"),
             ),
-            ["id_b", "shingle"],
+            "id_b",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long"),
+        )
+        .drop("__sa", "__sb")
     )
     mn = F.least(F.col("size_a"), F.col("size_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter
         .filter(F.col("n_inter") * 100 >= mn * min_overlap_pct)
         .select(
             "id_a",

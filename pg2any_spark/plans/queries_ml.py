@@ -1004,33 +1004,56 @@ def dedup_lsh_hot_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = managed_persist(
         D.lsh_index(corpus, "id", "text", num_hashes=12, bands=4)
     )
-    hot_n = D.hot_band_keys(idx, _HOT_KEY_CAP).agg(
-        F.count(F.lit(1)).cast("long").alias("value")
-    )
-    capped_n = (
-        D.join_band_tables(
-            idx, idx, "id", out_probe="id_b", out_index="id_a",
-            index_lt_probe=True, hot_key_cap=_HOT_KEY_CAP,
+    hot = D.hot_band_keys(idx, _HOT_KEY_CAP).select("band_idx", "band_key")
+    hot_n = hot.agg(F.count(F.lit(1)).cast("long").alias("value"))
+    # Round-11 optimization (guide §2.4): ONE band self-join feeds both
+    # pair metrics. The capped join is by construction the uncapped
+    # join restricted to non-hot buckets, so running join_band_tables
+    # twice duplicated the corpus-sized self-join + distinct; instead
+    # the single join carries a per-bucket hot flag (LEFT join against
+    # the tiny broadcast hot-key set — the flag is a property of the
+    # bucket, so flagging one side covers the pair) and the two counts
+    # are conditional COUNT(DISTINCT pair) over the same stream.
+    # Identical sets to the two-join form: a pair reachable via any
+    # non-hot bucket still counts as capped. Production pipelines keep
+    # the anti-join form (never materializing hot-bucket pairs); this
+    # QA query materializes them anyway for the uncapped contrast.
+    flagged = idx.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))),
+        ["band_idx", "band_key"],
+        "left",
+    ).withColumn("__hot", F.coalesce(F.col("__hot"), F.lit(False)))
+    pairs = (
+        flagged.alias("i")
+        .join(
+            idx.alias("x"),
+            (F.col("i.band_idx") == F.col("x.band_idx"))
+            & (F.col("i.band_key") == F.col("x.band_key"))
+            & (F.col("x.id") < F.col("i.id")),
         )
-        .select("id_a", "id_b")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("value"))
-    )
-    uncapped_n = (
-        D.join_band_tables(
-            idx, idx, "id", out_probe="id_b", out_index="id_a",
-            index_lt_probe=True,
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("i.id").alias("id_b"),
+            F.col("i.__hot").alias("__hot"),
         )
-        .select("id_a", "id_b")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("value"))
     )
+    pair = F.struct(F.col("id_a"), F.col("id_b"))
+    counts = pairs.agg(
+        F.count_distinct(F.when(~F.col("__hot"), pair))
+        .cast("long")
+        .alias("__capped"),
+        F.count_distinct(pair).cast("long").alias("__uncapped"),
+    )
+    # stack() unpivots the one-row aggregate into the two metric rows
+    # in a single evaluation — a unionByName of two selects from
+    # ``counts`` would re-run the whole join+aggregate subtree once
+    # per branch (Catalyst does not share subtrees across union arms).
     return (
-        capped_n.select(F.lit("capped_pairs").alias("metric"), "value")
-        .unionByName(hot_n.select(F.lit("hot_keys").alias("metric"), "value"))
-        .unionByName(
-            uncapped_n.select(F.lit("uncapped_pairs").alias("metric"), "value")
+        counts.selectExpr(
+            "stack(2, 'capped_pairs', __capped, "
+            "'uncapped_pairs', __uncapped) AS (metric, value)"
         )
+        .unionByName(hot_n.select(F.lit("hot_keys").alias("metric"), "value"))
         .orderBy("metric")
     )
 

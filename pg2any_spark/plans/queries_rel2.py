@@ -1413,7 +1413,15 @@ def zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1 << (2 * i + 1)).cast("long")
         for i in range(8)
     )
-    keyed = base.withColumn("zkey", zkey.cast("long"))
+    # Persisted (round-11, guide §1.2/§5): the two layout audits each
+    # traverse ``keyed`` several times (the literal-boundary quantile
+    # pass, the rank and offset branches, and the broadcast row count
+    # inside global_distribution) — eight-plus scans of orders plus the
+    # Morton-key projection without the persist, one with it. 4 longs
+    # per order row, far smaller than the source table.
+    from pg2any_spark.caching import managed_persist
+
+    keyed = managed_persist(base.withColumn("zkey", zkey.cast("long")))
 
     def layout_stats(order_col: str, name: str) -> DataFrame:
         files = S.global_distribution(
@@ -1618,26 +1626,46 @@ def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANY corpus size (the same blocked-pair-enumeration argument as the
     LSH band joins); the support filter then prunes before the
     broadcast-joinable per-part supports attach. TakeOrdered(50), no
-    global sort."""
-    items = (
+    global sort.
+
+    Round-11 optimization (guide §2.4, same rewrite as
+    ``graph_triangle_census``): pairs come from ONE per-order
+    ``collect_set`` aggregate + an in-row u < v expansion instead of
+    the items-distinct self-join, which shuffled the item table twice
+    and re-scanned lineitem once per consumer (the a/b join sides plus
+    sa, sb and n_orders each re-derived ``items`` — five lineitem
+    scans). ``collect_set`` IS the per-order distinct, so the baskets
+    table replaces ``items`` outright; per-part supports and the order
+    count both derive from it (one explode, one 1-row count), and the
+    persist bounds the whole query to a single lineitem scan + a
+    single corpus-sized shuffle."""
+    from pg2any_spark.caching import managed_persist
+
+    baskets = managed_persist(
         load_table(spark, "lineitem", sf_dir)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__parts"))
     )
     n_orders = F.broadcast(
-        items.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+        baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    part_supp = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    part_supp = (
+        baskets.select(F.explode("__parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("__parts"),
+            lambda u, i: F.transform(
+                F.slice(F.col("__parts"), i + 2, F.size(F.col("__parts"))),
+                lambda v: F.struct(u.alias("pa"), v.alias("pb")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        baskets.select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= 3)
