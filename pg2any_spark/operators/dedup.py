@@ -948,7 +948,15 @@ def exact_substring_spans(
     """
     from pyspark.sql import Window
 
-    grams = _exact_substr_grams(df, id_col, text_col, k)
+    # Persisted (round-11, guide §1.2/§5): the gram pipeline
+    # (posexplode of every k-token window + md5 — the CPU-dominant
+    # stage, ~150 chars materialized per position before hashing) is
+    # traversed THREE times per action without the persist: the
+    # eligible-hash aggregate plus BOTH sides of the occurrence-pair
+    # self-join re-evaluate the lineage. The cached table is (id, pos,
+    # 32-char digest) — ~50 bytes/position, far smaller than the gram
+    # strings it replaces, and MEMORY_AND_DISK-safe at corpus scale.
+    grams = managed_persist(_exact_substr_grams(df, id_col, text_col, k))
     eligible = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1070,7 +1078,12 @@ def exact_substring_excise(
 
     from pg2any_spark.operators.text import tokens
 
-    grams = _exact_substr_grams(df, id_col, text_col, k)
+    # Persisted for the same three-traversal reason as
+    # exact_substring_spans (eligible agg + both self-join sides) —
+    # plus the kept-position pass below re-reads the corpus tokens,
+    # not the grams, so the cache is the only thing keeping the gram
+    # explode single-execution here.
+    grams = managed_persist(_exact_substr_grams(df, id_col, text_col, k))
     eligible = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
