@@ -540,19 +540,29 @@ def lm_bigram_scores(
         .agg(F.countDistinct("tok").alias("v"))
     )
     maybe_bc = F.broadcast if broadcast_counts else (lambda d: d)
-    scored = (
-        docbg.join(maybe_bc(bg_counts), "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
+    # nll depends only on the BIGRAM (c_bg, c_w1, V), so it is computed
+    # once per DISTINCT bigram on the vocab-sized count table instead
+    # of once per (doc, bigram) row (round-11, guide §1.2 "don't
+    # compute things twice"): the log/divide chain shrinks from
+    # |doc-bigram| to |bigram vocab| evaluations and the scoring join
+    # collapses from two (counts + history) to one against the small
+    # per-bigram nll table. Per-row values are identical — same
+    # operands, same IEEE op order — so every downstream sum matches.
+    bg_nll = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(maybe_bc(hist), "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "nll",
-            -F.log(
-                (F.col("c_bg") + F.lit(alpha))
-                / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
-            ),
+        .select(
+            "bg",
+            (
+                -F.log(
+                    (F.col("c_bg") + F.lit(alpha))
+                    / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
+                )
+            ).alias("nll"),
         )
     )
+    scored = docbg.join(maybe_bc(bg_nll), "bg")
     return scored.groupBy(id_col).agg(
         F.sum("n").alias("n_bigrams"),
         F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 4).alias("avg_nll"),
@@ -606,22 +616,27 @@ def lm_bigram_scores_scaled(
         .agg(F.countDistinct("tok").alias("v"))
     )
     maybe_bc = F.broadcast if broadcast_counts else (lambda d: d)
-    scored = (
-        docbg.join(maybe_bc(bg_counts), "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
+    # Same per-distinct-bigram hoist as lm_bigram_scores (round-11):
+    # nll_s is a pure function of the bigram, so the floor(scale·-ln)
+    # chain runs once per vocab entry and the per-(doc, bigram) scoring
+    # join is a single join against the small (bg, nll_s) table.
+    # BIGINT-exact: identical operands and op order per bigram.
+    bg_nll = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(maybe_bc(hist), "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "nll_s",
+        .select(
+            "bg",
             F.floor(
                 F.lit(float(scale))
                 * -F.log(
                     (F.col("c_bg") + F.lit(alpha))
                     / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
                 )
-            ).cast("long"),
+            ).cast("long").alias("nll_s"),
         )
     )
+    scored = docbg.join(maybe_bc(bg_nll), "bg")
     return scored.groupBy(id_col).agg(
         F.sum("n").alias("n_bigrams"),
         F.sum(F.col("n") * F.col("nll_s")).alias("nll_sum"),
