@@ -107,8 +107,10 @@ def bm25_topk(
     ]
     if any(pos >= MAX_QUERY_TERMS for _, pos, _ in terms):
         raise ValueError(f"queries wider than {MAX_QUERY_TERMS} terms")
-    qterms = spark.createDataFrame(
-        terms, "query_id string, pos int, term string"
+    from pg2any_spark.functions.localtable import literal_table
+
+    qterms = literal_table(
+        spark, terms, "query_id string, pos int, term string"
     )
 
     # corpus stats straight off the base table: two exact integer

@@ -230,7 +230,16 @@ def _ranged_by_literal_boundaries(
         )
         for i in range(len(bounds) + 1)
     ]
-    bnd = spark.createDataFrame(intervals, "__pid int, __lo double, __hi double")
+    # literal_table, not createDataFrame (round-11, guide §4.1): the
+    # pickled-row scan ran a defaultParallelism-task Python
+    # deserialization stage PER EVALUATION of this broadcast subtree —
+    # measured 7-43 task-seconds for the 32-row table vs <1 for the
+    # literal form.
+    from pg2any_spark.functions.localtable import literal_table
+
+    bnd = literal_table(
+        spark, intervals, "__pid int, __lo double, __hi double"
+    )
     cond = (
         F.col("__lo").isNull() | (F.col("__gr_key") > F.col("__lo"))
     ) & (

@@ -129,8 +129,10 @@ def histogram_quantiles(
         )
         .crossJoin(F.broadcast(total))
     )
-    qs = cells.sparkSession.createDataFrame(
-        [(q,) for q in quantiles], "q double"
+    from pg2any_spark.functions.localtable import literal_table
+
+    qs = literal_table(
+        cells.sparkSession, [(q,) for q in quantiles], "q double"
     )
     hits = (
         qs.join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("total_n"))

@@ -794,7 +794,10 @@ def learn_bpe_merges(
             wt, cached = new_wt, new_wt
     if cached is not None:
         cached.unpersist()
-    return spark.createDataFrame(
+    from pg2any_spark.functions.localtable import literal_table
+
+    return literal_table(
+        spark,
         merges,
         "merge_round int, pair string, new_symbol string, n_occurrences long",
     )

@@ -6285,7 +6285,9 @@ def _xs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).selectExpr(
         "doc_id AS id", "text"
     )
-    planted = spark.createDataFrame(_XS_PLANTED, "id long, text string")
+    from pg2any_spark.functions.localtable import literal_table
+
+    planted = literal_table(spark, _XS_PLANTED, "id long, text string")
     return docs.unionByName(planted)
 
 
@@ -6727,8 +6729,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication (``operators.dedup.containment_pairs``).
     The df cap's coverage loss is reported by the mandatory companion
     probe ``containment_hot_shingles`` — no silent caps."""
+    from pg2any_spark.functions.localtable import literal_table
+
     corpus = _mutated_corpus(spark, sf_dir).unionByName(
-        spark.createDataFrame(
+        literal_table(
+            spark,
             [(4_000_000_000_001, _CT_P), (4_000_000_000_002, _CT_Q)],
             "id long, text string",
         )
@@ -6771,8 +6776,11 @@ def containment_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``dedup_containment``, and this row quantifies exactly that
     blind spot). Same corpus as ``dedup_containment``
     (``operators.dedup.containment_hot_shingles``)."""
+    from pg2any_spark.functions.localtable import literal_table
+
     corpus = _mutated_corpus(spark, sf_dir).unionByName(
-        spark.createDataFrame(
+        literal_table(
+            spark,
             [(4_000_000_000_001, _CT_P), (4_000_000_000_002, _CT_Q)],
             "id long, text string",
         )

@@ -1161,7 +1161,10 @@ def _customer_rel_frames(spark, cols, n_segments: int) -> DataFrame:
         [(COL_KEY_FLAG if c == "c_custkey" else 0, c, 25, -1) for c in cols],
         "default",
     )
-    return spark.createDataFrame(
+    from pg2any_spark.functions.localtable import literal_table
+
+    return literal_table(
+        spark,
         [Row(segment_id=s, seq=0, wal_lsn=0, frame=bytearray(rel))
          for s in range(n_segments)],
         WAL_FRAME_SCHEMA,
@@ -1388,7 +1391,10 @@ def synth_customer_schema_evo_wal_frames(
         [(COL_KEY_FLAG if c == key else 0, c, 25, -1) for c in cols2],
         "default",
     )
-    rel2_frames = spark.createDataFrame(
+    from pg2any_spark.functions.localtable import literal_table
+
+    rel2_frames = literal_table(
+        spark,
         [Row(segment_id=s, seq=REL2_SEQ, wal_lsn=0, frame=bytearray(rel2))
          for s in range(n_segments)],
         WAL_FRAME_SCHEMA,
@@ -1534,7 +1540,9 @@ def synth_streaming_tx_wal_frames(
         m(5 * B + 900_000_000, encode_stream_stop())
         m(6 * B, encode_stream_commit(100, 50_000_000, 50_000_000, ts))
         m(7 * B, encode_stream_commit(300, 60_000_000, 60_000_000, ts))
-    mark_df = spark.createDataFrame(marks, WAL_FRAME_SCHEMA)
+    from pg2any_spark.functions.localtable import literal_table
+
+    mark_df = literal_table(spark, marks, WAL_FRAME_SCHEMA)
     return mark_df.unionByName(data)
 
 
