@@ -697,7 +697,13 @@ def line_dedup(lines: DataFrame, id_col: str, line_col: str = "line") -> DataFra
     AQE-splittable skew), never a pair explosion. Text never shuffles
     twice: the fingerprint is 32 hex chars regardless of line length.
     """
-    with_fp = lines.withColumn("__fp", F.md5(F.col(line_col)))
+    # Both the owners aggregate and the verdict join traverse the
+    # fingerprinted line table; unpersisted, each re-ran the line
+    # construction (explode + md5 over every document — the plan
+    # scanned the corpus 4×: 2 traversals × the 2-branch line union).
+    with_fp = managed_persist(
+        lines.withColumn("__fp", F.md5(F.col(line_col)))
+    )
     owners = with_fp.groupBy("__fp").agg(F.min(id_col).alias("__owner"))
     return (
         with_fp.join(owners, "__fp")
@@ -957,7 +963,10 @@ def exact_substring_spans(
     # 32-char digest) — ~50 bytes/position, far smaller than the gram
     # strings it replaces, and MEMORY_AND_DISK-safe at corpus scale.
     grams = managed_persist(_exact_substr_grams(df, id_col, text_col, k))
-    eligible = (
+    # eligible is also persisted: both self-join sides semi-join
+    # against it, and unpersisted each side re-ran the count aggregate
+    # over the cached grams.
+    eligible = managed_persist(
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter((F.col("__c") >= 2) & (F.col("__c") <= max_occ))
@@ -1084,7 +1093,9 @@ def exact_substring_excise(
     # not the grams, so the cache is the only thing keeping the gram
     # explode single-execution here.
     grams = managed_persist(_exact_substr_grams(df, id_col, text_col, k))
-    eligible = (
+    # persisted for the same both-self-join-sides reason as in
+    # exact_substring_spans
+    eligible = managed_persist(
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter((F.col("__c") >= 2) & (F.col("__c") <= max_occ))
@@ -1132,7 +1143,12 @@ def exact_substring_excise(
     prev_max_e = F.max("e").over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
     )
-    cov = (
+    # cov (merged excision intervals, rows bounded by span count) is
+    # traversed by both the kept-position anti-join and the
+    # n_excised_spans count; unpersisted, the second consumer re-ran
+    # the entire pairs-join + double-window subtree above (the plan
+    # carried it twice — 18 SortMergeJoins).
+    cov = managed_persist(
         ex.withColumn(
             "__new",
             F.when(
@@ -1179,8 +1195,15 @@ def exact_substring_excise(
     n_spans = cov.groupBy(F.col("__id").alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_excised_spans")
     )
-    base = tokpos.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # n_tokens needs no explode or shuffle: it is size(tokens(text))
+    # per document row. The former groupBy over tokpos re-ran the
+    # corpus token posexplode (a second full scan) to count what the
+    # un-exploded array already knows. Row membership is identical:
+    # tokpos emits no rows for trim-empty/NULL text, so those docs
+    # were absent from base — the filter reproduces that exactly.
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     return (
         base.join(per_doc_kept, id_col, "left")

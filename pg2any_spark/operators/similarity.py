@@ -522,7 +522,11 @@ def margin_mining(
     fwd = brute_force_topk(
         tgt, src_queries, id_col, vec_col, k=k, exclude_self=False
     )
-    fwd6 = fwd.withColumn("c6", c6(F.col("cos_sim")))
+    # Four consumers traverse the forward pass (ax, best, the
+    # candidate-id collect feeding the backward pass, and the final
+    # join); unpersisted, each re-ran the brute-force scan of tgt
+    # (8 scans of the embeddings table in the query plan).
+    fwd6 = managed_persist(fwd.withColumn("c6", c6(F.col("cos_sim"))))
     ax = fwd6.groupBy("query_id").agg(
         F.sum("c6").alias("ax_sum"),
         F.count(F.lit(1)).cast("long").alias("n_ax"),

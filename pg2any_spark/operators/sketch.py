@@ -122,6 +122,14 @@ def histogram_quantiles(
     broadcast-sized."""
     from pyspark.sql import Window
 
+    from pg2any_spark.caching import managed_persist
+
+    # ``cells`` is ≤ bins rows but its lineage is the corpus-sized
+    # histogram build — and it feeds four subtrees below (total, the
+    # cumulative window behind both the hit and interpolation joins).
+    # Unpersisted, each re-ran the full input scan (4 scans of the
+    # source table in the plan).
+    cells = managed_persist(cells)
     total = cells.agg(F.sum("n").alias("total_n"))
     cum = (
         cells.withColumn(

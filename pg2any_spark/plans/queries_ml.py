@@ -2960,9 +2960,13 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
     sets — the end-to-end dedup+similarity QA story (MinHash misses
     paraphrases, cosine misses meaning-flips; this query quantifies
     both on ground truth)."""
+    from pg2any_spark.caching import managed_persist
     from pg2any_spark.sources.cdc_gen import synth_paired_neardup_corpus
 
-    corpus = synth_paired_neardup_corpus(spark, sf_dir)
+    # Three consumers traverse the synthesized corpus (the LSH index
+    # build and both sides of the planted-pair join) — persist it so
+    # the docs⋈embeddings synthesis runs once.
+    corpus = managed_persist(synth_paired_neardup_corpus(spark, sf_dir))
     return D.lexical_semantic_agreement(corpus, num_hashes=12, bands=4)
 
 

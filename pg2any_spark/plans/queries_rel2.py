@@ -1266,58 +1266,73 @@ def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rule, n_violations) report; every join is on the warehouse's own
     keys, so the plan is all hash joins + partial counts — nothing
     funnels through a driver or a single task at any scale."""
+    from pg2any_spark.caching import managed_persist
+
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
 
-    childless = o.join(
-        li.select("l_orderkey").distinct(),
-        o["o_orderkey"] == F.col("l_orderkey"),
+    # All five audits ride ONE pass over lineitem: a persisted
+    # (l_orderkey, l_linenumber) → (row count, exact-cents sum)
+    # aggregate. The former shape scanned lineitem five times and
+    # shuffled it four (childless-distinct, orphan anti-join, dup-PK
+    # groupBy, per-order cents groupBy); every audit below is a
+    # second-level aggregate of this table, exact by construction:
+    # per-row ROUND(x·100) happens before any sum, and BIGINT sum is
+    # associative, so the two-level cents rollup equals the former
+    # one-level one. Null-key groups survive the groupBy, so the
+    # anti-join / null-hygiene counts see the same rows.
+    g = managed_persist(
+        li.groupBy("l_orderkey", "l_linenumber").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            ).alias("__cents"),
+        )
+    )
+    ok = managed_persist(o.select("o_orderkey", "o_totalprice"))
+
+    childless = ok.join(
+        g.select("l_orderkey").distinct(),
+        ok["o_orderkey"] == F.col("l_orderkey"),
         "left_anti",
     )
-    orphans = li.join(
-        o.select("o_orderkey").distinct(),
-        li["l_orderkey"] == F.col("o_orderkey"),
+    # orphan/null-PK counts are ROW counts = Σ __n over the matching
+    # groups (a 1-row sum, not a row expansion)
+    orphans = g.join(
+        ok.select("o_orderkey").distinct(),
+        g["l_orderkey"] == F.col("o_orderkey"),
         "left_anti",
     )
-    dups = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-    )
-    nulls = li.filter(
+    dups = g.filter(F.col("__n") > 1)
+    nulls = g.filter(
         F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
     )
-    oc = o.select(
+    oc = ok.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
     )
-    lc = li.groupBy("l_orderkey").agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-                * 100
-            ).cast("long")
-        ).alias("l_cents")
-    )
+    lc = g.groupBy("l_orderkey").agg(F.sum("__cents").alias("l_cents"))
     mismatch = oc.join(
         lc, oc["o_orderkey"] == lc["l_orderkey"]
     ).filter(F.abs(F.col("o_cents") - F.col("l_cents")) > 1)
 
-    def agg1(df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("__n"))
-
+    count_groups = F.count(F.lit(1)).alias("__n")
+    count_rows = F.coalesce(F.sum("__n"), F.lit(0)).alias("__n")
     parts = [
-        ("childless_orders", childless),
-        ("dup_lineitem_pk", dups),
-        ("null_lineitem_pk", nulls),
-        ("orphan_lineitems", orphans),
-        ("totalprice_mismatch_gt_1c", mismatch),
+        ("childless_orders", childless, count_groups),
+        ("dup_lineitem_pk", dups, count_groups),
+        ("null_lineitem_pk", nulls, count_rows),
+        ("orphan_lineitems", orphans, count_rows),
+        ("totalprice_mismatch_gt_1c", mismatch, count_groups),
     ]
     out = None
-    for rule, df in parts:
-        row = agg1(df).select(
+    for rule, df, agg in parts:
+        row = df.agg(agg).select(
             F.lit(rule).alias("rule"),
             F.col("__n").cast("long").alias("n_violations"),
         )

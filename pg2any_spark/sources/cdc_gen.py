@@ -292,32 +292,42 @@ def synth_paired_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     reversed_text = F.concat_ws(" ", F.reverse(toks))
 
+    # One pass: each base row emits its original plus the variants its
+    # doc_id selects, as an explode of a ≤4-entry struct array. The
+    # former 4-way unionByName re-ran the docs⋈embeddings join once
+    # per branch — and every downstream traversal multiplied that
+    # (the agreement query's three consumers scanned embeddings 8×).
+    # Same multiset of rows, same per-branch expressions.
     def variant(pred, slot, name, text_col, emb_fn):
-        return base.filter(pred).select(
-            (F.col("doc_id") * 4 + slot).alias("id"),
-            F.col("doc_id").alias("orig_id"),
-            F.lit(name).alias("variant"),
-            text_col.alias("text"),
-            F.transform("embedding", emb_fn).alias("embedding"),
+        return F.when(
+            pred,
+            F.struct(
+                (F.col("doc_id") * 4 + slot).alias("id"),
+                F.col("doc_id").alias("orig_id"),
+                F.lit(name).alias("variant"),
+                text_col.alias("text"),
+                F.transform("embedding", emb_fn).alias("embedding"),
+            ),
         )
 
-    orig = base.select(
+    orig = F.struct(
         (F.col("doc_id") * 4).alias("id"),
         F.col("doc_id").alias("orig_id"),
         F.lit("orig").alias("variant"),
-        "text", "embedding",
+        F.col("text"),
+        F.col("embedding"),
+    )
+    rows = F.array(
+        orig,
+        variant(F.col("doc_id") % 2 == 0, 1, "both", drop2,
+                lambda x: x * 0.5),
+        variant(F.col("doc_id") % 4 == 1, 2, "semantic_only",
+                reversed_text, lambda x: x * 0.25),
+        variant(F.col("doc_id") % 4 == 3, 3, "lexical_only", drop2,
+                lambda x: -x),
     )
     return (
-        orig.unionByName(
-            variant(F.col("doc_id") % 2 == 0, 1, "both", drop2,
-                    lambda x: x * 0.5)
-        )
-        .unionByName(
-            variant(F.col("doc_id") % 4 == 1, 2, "semantic_only",
-                    reversed_text, lambda x: x * 0.25)
-        )
-        .unionByName(
-            variant(F.col("doc_id") % 4 == 3, 3, "lexical_only", drop2,
-                    lambda x: -x)
-        )
+        base.select(
+            F.explode(F.filter(rows, lambda r: r.isNotNull())).alias("e")
+        ).select("e.id", "e.orig_id", "e.variant", "e.text", "e.embedding")
     )
