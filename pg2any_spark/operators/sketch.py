@@ -412,23 +412,52 @@ def exact_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     (unlike the sketch estimates, there is nothing approximate in the
     result; the approximation lives only in the pruning pass)."""
     cands = misra_gries_candidates(df, key_col, k).distinct()
-    # eqNullSafe: a NULL candidate must match NULL corpus keys — a
-    # plain equi-semi-join would drop the NULL group even when it is
-    # the heaviest hitter
-    counts = (
+    return candidate_recount(df, key_col, cands, k)
+
+
+def candidate_recount(
+    df: DataFrame, key_col: str, cands: DataFrame, k: int
+) -> DataFrame:
+    """Exact recount + threshold filter for a (tiny, broadcastable)
+    candidate key set, in ONE corpus pass: left-join the broadcast
+    candidate flags and group by (matched, candidate key) —
+    ≤ |cands|+1 groups, all non-candidate rows collapsing into the
+    (false, NULL) group — then derive both the per-candidate counts
+    and the grand total from the persisted group table. The former
+    shape ran the recount and the total count as two separate corpus
+    scans (three with candidate generation).
+
+    eqNullSafe: a NULL candidate must match NULL corpus keys — a
+    plain equi-join would drop the NULL group even when it is the
+    heaviest hitter. A NULL *candidate* groups as (true, NULL), which
+    cannot collide with the non-candidate (false, NULL) group."""
+    from pg2any_spark.caching import managed_persist
+
+    flagged = cands.select(F.col(key_col).alias("__cand")).withColumn(
+        "__isc", F.lit(True)
+    )
+    groups = managed_persist(
         df.join(
-            F.broadcast(cands.withColumnRenamed(key_col, "__cand")),
+            F.broadcast(flagged),
             F.col(key_col).eqNullSafe(F.col("__cand")),
-            "left_semi",
+            "left",
         )
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .groupBy(
+            F.coalesce(F.col("__isc"), F.lit(False)).alias("__isc"),
+            F.col("__cand"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
     total = F.broadcast(
-        df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        groups.agg(F.sum("__n").cast("long").alias("n_total"))
     )
     return (
-        counts.join(total)
+        groups.filter(F.col("__isc"))
+        .select(
+            F.col("__cand").alias(key_col),
+            F.col("__n").alias("n_occ"),
+        )
+        .join(total)
         .filter(F.col("n_occ") * k > F.col("n_total"))
         .select(key_col, "n_occ", "n_total")
     )

@@ -3180,9 +3180,13 @@ def _cms_token_report(docs: DataFrame, cells: DataFrame | None = None) -> DataFr
     sketch from the exact counts (the one-shot path); the streaming
     query passes its merged read-back cells instead — same report,
     same oracle."""
+    from pg2any_spark.caching import managed_persist
     from pg2any_spark.operators.sketch import cms_estimate, count_min_cells
 
-    tc = (
+    # vocab-sized, but its lineage is the corpus token explode — and
+    # the sketch build, the top-20 and the report join each traverse
+    # it (3 corpus scans unpersisted)
+    tc = managed_persist(
         docs.filter(F.trim(F.col("text")) != "")
         .select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -3731,19 +3735,30 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     corpus = docs.selectExpr("doc_id AS id", "text")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    incoming = (
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .select(
-            (F.col("doc_id") + 100000).alias("id"),
-            F.regexp_replace("text", r"^\s*\S+\s+\S+\s+", "").alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 7 == 0).select(
+    # one documents scan for the incoming batch: the former 2-branch
+    # unionByName scanned documents once per variant; same multiset
+    # via an explode of a ≤2-entry struct array
+    variants = F.array(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.struct(
+                (F.col("doc_id") + 100000).alias("id"),
+                F.regexp_replace(
+                    "text", r"^\s*\S+\s+\S+\s+", ""
+                ).alias("text"),
+            ),
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.struct(
                 (F.col("doc_id") + 200000).alias("id"),
                 F.array_join(F.reverse(toks), " ").alias("text"),
-            )
-        )
+            ),
+        ),
     )
+    incoming = docs.select(
+        F.explode(F.filter(variants, lambda r: r.isNotNull())).alias("e")
+    ).select("e.id", "e.text")
     index = D.lsh_index(corpus, "id", "text", num_hashes=12, bands=4)
     return D.incremental_lsh_matches(
         index, incoming, "id", "text", num_hashes=12, bands=4
@@ -5188,22 +5203,12 @@ def heavy_hitters_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming Misra-Gries did not drain in 300s")
 
+    from pg2any_spark.operators.sketch import candidate_recount
+
     cands = read_mg_candidates(spark, f"{work}/cands", "token")
     toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
-    counts = (
-        toks.join(F.broadcast(cands), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
-    )
-    total = F.broadcast(
-        toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    )
-    return (
-        counts.join(total)
-        .filter(F.col("n_occ") * 200 > F.col("n_total"))
-        .select("token", "n_occ", "n_total")
-        .orderBy("token")
-    )
+    # single-pass recount+total (formerly two corpus scans here)
+    return candidate_recount(toks, "token", cands, 200).orderBy("token")
 
 
 # ---------------------------------------------------------------------------

@@ -1104,12 +1104,19 @@ def value_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique tiebreak, NTILE is the SQL-standard divmod bucket. The twin
     queries pin that the scale path and the semantic-reference path
     agree cell-for-cell."""
+    from pg2any_spark.caching import managed_persist
     from pg2any_spark.operators import similarity as S
 
     orders = load_table(spark, "orders", sf_dir)
+    # the quantile-boundary probe, the rank branch, the offsets branch
+    # and the n-count each traverse the input — persist the 3-column
+    # projection so the parquet scan runs once (same move as
+    # zorder_skipping_audit's keyed table)
     return (
         S.global_distribution(
-            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            managed_persist(
+                orders.select("o_custkey", "o_orderkey", "o_totalprice")
+            ),
             [F.col("o_totalprice"), F.col("o_orderkey")],
             buckets=10,
         )

@@ -150,9 +150,16 @@ def range_join_error_purchase_global(spark: SparkSession, sf_dir: str) -> DataFr
     oracle keeps the raw range-join form to prove the rewrite. Inner
     pairs are re-joined to the full error set broadcast-style via a
     left join on the aggregated counts."""
+    from pg2any_spark.caching import managed_persist
+
     ev = load_table(spark, "events", sf_dir)
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    # both the binned pair join and the final zero-count left join
+    # traverse the error projection — persist it so the events scan
+    # runs once per side
+    errors = managed_persist(
+        ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+        )
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
