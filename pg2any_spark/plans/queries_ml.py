@@ -4679,7 +4679,12 @@ def _dsir_ranked_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ``Window.orderBy`` was the plan audit's one remaining
     corpus-cardinality single-task sort)."""
     docs = load_table(spark, "documents", sf_dir)
-    scored = SA.dsir_log_ratio_scaled(docs, F.col("source") == F.lit("src0"))
+    # doc-sized (doc_id, n_toks, llr_sum) but corpus-heavy lineage
+    # (token explode + hashed-feature aggregation); global_rank's
+    # three traversals plus the n_total count re-ran it 4× unpersisted
+    scored = managed_persist(
+        SA.dsir_log_ratio_scaled(docs, F.col("source") == F.lit("src0"))
+    )
     keyed = scored.withColumn(
         "__key", F.col("llr_sum").cast("double") / F.col("n_toks").cast("double")
     )
