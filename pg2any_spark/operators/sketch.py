@@ -430,13 +430,17 @@ def candidate_recount(
     eqNullSafe: a NULL candidate must match NULL corpus keys — a
     plain equi-join would drop the NULL group even when it is the
     heaviest hitter. A NULL *candidate* groups as (true, NULL), which
-    cannot collide with the non-candidate (false, NULL) group."""
-    from pg2any_spark.caching import managed_persist
+    cannot collide with the non-candidate (false, NULL) group.
 
+    ``groups`` is deliberately NOT persisted: its two consumers share
+    the identical aggregate exchange inside one action, which AQE's
+    shuffle-stage reuse already executes once — measured on the
+    integrity-audit twin of this shape, a persist only replaced the
+    reused stage with fixed-partition cache reads (56 → 543 tasks)."""
     flagged = cands.select(F.col(key_col).alias("__cand")).withColumn(
         "__isc", F.lit(True)
     )
-    groups = managed_persist(
+    groups = (
         df.join(
             F.broadcast(flagged),
             F.col(key_col).eqNullSafe(F.col("__cand")),

@@ -2960,13 +2960,9 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
     sets — the end-to-end dedup+similarity QA story (MinHash misses
     paraphrases, cosine misses meaning-flips; this query quantifies
     both on ground truth)."""
-    from pg2any_spark.caching import managed_persist
     from pg2any_spark.sources.cdc_gen import synth_paired_neardup_corpus
 
-    # Three consumers traverse the synthesized corpus (the LSH index
-    # build and both sides of the planted-pair join) — persist it so
-    # the docs⋈embeddings synthesis runs once.
-    corpus = managed_persist(synth_paired_neardup_corpus(spark, sf_dir))
+    corpus = synth_paired_neardup_corpus(spark, sf_dir)
     return D.lexical_semantic_agreement(corpus, num_hashes=12, bands=4)
 
 
@@ -3180,13 +3176,13 @@ def _cms_token_report(docs: DataFrame, cells: DataFrame | None = None) -> DataFr
     sketch from the exact counts (the one-shot path); the streaming
     query passes its merged read-back cells instead — same report,
     same oracle."""
-    from pg2any_spark.caching import managed_persist
     from pg2any_spark.operators.sketch import cms_estimate, count_min_cells
 
-    # vocab-sized, but its lineage is the corpus token explode — and
-    # the sketch build, the top-20 and the report join each traverse
-    # it (3 corpus scans unpersisted)
-    tc = managed_persist(
+    # NOT persisted: the sketch build, the top-20 and the report join
+    # all consume tc's identical aggregate exchange inside one action,
+    # which AQE shuffle-stage reuse executes once (persisting it only
+    # swapped the reused stage for fixed-partition cache reads)
+    tc = (
         docs.filter(F.trim(F.col("text")) != "")
         .select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")

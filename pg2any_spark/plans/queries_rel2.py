@@ -1273,14 +1273,15 @@ def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rule, n_violations) report; every join is on the warehouse's own
     keys, so the plan is all hash joins + partial counts — nothing
     funnels through a driver or a single task at any scale."""
-    from pg2any_spark.caching import managed_persist
-
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
 
-    # All five audits ride ONE pass over lineitem: a persisted
+    # All five audits ride ONE pass over lineitem: a shared
     # (l_orderkey, l_linenumber) → (row count, exact-cents sum)
-    # aggregate. The former shape scanned lineitem five times and
+    # aggregate whose identical scan→Exchange subtree AQE executes
+    # once (shuffle-stage reuse — deliberately NOT persisted; a cache
+    # replaced the reused map stage with fixed-partition reads,
+    # 56 → 543 tasks). The former shape scanned lineitem five times and
     # shuffled it four (childless-distinct, orphan anti-join, dup-PK
     # groupBy, per-order cents groupBy); every audit below is a
     # second-level aggregate of this table, exact by construction:
@@ -1288,20 +1289,18 @@ def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # associative, so the two-level cents rollup equals the former
     # one-level one. Null-key groups survive the groupBy, so the
     # anti-join / null-hygiene counts see the same rows.
-    g = managed_persist(
-        li.groupBy("l_orderkey", "l_linenumber").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                    * 100
-                ).cast("long")
-            ).alias("__cents"),
-        )
+    g = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("__cents"),
     )
-    ok = managed_persist(o.select("o_orderkey", "o_totalprice"))
+    ok = o.select("o_orderkey", "o_totalprice")
 
     childless = ok.join(
         g.select("l_orderkey").distinct(),
