@@ -34,20 +34,25 @@ def get_spark(
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-based coalescing (guide §2.2): target
-        # advisoryPartitionSizeInBytes (64 MB default) instead of
-        # "maximize parallelism" — parallelismFirst=true re-expands
-        # every post-shuffle stage to defaultParallelism tasks, which
-        # at local fixture scale schedules 32 near-empty tasks per
-        # stage (measured round 11: a 10-query A/B dropped 56.2s ->
-        # 34.7s, token_budget_selection 23.2s -> 6.4s) and on a real
-        # cluster is exactly the many-tiny-blocks shuffle pathology
-        # §2.2 warns about. Scale-adaptive by construction: partition
-        # count derives from shuffle BYTES, so big inputs still fan
-        # out. CPU-dense small-byte stages (the salted ER join) were
-        # in the A/B and improved too — their parallelism comes from
-        # the pre-shuffle map side, not the coalesced reduce side.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE partition coalescing policy (guide §2.2): the Spark
+        # default (parallelismFirst=true) coalesces only down to the
+        # parallelism floor; =false coalesces to
+        # advisoryPartitionSizeInBytes. An earlier round-11 A/B on a
+        # syscall-throttled host measured =false as a 1.6x win (tiny
+        # tasks were dominated by amplified per-task overhead there);
+        # re-measured on a healthy host the same subset runs 15%
+        # FASTER with the default (33.1s -> 28.1s; dedup_minhash_lsh
+        # 1.99 -> 1.53s, graph_triangle_census 6.07 -> 3.15s), so the
+        # override was a degraded-host artifact and is removed. At
+        # 100 TB both policies behave identically — shuffle bytes
+        # >> advisory_size x cores, so the byte target, not the
+        # parallelism floor, decides the partition count. Override per
+        # deployment via SPARK_GRAFT_PARALLELISM_FIRST if a cluster
+        # profile shows the tiny-task pathology again.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
