@@ -21,6 +21,7 @@ would shift the cost to the analyzer — the same cliff
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 #: Above this row count the literal expression tree stops being cheap
 #: to analyze and the pickled-row path wins back; boundary tables
@@ -39,13 +40,31 @@ def literal_table(
     plan for small driver-side row lists (``schema``: DDL string or
     StructType). Result-identical: every cell is
     ``lit(value).cast(field type)``, nulls included."""
-    # schema parse only — an empty local relation plans no job; it is
-    # also unioned back below so the result's nullability is exactly
-    # createDataFrame's (literals alone would mark fields non-null)
-    empty = spark.createDataFrame([], schema)
-    struct = empty.schema
-    if not rows or len(rows) > max_literal_rows:
-        return spark.createDataFrame(rows, schema)
+    # The empty typed relation fixes the result's nullability to the
+    # schema's (literals alone would mark fields non-null). It must be
+    # JVM-only: ``createDataFrame([], schema)`` plans a
+    # Scan-ExistingRDD with defaultParallelism EMPTY pickled
+    # partitions, and every evaluation (broadcast subtrees re-evaluate
+    # several times per query) schedules 32 tasks that each pay a
+    # Python-runner roundtrip for zero rows — measured 7.7 task-seconds
+    # per evaluation in token_budget_selection. An empty ``range``
+    # projected to null-literal casts is the same analyzed schema with
+    # no Python anywhere; the rare non-nullable-field schema keeps the
+    # exact-parity createDataFrame path.
+    struct = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    if all(f.nullable for f in struct.fields):
+        empty = spark.range(0, 0, 1, 1).select(
+            *(
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in struct.fields
+            )
+        )
+    else:
+        empty = spark.createDataFrame([], struct)
+    if not rows:
+        return empty
+    if len(rows) > max_literal_rows:
+        return spark.createDataFrame(rows, struct)
     structs = []
     for r in rows:
         vals = r if isinstance(r, (list, tuple)) else (r,)
