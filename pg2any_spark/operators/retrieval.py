@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from pg2any_spark.functions.exprs import eval_once
 from pg2any_spark.operators.text import tokens
 
 #: BM25 free parameters (Robertson et al.; the Lucene defaults).
@@ -162,7 +163,11 @@ def bm25_topk(
             "pos",
             "doc_id",
             "tf",
-            (
+            # eval_once: the MAX_QUERY_TERMS pivot aggregates below
+            # reference s once per term slot; the barrier keeps the
+            # idf/tf chain from being inlined (hence re-evaluated)
+            # into each of them.
+            eval_once(
                 _idf(F.col("n_docs"), F.col("df"))
                 * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
                 / (
