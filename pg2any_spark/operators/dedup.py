@@ -927,13 +927,26 @@ def _exact_substr_grams(
 ) -> DataFrame:
     """(id, pos, h): md5 of each positional k-gram. The hash is taken
     immediately after the gram string is formed, so only 32-byte
-    digests enter any shuffle — never the ~6·k-char gram text."""
+    digests enter any shuffle — never the ~6·k-char gram text.
+
+    Repartitions by id first (round-11, guide §2.5 input skew — the
+    same rationale as ``exploded_shingles``): text corpora arrive in
+    few large files, and the gram+md5 expansion is the CPU-dominant
+    stage of the ExactSubstr family; without the spread it ran as a
+    single 6.4 s task at sf0.1 (one scan split), leaving 31 cores
+    idle. The shuffle moves raw text once; everything downstream reads
+    the cached digest table."""
     from pg2any_spark.operators.text import word_ngrams
 
-    return df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
-    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    spark = df.sparkSession
+    return (
+        df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "gram"),
+        )
+        .select(id_col, "pos", F.md5("gram").alias("h"))
+    )
 
 
 def exact_substring_spans(
