@@ -333,7 +333,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF — the
     corpus-statistics primitive behind keyword extraction and
@@ -476,7 +476,7 @@ def lm_bigram_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
-    materialize: bool = True,
+    materialize: bool = False,
     broadcast_counts: bool = True,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under an add-k
@@ -518,14 +518,18 @@ def lm_bigram_scores(
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # docbg fans out to the count tables AND the scoring join;
-    # Catalyst evaluates the lineage once per consumer, so without the
-    # persist the corpus is scanned and exploded three times. Locally
-    # the cache build costs more than the re-derivation (4.5 s vs
-    # 1.7 s at sf0.1 — the fixture is overhead-bound), but at corpus
-    # scale two extra full scans dwarf caching a table that is far
-    # smaller than the text it came from; the default persists, same
-    # call as tfidf_top_terms. materialize=False for small ad-hoc use.
+    # docbg fans out to the count tables AND the scoring join — but
+    # its scan→explode→partial-agg→Exchange subtree is byte-identical
+    # under every consumer, so AQE shuffle-stage reuse runs the corpus
+    # scan ONCE per action and each consumer replays the map output
+    # (the batch-7 rule). The default is therefore NOT to persist:
+    # measured at sf0.1, materialize=False is 1.2 s steady vs
+    # 1.4–1.8 s warm with the cache (cache materialization defeats
+    # per-consumer AQE coalescing), identical results — and at corpus
+    # scale caching a corpus-sized doc-bigram table is itself the
+    # expensive part. materialize=True remains for callers that drive
+    # MULTIPLE actions over subtrees that cannot share one result
+    # table (cross-action reuse is the only case a persist pays).
     if materialize:
         docbg = managed_persist(docbg)
     bg_counts = docbg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
@@ -575,7 +579,7 @@ def lm_bigram_scores_scaled(
     text_col: str = "text",
     alpha: float = 0.5,
     scale: int = 1_000_000,
-    materialize: bool = True,
+    materialize: bool = False,
     broadcast_counts: bool = True,
 ) -> DataFrame:
     """``lm_bigram_scores`` with the per-bigram nll quantized to a
@@ -861,7 +865,7 @@ def nb_hashed_scores(
     text_col: str = "text",
     alpha: float = 1.0,
     n_buckets: int = 4096,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-(document, class) log-posterior under a multinomial naive
     Bayes model self-trained on the corpus's own labels over hashed
