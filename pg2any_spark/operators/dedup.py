@@ -998,19 +998,18 @@ def exact_substring_spans(
     """
     from pyspark.sql import Window
 
-    # Persisted (round-11, guide §1.2/§5): the gram pipeline
-    # (posexplode of every k-token window + md5 — the CPU-dominant
-    # stage, ~150 chars materialized per position before hashing) is
-    # traversed THREE times per action without the persist: the
-    # eligible-hash aggregate plus BOTH sides of the occurrence-pair
-    # self-join re-evaluate the lineage. The cached table is (id, pos,
-    # 32-char digest) — ~50 bytes/position, far smaller than the gram
-    # strings it replaces, and MEMORY_AND_DISK-safe at corpus scale.
-    grams = managed_persist(_exact_substr_grams(df, id_col, text_col, k))
-    # eligible is also persisted: both self-join sides semi-join
-    # against it, and unpersisted each side re-ran the count aggregate
-    # over the cached grams.
-    eligible = managed_persist(
+    # NOT persisted (round-11 batch-7 rule, re-measured session 2):
+    # the gram pipeline is traversed by the eligible-hash aggregate
+    # and BOTH self-join sides, but all three consumers sit in ONE
+    # action over a byte-identical scan→gram→Exchange subtree, so AQE
+    # shuffle-stage reuse runs the posexplode+md5 map side once and
+    # each consumer replays the map output; the cache materialization
+    # both duplicated that work and pinned the cached partitioning
+    # (persist-on vs persist-off measured 1.80 vs 1.49 s for
+    # dedup_exact_substring, 1.08 vs 0.78 s for the excise twin,
+    # identical results). Same reasoning for ``eligible`` below.
+    grams = _exact_substr_grams(df, id_col, text_col, k)
+    eligible = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter((F.col("__c") >= 2) & (F.col("__c") <= max_occ))
@@ -1131,15 +1130,13 @@ def exact_substring_excise(
 
     from pg2any_spark.operators.text import tokens
 
-    # Persisted for the same three-traversal reason as
-    # exact_substring_spans (eligible agg + both self-join sides) —
-    # plus the kept-position pass below re-reads the corpus tokens,
-    # not the grams, so the cache is the only thing keeping the gram
-    # explode single-execution here.
-    grams = managed_persist(_exact_substr_grams(df, id_col, text_col, k))
-    # persisted for the same both-self-join-sides reason as in
-    # exact_substring_spans
-    eligible = managed_persist(
+    # NOT persisted — same batch-7 re-measurement as
+    # exact_substring_spans: all gram/eligible consumers share one
+    # action and byte-identical scan→Exchange subtrees, so AQE
+    # shuffle-stage reuse covers them (persist-on vs -off measured
+    # 1.08 vs 0.78 s for the excise query, identical results).
+    grams = _exact_substr_grams(df, id_col, text_col, k)
+    eligible = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter((F.col("__c") >= 2) & (F.col("__c") <= max_occ))
@@ -1187,12 +1184,14 @@ def exact_substring_excise(
     prev_max_e = F.max("e").over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
     )
-    # cov (merged excision intervals, rows bounded by span count) is
-    # traversed by both the kept-position anti-join and the
-    # n_excised_spans count; unpersisted, the second consumer re-ran
-    # the entire pairs-join + double-window subtree above (the plan
-    # carried it twice — 18 SortMergeJoins).
-    cov = managed_persist(
+    # cov is traversed by both the kept-position anti-join and the
+    # n_excised_spans count, but both consumers sit in one action and
+    # the pairs-join map stages are byte-identical, so AQE
+    # shuffle-stage reuse covers the re-print the static plan shows
+    # (18 SortMergeJoins in plan TEXT ≠ 18 executions); the persist
+    # measured net-slower (batch-7 re-measurement, excise 1.08 vs
+    # 0.78 s with all three caches removed).
+    cov = (
         ex.withColumn(
             "__new",
             F.when(
@@ -1305,8 +1304,13 @@ def containment_pairs(
     surfaces here, and the report makes that coverage loss visible
     instead of silent.
     """
+    # sh is NOT persisted (round-11 batch-7 re-measurement): its four
+    # consumers (rare, both candidate-join sides, sets) live in one
+    # action over a byte-identical explode→distinct subtree, which AQE
+    # shuffle-stage reuse runs once; the cache measured net-slower
+    # (dedup_containment 3.12 s persisted vs 2.20 s without, identical
+    # pairs).
     sh = exploded_shingles(df, id_col, text_col, n).distinct()
-    sh = managed_persist(sh)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -131,17 +131,17 @@ def bm25_topk(
     # post-then-semi-join form paid — now shuffles ONLY query-term
     # occurrences (guide §2.3). tf, dl (computed per doc BEFORE the
     # explode, unaffected by the filter), df, n_docs and sum_dl are
-    # all unchanged, so scores are identical. The candidate table is
-    # tiny (docs containing a query term) and feeds two consumers
-    # (dft + scoring), so it is persisted rather than re-derived.
-    from pg2any_spark.caching import managed_persist
-
+    # all unchanged, so scores are identical. The candidate table
+    # feeds two consumers (dft + scoring) in ONE action over a
+    # byte-identical subtree, so AQE shuffle-stage reuse covers it; a
+    # persist here measured net-slower (1.75 s vs 1.36 s at sf0.1,
+    # batch-7 re-measurement, identical output).
     qvocab = sorted({t for _, _, t in terms})
     toked = docs.where(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
     )
-    cand = managed_persist(
+    cand = (
         toked.select(
             "doc_id",
             F.size("__toks").alias("dl"),
