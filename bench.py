@@ -294,17 +294,29 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     prior, prior_name = {}, None
 
+    import re as _re
+
     def _round_of(path: str) -> tuple[int, int]:
         # order by round number, DETAIL preferred within a round (it
         # is complete; the driver record is a 2000-char stdout tail) —
         # a plain lexicographic sort would put every BENCH_r file
         # after every BENCH_DETAIL file regardless of round
         base = os.path.basename(path)
-        return (int(base.rsplit("_r", 1)[-1][:-5]), "DETAIL" in base)
+        m = _re.fullmatch(r"BENCH_(DETAIL_)?r(\d+)\.json", base)
+        return (int(m.group(2)), m.group(1) is not None)
 
+    # fullmatch-filter the glob hits: side artifacts like
+    # BENCH_r11_c8.json (the 8-core scaling leg) match the glob but
+    # carry a non-integer suffix — round 12's inherited crash.
     candidates = sorted(
-        _glob.glob(os.path.join(here, "BENCH_DETAIL_r[0-9]*.json"))
-        + _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")),
+        (
+            p
+            for p in _glob.glob(os.path.join(here, "BENCH_DETAIL_r[0-9]*.json"))
+            + _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+            if _re.fullmatch(
+                r"BENCH_(DETAIL_)?r(\d+)\.json", os.path.basename(p)
+            )
+        ),
         key=_round_of,
     )
     for path in reversed(candidates):
@@ -407,8 +419,10 @@ def main() -> None:
     # ~2000 chars of stdout, so the final printed line must stay
     # compact — round 7's record was lost to an oversized line.
     rounds = [
-        int(p.rsplit("BENCH_r", 1)[-1][:-5])
+        int(m.group(1))
         for p in _glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+        for m in [_re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))]
+        if m
     ]
     detail_path = os.path.join(
         here, f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
@@ -417,39 +431,49 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(f"# full record: {detail_path}", file=sys.stderr)
 
-    # The compact line must survive the driver's ~2000-char stdout
-    # tail WITH HEADROOM: the full 62-query dict pushed it to ~2.1k
-    # chars, which would truncate the line's HEAD (the round-7 failure
-    # mode, again). Per-query timings live in the committed DETAIL
-    # record; the driver line carries the suite totals plus the 5
-    # slowest queries for at-a-glance reading.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
+    # The compact line must survive the driver's 2000-char stdout
+    # tail (line + trailing newline <= 2000, else the line's HEAD is
+    # truncated — the round-7 failure mode). Round 12: the line now
+    # carries the FULL per-query median map at 2 dp (the round-11
+    # driver could not compute a per-query geomean because the line
+    # held only the 5 slowest — PERF_r11 per_query={}). To make the
+    # 64-entry map fit, nice-to-have fields are emitted only when
+    # they carry signal (contamination/drift/regression fields only
+    # when non-clean) and a drop-ladder sheds optional fields if the
+    # line still exceeds the budget. json.dumps uses compact
+    # separators — the default ", " costs ~130 chars over 65 entries.
     record = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "reps": reps,
-        "n_queries": len(timings),
-        "slowest": {k: round(v, 2) for k, v in slowest.items()},
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "streaming_suite_seconds": streaming_total,
         "sf": detail["sf"],
-        "loadavg_pre": loadavg_pre,
-        "contaminated": contaminated,
-        "contamination_reason": contamination_reason,
-        "drift_count": len(drift),
-        "regression_count": len(deltas),
-        "chaos_rows_per_second": {
-            k: v.get("rows_per_second") for k, v in chaos_full.items()
-        },
         "detail": os.path.basename(detail_path),
     }
-    line = json.dumps(record)
-    if len(line) > 1800:  # keep headroom inside the driver's window
-        record.pop("chaos_rows_per_second", None)
-        line = json.dumps(record)
-    print(line)
+    if contaminated:
+        record["contaminated"] = True
+        record["contamination_reason"] = contamination_reason
+    if drift:
+        record["drift_count"] = len(drift)
+    if deltas:
+        record["regression_count"] = len(deltas)
+
+    def _line() -> str:
+        return json.dumps(record, separators=(",", ":"))
+
+    # drop-ladder: everything here also lives in the DETAIL record
+    for opt in ("regression_count", "drift_count", "detail", "reps"):
+        if len(_line()) <= 1950:
+            break
+        record.pop(opt, None)
+    if len(_line()) > 1950:
+        # last resort — keep the driver-critical fields, coarsen the
+        # map to 1 dp rather than dropping it (a coarse geomean beats
+        # per_query={})
+        record["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    print(_line())
 
 
 if __name__ == "__main__":

@@ -253,17 +253,24 @@ def _ranged_by_literal_boundaries(
         | (F.col("__gr_key") <= F.col("__hi"))
         | F.col("__gr_key").isNull()
     )
-    # No explicit repartition here (round-11 optimization, guide §2.3/
-    # §2.4): the window branch's ``partitionBy("__pid")`` plans its own
-    # hash exchange on __pid, so an explicit repartition was a SECOND
-    # full-data shuffle of the same key — and the offsets branch, which
-    # only needs per-pid counts/sums, was re-running that full shuffle
-    # when a map-side partial aggregate shuffles ≤P rows per input
-    # partition instead. Buckets (hence results) are identical either
-    # way: __pid comes from the broadcast literal-boundary join alone.
-    return keyed.join(F.broadcast(bnd), cond, "inner").drop(
+    # Round-12 A/B toggle (temporary): SPARK_GRAFT_GR_REPARTITION=1
+    # restores the pre-round-11 explicit repartition. The round-11
+    # removal reasoned that the window branch's partitionBy("__pid")
+    # plans its own exchange — true, but WITHOUT the shared repartition
+    # exchange the rank/sum branch and the offsets branch no longer
+    # share a scan→Exchange subtree, so the ENTIRE upstream lineage
+    # (e.g. token_budget's LM scoring) is evaluated once per branch.
+    # With it, AQE ReusedExchange runs the upstream exactly once.
+    # Buckets (hence results) are identical either way: __pid comes
+    # from the broadcast literal-boundary join alone.
+    out = keyed.join(F.broadcast(bnd), cond, "inner").drop(
         "__gr_key", "__lo", "__hi"
     )
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_GR_REPARTITION", "0") == "1":
+        out = out.repartition(parts, "__pid")
+    return out
 
 
 def global_running_sum(

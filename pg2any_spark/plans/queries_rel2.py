@@ -1222,6 +1222,66 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _integrity_audit_orders_multiscan(o: DataFrame, li: DataFrame) -> DataFrame:
+    """Pre-round-11 shape of ``integrity_audit_orders``: five
+    independent scans, each audit partial-aggregating map-side before
+    its own SMALL shuffle — vs the one-scan shape's full-cardinality
+    (orderkey, linenumber) PK groupBy whose "partial" aggregation
+    reduces nothing (the key is unique) and whose full-width shuffle
+    output all five consumers re-read."""
+    childless = o.join(
+        li.select("l_orderkey").distinct(),
+        o["o_orderkey"] == F.col("l_orderkey"),
+        "left_anti",
+    )
+    orphans = li.join(
+        o.select("o_orderkey").distinct(),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    )
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    nulls = li.filter(
+        F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
+    )
+    oc = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    lc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("l_cents")
+    )
+    mismatch = oc.join(
+        lc, oc["o_orderkey"] == lc["l_orderkey"]
+    ).filter(F.abs(F.col("o_cents") - F.col("l_cents")) > 1)
+
+    parts = [
+        ("childless_orders", childless),
+        ("dup_lineitem_pk", dups),
+        ("null_lineitem_pk", nulls),
+        ("orphan_lineitems", orphans),
+        ("totalprice_mismatch_gt_1c", mismatch),
+    ]
+    out = None
+    for rule, df in parts:
+        row = df.agg(F.count(F.lit(1)).alias("__n")).select(
+            F.lit(rule).alias("rule"),
+            F.col("__n").cast("long").alias("n_violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rule")
+
+
 @query(
     "integrity_audit_orders",
     oracle="""
@@ -1289,6 +1349,13 @@ def integrity_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # associative, so the two-level cents rollup equals the former
     # one-level one. Null-key groups survive the groupBy, so the
     # anti-join / null-hygiene counts see the same rows.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_INTEGRITY_MULTISCAN", "0") == "1":
+        # Round-12 A/B arm: the pre-round-11 five-independent-scans
+        # shape (each audit partial-aggregates map-side before its own
+        # small shuffle; no full-cardinality PK groupBy).
+        return _integrity_audit_orders_multiscan(o, li)
     g = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
